@@ -1,0 +1,52 @@
+"""Shared helpers for oracle-deterministic results.
+
+Floating-point sums are order-dependent; Spark and DuckDB will not add
+partitions in the same order, so a raw ``SUM(double)`` can differ in late
+digits between engines (and between runs). ``dsum`` routes the sum through
+an exact ``DECIMAL(18,s)``: the per-row double -> decimal rounding is
+deterministic (ties are impossible for scale >= 1 because x.5*10^-s is not
+a dyadic rational), the decimal addition is exact and order-independent,
+and the final cast back to double is deterministic. The DuckDB twin does
+the identical conversion, so the values match bit-for-bit.
+
+Timestamps are filtered/emitted as epoch seconds so a non-UTC session
+timezone in the caller's SparkSession cannot shift instants relative to
+the tz-naive DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dsum(expr: Column, scale: int = 2) -> Column:
+    """Order-independent double sum via exact decimal accumulation."""
+    return F.sum(expr.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def sql_dsum(expr: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def davg(expr: Column, scale: int = 6) -> Column:
+    """Deterministic average: exact decimal sum, double division by count."""
+    return dsum(expr, scale) / F.count(F.lit(1))
+
+
+def sql_davg(expr: str, scale: int = 6) -> str:
+    return f"({sql_dsum(expr, scale)} / count(*))"
+
+
+def epoch(col: Column | str) -> Column:
+    """Timezone-independent epoch seconds of a timestamp column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_timestamp(c)
+
+
+def epoch_lit(iso_utc: str) -> int:
+    """Epoch seconds of an ISO ``YYYY-MM-DD[ HH:MM:SS]`` instant read as UTC."""
+    from datetime import datetime, timezone
+
+    fmt = "%Y-%m-%d %H:%M:%S" if " " in iso_utc else "%Y-%m-%d"
+    return int(datetime.strptime(iso_utc, fmt).replace(tzinfo=timezone.utc).timestamp())

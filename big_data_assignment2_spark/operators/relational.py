@@ -1,0 +1,360 @@
+"""Relational primitives from SURVEY.md section 2 over the TPC-H-ish star
+schema: scans/projections/limits (P1/P2), IN-list and range filters (P4),
+inner/broadcast/semi/anti joins (J1/J2, P4-as-semi-join), hash aggregations
+with partial/map-side combine (A2/A3/A5), count-distinct, distributed
+top-k (K1) and window ranking (K3).
+
+Scale notes (100 TB posture):
+
+- Dimension tables (region/nation/customer/supplier/part) are orders of
+  magnitude smaller than the facts; every dim join is marked
+  ``F.broadcast`` so the fact table never shuffles for them. With AQE on,
+  Catalyst would usually pick this anyway -- the hint makes it
+  deployment-independent.
+- Aggregations rely on Spark's two-phase HashAggregate (partial -> final),
+  strictly better than the reference's shuffle-everything MapReduce
+  (``app/mapreduce/mapper2.py`` emits one record per token with no
+  combiner -- SURVEY.md section 4).
+- Top-k uses ``orderBy().limit()`` which plans TakeOrderedAndProject:
+  per-partition heaps, no global sort (reference uses RDD ``takeOrdered``,
+  ``app/query.py:92``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import Registry
+from ..sources.catalog import load_table
+from ._util import dsum, epoch, epoch_lit, sql_davg, sql_dsum
+
+SHIP_CUTOFF = epoch_lit("1998-06-01")
+Q6_LO = epoch_lit("1996-01-01")
+Q6_HI = epoch_lit("1998-01-01")
+ORDER_CUTOFF = epoch_lit("1997-01-01")
+
+
+# --- Q1: pricing summary (groupBy + 8 aggregates) ----------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(epoch("l_shipdate") <= SHIP_CUTOFF)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            F.round(dsum(F.col("l_quantity"), 6) / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(dsum(F.col("l_extendedprice"), 6) / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.round(dsum(F.col("l_discount"), 6) / F.count(F.lit(1)), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+       round({sql_davg('l_quantity')}, 6) AS avg_qty,
+       round({sql_davg('l_extendedprice')}, 6) AS avg_price,
+       round({sql_davg('l_discount')}, 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE epoch(l_shipdate) <= {SHIP_CUTOFF}
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3: shipping priority (3-way join + agg + top-k) -------------------------
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(epoch("o_orderdate") < ORDER_CUTOFF)
+    li = load_table(spark, sf_dir, "lineitem").where(epoch("l_shipdate") > ORDER_CUTOFF)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", epoch("o_orderdate").alias("o_orderdate_epoch"), "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q3 = f"""
+SELECT l_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch, o_orderpriority,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND epoch(o_orderdate) < {ORDER_CUTOFF}
+  AND epoch(l_shipdate) > {ORDER_CUTOFF}
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- Q5-style: local supplier volume (5-way join) -----------------------------
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .where(cust.c_nationkey == sup.s_nationkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+SQL_Q5 = f"""
+SELECT n_name, r_name, {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name, r_name
+"""
+
+
+# --- Q6: range-filter + global agg --------------------------------------------
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (epoch("l_shipdate") >= Q6_LO)
+            & (epoch("l_shipdate") < Q6_HI)
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"))
+    )
+
+
+SQL_Q6 = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount', 4)} AS revenue
+FROM lineitem
+WHERE epoch(l_shipdate) >= {Q6_LO} AND epoch(l_shipdate) < {Q6_HI}
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- primitive operators (P1/P2/P4, K1/K3, J2, A3/A5) --------------------------
+
+
+def scan_project_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2+K1: pruned scan, projection, deterministic top-N."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_SCAN = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+def filter_isin_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: IN-list predicate pushed to the parquet scan."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag").isin("A", "R") & (F.col("l_quantity") >= 45))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    )
+
+
+SQL_ISIN = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
+WHERE l_returnflag IN ('A', 'R') AND l_quantity >= 45
+"""
+
+
+def join_broadcast_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: explicit broadcast hash join, fact side never shuffles for the dim."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+SQL_JOIN_BCAST = f"""
+SELECT c_mktsegment, count(*) AS n_orders, {sql_dsum('o_totalprice')} AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers that placed a high-value order."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+SQL_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct per group (expand + two-phase aggregate)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_COUNT_DISTINCT = """
+SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: row_number over a partitioned window -> top 3 orders per status."""
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_orderstatus", "rn", "o_orderkey", "o_totalprice")
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT == groupBy on all projected columns."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+    )
+
+
+SQL_DISTINCT = "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
+
+
+def union_all_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two branch projections, then re-aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.where(F.col("o_totalprice") > 300000).select(
+        F.lit("high").alias("bucket"), "o_orderkey"
+    )
+    lo = orders.where(F.col("o_totalprice") <= 100000).select(
+        F.lit("low").alias("bucket"), "o_orderkey"
+    )
+    return hi.unionAll(lo).groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_UNION = """
+SELECT bucket, count(*) AS n FROM (
+  SELECT 'high' AS bucket, o_orderkey FROM orders WHERE o_totalprice > 300000
+  UNION ALL
+  SELECT 'low' AS bucket, o_orderkey FROM orders WHERE o_totalprice <= 100000
+) GROUP BY bucket
+"""
+
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (extension beyond the reference surface)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+SQL_ROLLUP = f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       {sql_dsum('o_totalprice')} AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def register(reg: Registry) -> None:
+    reg.add("q1_pricing_summary", q1_pricing_summary, SQL_Q1, "TPC-H Q1 style groupBy+8 aggs")
+    reg.add("q3_shipping_priority", q3_shipping_priority, SQL_Q3, "3-way join + agg + top-k")
+    reg.add("q5_nation_revenue", q5_nation_revenue, SQL_Q5, "5-way join, broadcast dims")
+    reg.add("q6_forecast_revenue", q6_forecast_revenue, SQL_Q6, "range filter + global agg")
+    reg.add("scan_project_orderby_limit", scan_project_orderby_limit, SQL_SCAN, "P1/P2/K1")
+    reg.add("filter_isin_project", filter_isin_project, SQL_ISIN, "P4 IN-list pushdown")
+    reg.add("join_broadcast_agg", join_broadcast_agg, SQL_JOIN_BCAST, "J2 broadcast hash join")
+    reg.add("join_semi", join_semi, SQL_SEMI, "left-semi join (EXISTS)")
+    reg.add("join_anti", join_anti, SQL_ANTI, "left-anti join (NOT EXISTS)")
+    reg.add("agg_count_distinct", agg_count_distinct, SQL_COUNT_DISTINCT, "exact count-distinct")
+    reg.add("window_rank_topn", window_rank_topn, SQL_WINDOW_RANK, "K3 window row_number")
+    reg.add("distinct_projection", distinct_projection, SQL_DISTINCT, "distinct projection")
+    reg.add("union_all_agg", union_all_agg, SQL_UNION, "union all + re-aggregate")
+    reg.add("rollup_agg", rollup_agg, SQL_ROLLUP, "rollup hierarchy totals")

@@ -1,0 +1,135 @@
+"""BM25 search: the reference's query engine (``app/query.py``) as one
+declarative DataFrame expression tree.
+
+Reference lifecycle (SURVEY.md section 3.2): scan 4 Cassandra tables with
+``isin(query_terms)`` pushdown -> inner join doc_stats -> RDD lambda
+computes per-(term,doc) BM25 -> reduceByKey sum -> ``takeOrdered(10)``.
+
+Here the whole thing is one job: the postings/vocab IN-filters prune at
+the parquet scan, vocab + the 1-row corpus-stats frame join in as
+broadcasts, scoring is Column arithmetic inside whole-stage codegen, the
+per-doc sum is a two-phase hash aggregate, and the top-k plans as
+TakeOrderedAndProject (per-partition heaps -- no global sort). No Python
+executes per row anywhere.
+
+Determinism beyond the reference: scores rounded to 6 decimals and ties
+broken by ``doc_id`` ascending (the reference's ``takeOrdered`` tie order
+is partition-dependent -- SURVEY.md section 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import bm25
+from ..functions.text import tokenize_query
+from ..registry import Registry
+from . import index_build
+
+DEFAULT_QUERY = "spark query window merge zzz"  # 'zzz' exercises the df=0 drop
+DEFAULT_K = 10
+
+
+def bm25_rank(
+    inverted: DataFrame,
+    vocab: DataFrame,
+    doc_stats: DataFrame,
+    query: str = DEFAULT_QUERY,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Rank documents for *query* against prebuilt index DataFrames.
+
+    Returns ``rank int, doc_id string, title string, score double`` --
+    the reference's output line format (``app/query.py:95-96``).
+    """
+    terms = tokenize_query(query)
+    stats = doc_stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("length").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_dl"),
+    )
+    postings = inverted.where(F.col("term").isin(terms))
+    vocab_q = vocab.where(F.col("term").isin(terms))
+    scored = (
+        postings.join(F.broadcast(vocab_q), "term")
+        .join(doc_stats, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "title",
+            bm25.score(
+                F.col("tf"),
+                F.col("length"),
+                F.col("avg_dl"),
+                F.col("n_docs"),
+                F.col("doc_freq"),
+            ).alias("partial"),
+        )
+    )
+    ranked = (
+        scored.groupBy("doc_id")
+        .agg(F.max("title").alias("title"), F.round(F.sum("partial"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "title", "score"
+    )
+
+
+def bm25_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = DEFAULT_QUERY,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """End-to-end flagship: build the index from the corpus and rank."""
+    return bm25_rank(
+        index_build.inverted_index(spark, sf_dir),
+        index_build.vocab(spark, sf_dir),
+        index_build.doc_stats(spark, sf_dir),
+        query,
+        k,
+    )
+
+
+def sql_bm25(query: str = DEFAULT_QUERY, k: int = DEFAULT_K) -> str:
+    terms = tokenize_query(query)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    score = bm25.SQL_SCORE.format(
+        tf="i.tf", dl="s.length", avg_dl="st.avg_dl", n="st.n_docs", df="v.doc_freq"
+    )
+    return (
+        index_build.SQL_DOCS_CTE
+        + f""",
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(SUM(CAST(length AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_dl
+  FROM doc_stats
+),
+scored AS (
+  SELECT i.doc_id, s.title, {score} AS partial
+  FROM inverted i
+  JOIN vocab v USING (term)
+  JOIN doc_stats s ON i.doc_id = s.doc_id
+  CROSS JOIN stats st
+  WHERE i.term IN ({in_list})
+),
+ranked AS (
+  SELECT doc_id, max(title) AS title, round(sum(partial), 6) AS score
+  FROM scored GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, title, score
+FROM ranked
+"""
+    )
+
+
+def register(reg: Registry) -> None:
+    reg.add("bm25_search", bm25_search, sql_bm25(), "flagship BM25 top-10")
