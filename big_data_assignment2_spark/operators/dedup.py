@@ -1,5 +1,223 @@
+"""Deduplication operators over the ``documents`` table -- the core of a
+training-data pipeline at 100 TB.
+
+Four families, increasing in fuzziness:
+
+- **exact**: hash-groupBy on content md5. One shuffle keyed by a
+  uniformly-distributed hash -- scales linearly, no skew.
+- **n-gram Jaccard**: exact set similarity over 5-token shingles, with a
+  document-frequency cap on shingles (ubiquitous shingles generate
+  quadratic candidate pairs and carry no signal -- the cap is the standard
+  stop-shingle trick and bounds the self-join fan-out at any scale).
+- **MinHash + LSH**: 16 md5-derived min-hashes -> 4 bands x 4 rows ->
+  bucket-join candidates -> exact-Jaccard verification. The md5 hash
+  family is bit-reproducible in DuckDB, so even the LSH path has a full
+  SQL oracle. ``functions.hashing.minhash_cols_fast`` is the xxhash64
+  scale variant (same shape, ~10x cheaper, no oracle).
+- **SimHash**: 64-bit sign-vote sketch over term hashes, emitted as hex;
+  Hamming-close sketches = near-dups. Also md5-derived and oracle-backed.
+
+Embedding-cosine near-dup lives in ``similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    N_MINHASH,
+    band_cols,
+    minhash_cols,
+    shingles,
+    simhash_hex,
+    sql_band_cols,
+    sql_minhash_cols,
+    sql_shingles,
+    sql_simhash_hex,
+)
+from ..functions.text import SQL_TOKENS, tokenize
 from ..registry import Registry
+from ..sources.catalog import load_table
+
+SHINGLE_K = 5
+MAX_SHINGLE_DF = 100  # stop-shingle cap: drop shingles present in > this many docs
+JACCARD_T = 0.5
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content groups with the kept (minimum) doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (doc_id, shingle), stop-shingles removed."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(shingles("text", SHINGLE_K)).alias("shingle"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return sh.join(freq.where(F.col("df") <= MAX_SHINGLE_DF), "shingle").select(
+        "doc_id", "shingle"
+    )
+
+
+SQL_DOC_SHINGLES = f"""
+WITH sh0 AS (
+  SELECT doc_id, unnest({sql_shingles('text', SHINGLE_K)}) AS shingle
+  FROM documents
+),
+freq AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}),
+sh AS (SELECT doc_id, shingle FROM sh0 JOIN freq USING (shingle))
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= {T} over capped 5-token shingle sets: self-join on
+    shared shingle, count intersections, derive the union from per-doc set
+    sizes. The shingle-df cap bounds join fan-out (SURVEY.md section 7
+    scale posture)."""
+    sh = _doc_shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= JACCARD_T)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+SQL_NGRAM_JACCARD = SQL_DOC_SHINGLES + f""",
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / (sa.sz + sb.sz - inter) >= {JACCARD_T}
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures -> LSH band buckets -> candidate pairs ->
+    exact-Jaccard verification. Only docs sharing a band key are ever
+    compared, so the join is linear in bucket occupancy, not quadratic in
+    corpus size -- this is the 100 TB near-dup path."""
+    sh = _doc_shingles(spark, sf_dir).cache()
+    sigs = sh.groupBy("doc_id").agg(*minhash_cols("shingle", N_MINHASH))
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*[c for c in band_cols(N_MINHASH)])).alias("band")
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification of candidates only
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .where(jac >= JACCARD_T)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+SQL_MINHASH_LSH = SQL_DOC_SHINGLES + f""",
+sigs AS (
+  SELECT doc_id, {sql_minhash_cols('shingle', N_MINHASH)}
+  FROM sh GROUP BY doc_id
+),
+bands AS (SELECT doc_id, {sql_band_cols(N_MINHASH)} FROM sigs),
+banded AS (
+  SELECT doc_id, band0 AS band FROM bands
+  UNION ALL SELECT doc_id, band1 FROM bands
+  UNION ALL SELECT doc_id, band2 FROM bands
+  UNION ALL SELECT doc_id, band3 FROM bands
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / (sa.sz + sb.sz - inter) >= {JACCARD_T}
+"""
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc as 16 hex chars, from tf-weighted bit votes
+    over md5(term). Narrow groupBy-doc aggregate -- one shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        tokenize(docs)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("doc_id").agg(simhash_hex("term", "tf").alias("simhash"))
+
+
+SQL_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKENS.format(col='text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)
+SELECT doc_id, {sql_simhash_hex('term', 'tf')} AS simhash
+FROM tf GROUP BY doc_id
+"""
 
 
 def register(reg: Registry) -> None:
-    pass
+    reg.add("dedup_exact", dedup_exact, SQL_DEDUP_EXACT, "exact md5 dedup groups")
+    reg.add("ngram_jaccard_pairs", ngram_jaccard_pairs, SQL_NGRAM_JACCARD, "exact 5-gram Jaccard pairs")
+    reg.add("minhash_lsh_pairs", minhash_lsh_pairs, SQL_MINHASH_LSH, "MinHash-LSH verified pairs")
+    reg.add("simhash", simhash, SQL_SIMHASH, "64-bit SimHash sketch per doc")

@@ -1,5 +1,178 @@
+"""Similarity search over the ``embeddings`` table (``vec_id bigint,
+embedding array<float>, label int``).
+
+- **Brute-force cosine top-k** -- the exactness baseline: one narrow pass
+  computing cosine against a broadcast query vector, then a distributed
+  top-k (TakeOrderedAndProject). Linear scan; correct at any scale, and
+  the right answer when the query set is small.
+- **LSH-bucketed top-k** -- the scale path: random-hyperplane signatures
+  (sign bits of dot products against fixed literal hyperplanes) bucket the
+  vectors; search only the query's bucket. Sub-linear candidates at the
+  cost of recall; the hyperplanes are compile-time literals so the DuckDB
+  oracle reproduces the bucketing bit-for-bit.
+- **Embedding near-dup pairs** -- all pairs with cosine >= 0.95 via a
+  self-join on id ordering. At cluster scale the LSH buckets (or a
+  block-matrix pandas_udf) bound the pair space; the self-join form keeps
+  everything in whole-stage codegen here.
+
+All vector math is double-precision Column arithmetic
+(``functions.vectors``): no UDF, no collect.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import SQL_DOT, cosine, dot, sql_cosine
 from ..registry import Registry
+from ..sources.catalog import load_table
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+NEARDUP_T = 0.95
+
+# Deterministic random hyperplanes (seeded, generated once at import, and
+# inlined as literals in BOTH the Spark plan and the SQL oracle).
+N_PLANES = 8
+DIM = 64
+_rng = random.Random(20240813)
+HYPERPLANES: list[list[float]] = [
+    [round(_rng.gauss(0.0, 1.0), 6) for _ in range(DIM)] for _ in range(N_PLANES)
+]
+
+
+def _plane_lit(p: list[float]):
+    return F.array(*[F.lit(x) for x in p])
+
+
+def _sql_plane(p: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+
+
+def _bucket_col(vec) -> F.Column:
+    """Sign-bit bucket string, e.g. '10110010'."""
+    bits = [
+        F.when(dot(vec, _plane_lit(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in HYPERPLANES
+    ]
+    return F.concat(*bits)
+
+
+def _sql_bucket(vec_expr: str) -> str:
+    bits = [
+        f"(CASE WHEN {SQL_DOT.format(a=vec_expr, b=_sql_plane(p))} >= 0"
+        f" THEN '1' ELSE '0' END)"
+        for p in HYPERPLANES
+    ]
+    return " || ".join(bits)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qvec"))
+    )
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k against the query vector (vec_id=0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(_query_vec(spark, sf_dir)))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine("embedding", "qvec"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+SQL_ANN_BRUTE = f"""
+SELECT vec_id, label,
+       round({sql_cosine('embedding', 'q.qvec')}, 6) AS cos_sim
+FROM embeddings
+CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's
+    random-hyperplane bucket, then exact cosine within it."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _bucket_col(F.col("embedding"))
+    )
+    q = (
+        emb.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket"))
+    )
+    return (
+        emb.where(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine("embedding", "qvec"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+SQL_ANN_LSH = f"""
+WITH emb AS (
+  SELECT vec_id, label, embedding, {_sql_bucket('embedding')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT embedding AS qvec, bucket AS qbucket FROM emb WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label,
+       round({sql_cosine('embedding', 'q.qvec')}, 6) AS cos_sim
+FROM emb JOIN q ON bucket = qbucket
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vector pairs with cosine >= {T}: embedding-space near-dup
+    detection. Pre-computes norms once; the pair join stays codegen'd."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    sim = F.coalesce(
+        dot("va", "vb") / F.nullif(F.sqrt(dot("va", "va")) * F.sqrt(dot("vb", "vb")), F.lit(0.0)),
+        F.lit(0.0),
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= NEARDUP_T)
+    )
+
+
+SQL_NEARDUP = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) >= {NEARDUP_T}
+"""
 
 
 def register(reg: Registry) -> None:
-    pass
+    reg.add("ann_topk_bruteforce", ann_topk_bruteforce, SQL_ANN_BRUTE, "exact cosine top-k")
+    reg.add("ann_topk_lsh", ann_topk_lsh, SQL_ANN_LSH, "LSH-bucketed approx top-k")
+    reg.add(
+        "embedding_neardup_pairs", embedding_neardup_pairs, SQL_NEARDUP, "cosine>=0.95 pairs"
+    )

@@ -1,5 +1,200 @@
+"""Text-analysis operators for a large-scale training-data pipeline:
+language ID (marker-token heuristic), quality scoring, token counting,
+and document fingerprinting.
+
+These generalize the reference's text pipeline (clean -> tokenize -> stats,
+``app/prepare_data.py`` + ``app/mapreduce/``) into per-document feature
+extraction. Everything is per-row Column arithmetic -- narrow transforms,
+no shuffle, trivially parallel at 100 TB -- and every operator has an
+exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import shingles, sql_shingles
+from ..functions.text import SQL_TOKENS, tokens
 from ..registry import Registry
+from .index_build import documents_with_title
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# marker tokens per language, precedence en > de > fr > es on ties
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "a", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "los", "y", "las", "es"),
+}
+
+
+def _count_in(toks, words: tuple[str, ...]):
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def _sql_count_in(toks: str, words: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({toks}, t -> t IN ({in_list})))"
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features: token count, punctuation ratio, stopword
+    ratio, average word length, and a bounded composite score."""
+    docs = documents_with_title(spark, sf_dir)
+    toks = tokens("text")
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    # characters that are neither [a-z0-9] nor whitespace, in the lowered text
+    n_punct = F.length(F.regexp_replace(F.lower("text"), r"[a-z0-9\s]", ""))
+    n_alnum = F.length(F.regexp_replace(F.lower("text"), r"[^a-z0-9]", ""))
+    n_stop = _count_in(toks, STOPWORDS)
+    punct_ratio = F.coalesce(n_punct / F.nullif(n_chars, F.lit(0)), F.lit(0.0))
+    stop_ratio = F.coalesce(n_stop / F.nullif(n_tokens, F.lit(0)), F.lit(0.0))
+    avg_word_len = F.coalesce(n_alnum / F.nullif(n_tokens, F.lit(0)), F.lit(0.0))
+    quality = (
+        F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+        * (1.0 - punct_ratio)
+        * (1.0 - F.greatest(F.lit(0.0), stop_ratio - 0.6))
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+def _sql_text_quality() -> str:
+    toks = SQL_TOKENS.format(col="text")
+    n_tokens = f"len({toks})"
+    n_punct = "length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))"
+    n_alnum = "length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))"
+    n_stop = _sql_count_in(toks, STOPWORDS)
+    punct_ratio = f"coalesce({n_punct} / nullif(length(text), 0), 0.0)"
+    stop_ratio = f"coalesce({n_stop} / nullif({n_tokens}, 0), 0.0)"
+    awl = f"coalesce({n_alnum} / nullif({n_tokens}, 0), 0.0)"
+    quality = (
+        f"least(1.0, {n_tokens} / 50.0) * (1.0 - {punct_ratio})"
+        f" * (1.0 - greatest(0.0, {stop_ratio} - 0.6))"
+    )
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST({n_tokens} AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       round({punct_ratio}, 6) AS punct_ratio,
+       round({stop_ratio}, 6) AS stopword_ratio,
+       round({awl}, 6) AS avg_word_len,
+       round({quality}, 6) AS quality_score
+FROM documents
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language heuristic with fixed precedence on ties.
+
+    (A real pipeline would plug a model in via pandas_udf; the operator
+    shape -- per-doc argmax over per-language scores -- is the same.)
+    """
+    docs = documents_with_title(spark, sf_dir)
+    toks = tokens("text")
+    scores = {lang: _count_in(toks, m) for lang, m in LANG_MARKERS.items()}
+    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    pred = (
+        F.when(F.size(toks) == 0, "unknown")
+        .when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        en.cast("long").alias("score_en"),
+        de.cast("long").alias("score_de"),
+        fr.cast("long").alias("score_fr"),
+        es.cast("long").alias("score_es"),
+    )
+
+
+def _sql_lang_id() -> str:
+    toks = SQL_TOKENS.format(col="text")
+    s = {lang: _sql_count_in(toks, m) for lang, m in LANG_MARKERS.items()}
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CASE WHEN len({toks}) = 0 THEN 'unknown'
+            WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']} AND {s['en']} >= {s['es']} THEN 'en'
+            WHEN {s['de']} >= {s['fr']} AND {s['de']} >= {s['es']} THEN 'de'
+            WHEN {s['fr']} >= {s['es']} THEN 'fr'
+            ELSE 'es' END AS pred_lang,
+       CAST({s['en']} AS BIGINT) AS score_en,
+       CAST({s['de']} AS BIGINT) AS score_de,
+       CAST({s['fr']} AS BIGINT) AS score_fr,
+       CAST({s['es']} AS BIGINT) AS score_es
+FROM documents
+"""
+
+
+BPE_ISH_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three tokenizer views per doc: raw whitespace split, alnum-run
+    tokens (the index tokenizer), and a BPE-ish regex segmentation."""
+    docs = documents_with_title(spark, sf_dir)
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit("")))
+    alnum = F.size(tokens("text"))
+    bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_ISH_RE), 0))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        alnum.cast("long").alias("alnum_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len({SQL_TOKENS.format(col='text')}) AS BIGINT) AS alnum_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_RE}')) AS BIGINT) AS bpe_ish_tokens
+FROM documents
+"""
+
+FP_K = 8  # fingerprint shingle width (tokens)
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: the minimum md5 over the doc's
+    distinct 8-token shingles (short docs hash all their tokens).
+    Equal fingerprints => near-identical prefixes of content; used as a
+    cheap first-pass near-dup key at scale."""
+    docs = documents_with_title(spark, sf_dir)
+    sh = shingles("text", FP_K)
+    fp = F.array_min(F.transform(sh, F.md5))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.size(sh).cast("long").alias("n_shingles"),
+    )
+
+
+def _sql_doc_fingerprint() -> str:
+    sh = sql_shingles("text", FP_K)
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       list_min(list_transform({sh}, s -> md5(s))) AS fingerprint,
+       CAST(len({sh}) AS BIGINT) AS n_shingles
+FROM documents
+"""
 
 
 def register(reg: Registry) -> None:
-    pass
+    reg.add("text_quality", text_quality, _sql_text_quality(), "quality features per doc")
+    reg.add("lang_id", lang_id, _sql_lang_id(), "marker-token language ID")
+    reg.add("token_counts", token_counts, SQL_TOKEN_COUNTS, "3 tokenizer counts per doc")
+    reg.add("doc_fingerprint", doc_fingerprint, _sql_doc_fingerprint(), "min-md5-shingle fingerprint")

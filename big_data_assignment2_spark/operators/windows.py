@@ -1,5 +1,147 @@
+"""Windowed analytics over the ``events`` stream table (batch semantics;
+``streaming/events_stream.py`` runs the same aggregations under
+Structured Streaming).
+
+The reference has no streaming/window surface (SURVEY.md section 2.9);
+these are the extension operators a training-data/event pipeline needs.
+Window starts are emitted as epoch seconds (bigint) so results are
+timezone-proof against any session (the parquet timestamps are NTZ).
+
+Scale: tumbling/sliding windows are a single hash aggregate keyed on
+(window, type) -- Spark's two-phase agg handles arbitrary volume;
+session windows shuffle once on user_id. Late data is a watermark concern
+and only exists in the streaming variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
 from ..registry import Registry
+from ..sources.catalog import load_table
+from ._util import dsum, sql_dsum
+
+TUMBLE_S = 300  # 5 minutes
+SLIDE_LEN_S = 600  # 10-minute sliding windows ...
+SLIDE_STEP_S = 300  # ... every 5 minutes
+SESSION_GAP_S = 1800  # 30-minute session gap
+
+
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling window counts/sums per event type (F.window)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", f"{TUMBLE_S} seconds"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_TUMBLING = f"""
+SELECT CAST(floor(epoch(ts) / {TUMBLE_S}) * {TUMBLE_S} AS BIGINT) AS window_start_epoch,
+       event_type, count(*) AS n_events, {sql_dsum('value', 6)} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes: each event lands in two
+    overlapping windows (F.window with slideDuration)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", f"{SLIDE_LEN_S} seconds", f"{SLIDE_STEP_S} seconds"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# Each event belongs to the windows starting at floor(t/step)*step - k*step
+# for k in 0..len/step-1 (here: k in {0,1}).
+SQL_SLIDING = f"""
+SELECT CAST(floor(epoch(ts) / {SLIDE_STEP_S}) * {SLIDE_STEP_S} - off.k * {SLIDE_STEP_S} AS BIGINT)
+         AS window_start_epoch,
+       event_type, count(*) AS n_events, {sql_dsum('value', 6)} AS sum_value
+FROM events
+CROSS JOIN (SELECT unnest([0, 1]) AS k) off
+GROUP BY 1, 2
+"""
+
+
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap
+    (``F.session_window``); session start emitted in epoch microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", f"{SESSION_GAP_S} seconds"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# Gaps-and-islands twin: a new session starts when the gap from the
+# previous event is >= the gap duration (Spark's session window is
+# [start, last_event + gap), end-exclusive).
+SQL_SESSION = f"""
+WITH seq AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {SESSION_GAP_S} * 1000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM seq
+)
+SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+       user_id, count(*) AS n_events, {sql_dsum('value', 6)} AS sum_value
+FROM islands
+GROUP BY user_id, session_id
+"""
+
+
+def events_json_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the ``props`` payload + aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_JSON_SUM = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
 
 
 def register(reg: Registry) -> None:
-    pass
+    reg.add("window_tumbling", window_tumbling, SQL_TUMBLING, "5-min tumbling windows")
+    reg.add("window_sliding", window_sliding, SQL_SLIDING, "10/5-min sliding windows")
+    reg.add("window_session", window_session, SQL_SESSION, "30-min-gap session windows")
+    reg.add("events_json_sum", events_json_sum, SQL_JSON_SUM, "JSON field extract + agg")

@@ -31,4 +31,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Vectorized parquet scan of one synthetic table (S1/S2)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table stores TIMESTAMP(NANOS) parquet, which Spark's
+    vectorized reader rejects outright. Read the nanos as int64
+    (legacy conf) and convert to a microsecond timestamp with integer
+    division -- NOT a double divide, which loses precision above 2^53 and
+    corrupts the microseconds. DuckDB truncates ns->us the same way, so
+    oracles agree exactly."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,125 @@
+"""Behavioral tests on constructed data: the testdata corpus is random
+(few real near-dups), so these build corpora where the right answer is
+known -- duplicates exist and must be found, distinct docs must not pair."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_assignment2_spark.functions.hashing import (
+    N_MINHASH,
+    band_cols,
+    minhash_cols,
+    shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    """12 docs: 0/1 identical; 2/3 near-identical (one word changed);
+    4..11 unrelated word soups."""
+    base = " ".join(f"word{j} item{j}" for j in range(20))  # 40 tokens
+    near = base.replace("item10", "changed")  # one token differs
+    rows = [(0, base), (1, base), (2, base), (3, near)]
+    for i in range(4, 12):
+        rows.append((i, " ".join(f"doc{i}tok{j}" for j in range(30))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = tmp_path_factory.mktemp("dedup_corpus")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+def test_dedup_exact_finds_identicals(spark, corpus):
+    from big_data_assignment2_spark.operators.dedup import dedup_exact
+
+    out = dedup_exact(spark, corpus)
+    groups = {r["keep_doc_id"]: r["n_docs"] for r in out.collect()}
+    assert groups[0] == 3  # docs 0,1,2 identical -> kept doc 0
+    assert sum(groups.values()) == 12
+
+
+def test_ngram_jaccard_finds_near_dup(spark, corpus):
+    from big_data_assignment2_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(spark, corpus).collect()}
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 2)] == 1.0
+    assert (0, 3) in pairs and 0.3 < pairs[(0, 3)] < 1.0  # one-word change
+    assert not any(a >= 4 or b >= 4 for a, b in pairs)  # no false pairs
+
+
+def test_minhash_lsh_recall_and_precision(spark, corpus):
+    from big_data_assignment2_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(spark, corpus).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(spark, corpus).collect()}
+    # verified-LSH output is a subset of the exact pairs (precision 1.0)...
+    assert lsh <= exact
+    # ...and identical pairs can never be missed (identical signatures)
+    assert {(0, 1), (0, 2), (1, 2)} <= lsh
+
+
+def test_minhash_identical_signatures(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven"), (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    sh = df.select("doc_id", F.explode(shingles("text", 5)).alias("shingle"))
+    sigs = sh.groupBy("doc_id").agg(*minhash_cols("shingle", N_MINHASH))
+    rows = {r["doc_id"]: r for r in sigs.collect()}
+    assert all(rows[1][f"mh{i}"] == rows[2][f"mh{i}"] for i in range(N_MINHASH))
+    bands = sigs.select("doc_id", *band_cols(N_MINHASH)).collect()
+    b = {r["doc_id"]: [r[f"band{i}"] for i in range(4)] for r in bands}
+    assert b[1] == b[2]
+
+
+def test_simhash_similar_docs_close(spark, corpus):
+    from big_data_assignment2_spark.operators.dedup import simhash
+
+    out = {r["doc_id"]: r["simhash"] for r in simhash(spark, corpus).collect()}
+
+    def hamming(a: str, b: str) -> int:
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    assert out[0] == out[1] == out[2]
+    assert hamming(out[0], out[3]) <= 12  # near-dup: close in Hamming space
+    assert hamming(out[0], out[5]) > 12  # unrelated: far
+
+
+def test_ann_lsh_subset_of_bruteforce_space(spark, sf_dir):
+    from big_data_assignment2_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_lsh,
+    )
+
+    brute = ann_topk_bruteforce(spark, sf_dir)
+    assert brute.count() == 10
+    cols = [f.name for f in brute.schema.fields]
+    assert cols == ["vec_id", "label", "cos_sim"]
+    lsh = ann_topk_lsh(spark, sf_dir)
+    assert lsh.count() <= 10  # bucket may hold fewer than k vectors
+    # LSH scores are a subset of the full score space: every LSH hit's
+    # score can't beat the true best.
+    best = brute.collect()[0]["cos_sim"]
+    assert all(r["cos_sim"] <= best for r in lsh.collect())
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    from big_data_assignment2_spark.operators.multimodal import multimodal_features
+
+    a = {r["doc_id"]: r["feature"] for r in multimodal_features(spark, sf_dir).collect()}
+    b = {r["doc_id"]: r["feature"] for r in multimodal_features(spark, sf_dir).collect()}
+    assert a == b
+    assert all(len(v) == 4 and all(0 <= x <= 1 for x in v) for v in a.values())
+
+
+def test_streaming_equals_batch(spark, sf_dir):
+    from big_data_assignment2_spark.operators.windows import window_tumbling
+    from big_data_assignment2_spark.streaming.events_stream import streaming_tumbling
+
+    batch = {tuple(r) for r in window_tumbling(spark, sf_dir).collect()}
+    stream = {tuple(r) for r in streaming_tumbling(spark, sf_dir).collect()}
+    assert batch == stream
