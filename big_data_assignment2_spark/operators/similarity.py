@@ -143,23 +143,97 @@ LIMIT {TOP_K}
 """
 
 
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+N_BLOCKS = 8  # block grid for the pair space; at cluster scale set ~ n / rows_per_block
+
+
+def _make_block_pair_sims(threshold: float):
+    """Builds the per-cell kernel with the threshold baked into the
+    closure (module globals are re-imported on executors, so the cutoff
+    must travel with the serialized function, not via a global)."""
+
+    def _block_pair_sims(pdf):
+        # One (bi, bj) cell of the blocked pair-similarity grid: numpy
+        # float64 matrix product over the cell's two row blocks. Emits raw
+        # (unrounded) cosines above threshold-minus-slack; the exact
+        # rounded filter is re-applied JVM-side.
+        import numpy as np
+        import pandas as pd
+
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        diag = b.empty  # diagonal cell (bi == bj): pair the block with itself
+        if diag:
+            b = a
+        ma = np.array(a["v"].tolist(), dtype=np.float64)
+        mb = np.array(b["v"].tolist(), dtype=np.float64)
+        na = np.sqrt((ma * ma).sum(axis=1))
+        nb = np.sqrt((mb * mb).sum(axis=1))
+        denom = np.outer(na, nb)
+        sims = ma @ mb.T
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom == 0.0, 0.0, sims / denom)
+        # slack covers values that round UP across the 6-decimal boundary
+        ia, ib = np.where(sims >= threshold - 1e-6)
+        ida = a["vec_id"].to_numpy()[ia]
+        idb = b["vec_id"].to_numpy()[ib]
+        vals = sims[ia, ib]
+        if diag:
+            keep = ida < idb  # each unordered pair appears twice in A x A
+            ida, idb, vals = ida[keep], idb[keep], vals[keep]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ida, idb),
+                "vec_b": np.maximum(ida, idb),
+                "cos_raw": vals,
+            }
+        )
+
+    return _block_pair_sims
+
+
+def embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = NEARDUP_T
+) -> DataFrame:
     """All vector pairs with cosine >= {T}: embedding-space near-dup
-    detection. Pre-computes norms once; the pair join stays codegen'd."""
+    detection, as a **blocked exact self-join**. Vectors hash into
+    N_BLOCKS blocks; each of the NB*(NB+1)/2 grid cells is one
+    ``applyInPandas`` group computing its block-pair cosines as a single
+    numpy float64 matrix product (Arrow-batched). Shuffle volume is
+    n*(NB+1) rows -- linear in n -- and per-cell memory is bounded by the
+    block size, so the same plan runs at cluster scale by raising
+    N_BLOCKS; a nested-loop pair join with per-row interpreted array
+    folds is quadratic JVM work and ~60x slower. Exact semantics
+    (identical to the SQL oracle); LSH prefiltering (see ann_topk_lsh)
+    composes on top when approximate recall is acceptable."""
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(N_BLOCKS)).alias("blk"),
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    sim = F.coalesce(
-        dot("va", "vb") / F.nullif(F.sqrt(dot("va", "va")) * F.sqrt(dot("vb", "vb")), F.lit(0.0)),
-        F.lit(0.0),
+    all_blocks = F.array(*[F.lit(i) for i in range(N_BLOCKS)])
+    # row of block b participates in grid cells (b, j>=b) as side A ...
+    a_side = emb.select(
+        "vec_id",
+        "v",
+        F.col("blk").alias("bi"),
+        F.explode(all_blocks).alias("bj"),
+        F.lit(0).alias("side"),
+    ).where(F.col("bi") <= F.col("bj"))
+    # ... and cells (i<b, b) as side B (diagonal handled inside the UDF)
+    b_side = emb.select(
+        "vec_id",
+        "v",
+        F.explode(all_blocks).alias("bi"),
+        F.col("blk").alias("bj"),
+        F.lit(1).alias("side"),
+    ).where(F.col("bi") < F.col("bj"))
+    cells = a_side.unionByName(b_side).groupBy("bi", "bj")
+    pairs = cells.applyInPandas(
+        _make_block_pair_sims(threshold), schema="vec_a long, vec_b long, cos_raw double"
     )
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
-        .where(F.col("cos_sim") >= NEARDUP_T)
-    )
+    return pairs.select(
+        "vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim")
+    ).where(F.col("cos_sim") >= threshold)
 
 
 SQL_NEARDUP = f"""
