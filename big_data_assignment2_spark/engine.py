@@ -1,0 +1,143 @@
+"""Engine facade: persisted index + search, the reference's index/query
+split (SURVEY.md section 7 step 2).
+
+The reference materializes four Cassandra tables (``app/load_index.py:20-53``)
+and its query engine scans them with ``isin(query_terms)`` filters that prune
+via Cassandra's ``PRIMARY KEY (term, doc_id)`` partition key
+(``app/query.py:48-50``, ``load_index.py:35-41``). Here the same split is
+Parquet-native:
+
+- ``inverted_index`` is written **partitioned by a term-hash bucket**
+  (``term_bucket = crc32(term) % n_buckets``). A query computes its terms'
+  buckets driver-side (zlib.crc32 == Spark's ``F.crc32``, both the IEEE
+  polynomial) and filters on the partition column, so the scan touches only
+  the matching bucket directories — directory-level pruning, the moral
+  equivalent of Cassandra's partition-key lookup. Within a bucket the
+  ``term IN (...)`` predicate pushes down to parquet row groups.
+- At 100 TB the bucket count scales with index size (buckets stay
+  ~file-sized); hot terms spread across row groups within their bucket and
+  the scan stays pruned to ``len(query_terms)`` directories regardless of
+  corpus size.
+- ``meta`` stores ``total_docs`` / ``avg_dl`` **as strings**, faithful to the
+  reference's quirk (``load_index.py:101-111``), and ``search`` parses them
+  back like ``query.py:37-38`` — but keeps them in a 1-row DataFrame
+  (broadcast at join time) instead of driver-collected globals.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import tokenize_query
+from .operators import index_build, search as search_ops
+
+N_TERM_BUCKETS = 64
+
+
+class IndexTables(NamedTuple):
+    """The four persisted index tables (reference ``load_index.py:20-53``)."""
+
+    doc_stats: DataFrame
+    inverted_index: DataFrame
+    vocab: DataFrame
+    meta: DataFrame
+
+
+def term_bucket_col(term, n_buckets: int = N_TERM_BUCKETS) -> F.Column:
+    return F.pmod(F.crc32(F.col(term) if isinstance(term, str) else term), F.lit(n_buckets))
+
+
+def term_bucket_py(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
+    """Driver-side twin of :func:`term_bucket_col` (same CRC-32)."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def build_index(
+    docs: DataFrame, index_dir: str, n_buckets: int = N_TERM_BUCKETS
+) -> None:
+    """Materialize the four index tables under *index_dir* (replaces the
+    reference's MapReduce -> getmerge -> Cassandra-batch pipeline, S6/S7,
+    with direct parquet writes)."""
+    inverted = index_build.inverted_from_docs(docs)
+    (
+        inverted.withColumn("term_bucket", term_bucket_col("term", n_buckets))
+        # one shuffle keyed by the partition column so each bucket directory
+        # gets one writer task (no small-file explosion at high parallelism)
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(f"{index_dir}/inverted_index")
+    )
+    # vocab/doc_stats re-read the persisted postings rather than recomputing
+    # the tokenize shuffle a second time.
+    spark = docs.sparkSession
+    persisted = spark.read.parquet(f"{index_dir}/inverted_index")
+    index_build.vocab_from_inverted(persisted).write.mode("overwrite").parquet(
+        f"{index_dir}/vocab"
+    )
+    ds = index_build.doc_stats_from_docs(docs)
+    ds.write.mode("overwrite").parquet(f"{index_dir}/doc_stats")
+    stats = spark.read.parquet(f"{index_dir}/doc_stats").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        (
+            F.sum(F.col("length").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_dl"),
+    )
+    meta = stats.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(F.lit("total_docs"), F.lit("avg_dl")),
+                F.array(
+                    F.col("total_docs").cast("string"),
+                    F.col("avg_dl").cast("string"),
+                ),
+            )
+        ).alias("key", "value")
+    )
+    meta.write.mode("overwrite").parquet(f"{index_dir}/meta")
+
+
+def load_index(spark: SparkSession, index_dir: str) -> IndexTables:
+    """S2: the four index tables back as DataFrames."""
+    return IndexTables(
+        doc_stats=spark.read.parquet(f"{index_dir}/doc_stats"),
+        inverted_index=spark.read.parquet(f"{index_dir}/inverted_index"),
+        vocab=spark.read.parquet(f"{index_dir}/vocab"),
+        meta=spark.read.parquet(f"{index_dir}/meta"),
+    )
+
+
+def search(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    n_buckets: int = N_TERM_BUCKETS,
+) -> DataFrame:
+    """BM25 top-k over the **persisted** index (reference ``query.py``
+    lifecycle, SURVEY.md section 3.2): bucket-pruned postings scan, broadcast
+    vocab, meta-derived stats, one job."""
+    idx = load_index(spark, index_dir)
+    terms = tokenize_query(query)
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
+    postings = idx.inverted_index.where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+    ).drop("term_bucket")
+    # meta strings -> numbers, as query.py:37-38 does with float();
+    # stays a 1-row DataFrame that broadcasts into the scoring join.
+    stats = idx.meta.agg(
+        F.max(F.when(F.col("key") == "total_docs", F.col("value")))
+        .cast("long")
+        .alias("n_docs"),
+        F.max(F.when(F.col("key") == "avg_dl", F.col("value")))
+        .cast("double")
+        .alias("avg_dl"),
+    )
+    return search_ops.bm25_rank_with_stats(
+        postings, idx.vocab, idx.doc_stats, stats, query, k
+    )

@@ -33,13 +33,13 @@ from ..functions.text import (
 from ..registry import Registry
 from ..sources.catalog import load_table
 
-# Shared CTE prefix for every index-shaped DuckDB oracle.
-SQL_DOCS_CTE = f"""
+def sql_docs_cte_over(docs_select: str) -> str:
+    """Index-shaped DuckDB CTE chain (docs -> doc_stats/tok/inverted/vocab)
+    over any subquery yielding ``(doc_id, title, text)``."""
+    return f"""
 WITH docs AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         'doc_' || CAST(doc_id AS VARCHAR) AS title,
-         {SQL_TOKENS.format(col='text')} AS toks
-  FROM documents
+  SELECT doc_id, title, {SQL_TOKENS.format(col='text')} AS toks
+  FROM ({docs_select})
 ),
 doc_stats AS (
   SELECT doc_id, title, CAST(len(toks) AS BIGINT) AS length FROM docs
@@ -50,6 +50,14 @@ vocab AS (SELECT term, count(*) AS doc_freq FROM inverted GROUP BY term)
 """
 
 
+# Shared CTE prefix for every index-shaped oracle on the driver's
+# synthetic `documents` table.
+SQL_DOCS_CTE = sql_docs_cte_over(
+    "SELECT CAST(doc_id AS VARCHAR) AS doc_id,"
+    " 'doc_' || CAST(doc_id AS VARCHAR) AS title, text FROM documents"
+)
+
+
 def documents_with_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus as the engine sees it: string doc_id + derived title
     (the driver's ``documents`` table has no title column -- FIXTURES.md)."""
@@ -57,6 +65,23 @@ def documents_with_title(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id"),
         F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("title"),
         "text",
+    )
+
+
+def inverted_from_docs(docs: DataFrame) -> DataFrame:
+    """A2 over any ``(doc_id, title, text)`` frame: TF per (term, doc)."""
+    return tokenize(docs).groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def vocab_from_inverted(inverted: DataFrame) -> DataFrame:
+    """A3: document frequency per term (doc_id is distinct per term post-A2)."""
+    return inverted.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+
+
+def doc_stats_from_docs(docs: DataFrame) -> DataFrame:
+    """A4 over any ``(doc_id, title, text)`` frame: per-doc token count."""
+    return docs.select(
+        "doc_id", "title", F.size(tokens("text")).cast("long").alias("length")
     )
 
 
@@ -94,12 +119,7 @@ FROM documents
 
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: term frequency per (term, doc) (reference ``reducer2.py:11-52``)."""
-    docs = documents_with_title(spark, sf_dir)
-    return (
-        tokenize(docs)
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    return inverted_from_docs(documents_with_title(spark, sf_dir))
 
 
 SQL_INVERTED = SQL_DOCS_CTE + "SELECT term, doc_id, tf FROM inverted"
@@ -107,11 +127,7 @@ SQL_INVERTED = SQL_DOCS_CTE + "SELECT term, doc_id, tf FROM inverted"
 
 def vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: document frequency per term (reference ``reducer2.py`` DF path)."""
-    return (
-        inverted_index(spark, sf_dir)
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
-    )
+    return vocab_from_inverted(inverted_index(spark, sf_dir))
 
 
 SQL_VOCAB = SQL_DOCS_CTE + "SELECT term, doc_freq FROM vocab"
@@ -120,10 +136,7 @@ SQL_VOCAB = SQL_DOCS_CTE + "SELECT term, doc_freq FROM vocab"
 def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: per-doc whitespace token count + title
     (reference ``mapper1.py:13-18``, ``load_index.py:27-30``)."""
-    docs = documents_with_title(spark, sf_dir)
-    return docs.select(
-        "doc_id", "title", F.size(tokens("text")).cast("long").alias("length")
-    )
+    return doc_stats_from_docs(documents_with_title(spark, sf_dir))
 
 
 SQL_DOC_STATS = SQL_DOCS_CTE + "SELECT doc_id, title, length FROM doc_stats"

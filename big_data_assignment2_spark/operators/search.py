@@ -43,7 +43,6 @@ def bm25_rank(
     Returns ``rank int, doc_id string, title string, score double`` --
     the reference's output line format (``app/query.py:95-96``).
     """
-    terms = tokenize_query(query)
     stats = doc_stats.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (
@@ -51,6 +50,21 @@ def bm25_rank(
             / F.count(F.lit(1))
         ).alias("avg_dl"),
     )
+    return bm25_rank_with_stats(inverted, vocab, doc_stats, stats, query, k)
+
+
+def bm25_rank_with_stats(
+    inverted: DataFrame,
+    vocab: DataFrame,
+    doc_stats: DataFrame,
+    stats: DataFrame,
+    query: str = DEFAULT_QUERY,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """As :func:`bm25_rank` but with the 1-row ``(n_docs, avg_dl)`` stats
+    frame supplied (e.g. parsed from a persisted ``meta`` table -- the
+    reference's ``query.py:32-38`` path)."""
+    terms = tokenize_query(query)
     postings = inverted.where(F.col("term").isin(terms))
     vocab_q = vocab.where(F.col("term").isin(terms))
     scored = (
@@ -97,14 +111,16 @@ def bm25_search(
     )
 
 
-def sql_bm25(query: str = DEFAULT_QUERY, k: int = DEFAULT_K) -> str:
+def sql_bm25(
+    query: str = DEFAULT_QUERY, k: int = DEFAULT_K, docs_cte: str | None = None
+) -> str:
     terms = tokenize_query(query)
     in_list = ", ".join(f"'{t}'" for t in terms)
     score = bm25.SQL_SCORE.format(
         tf="i.tf", dl="s.length", avg_dl="st.avg_dl", n="st.n_docs", df="v.doc_freq"
     )
     return (
-        index_build.SQL_DOCS_CTE
+        (docs_cte or index_build.SQL_DOCS_CTE)
         + f""",
 stats AS (
   SELECT count(*) AS n_docs,
@@ -131,5 +147,39 @@ FROM ranked
     )
 
 
+# In-process memo of built index dirs (never trusted across processes:
+# testdata can be regenerated between driver rounds, so a fresh process
+# always rebuilds rather than reusing on-disk state).
+_BUILT_INDEXES: dict[str, str] = {}
+
+
+def bm25_search_persisted(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = DEFAULT_QUERY,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Flagship over the **persisted** index: build_index() parquet tables
+    (term-bucket partition layout) then engine.search() with bucket-pruned
+    postings scan -- the reference's index.sh/search.sh split."""
+    import re
+
+    from .. import engine
+
+    if sf_dir not in _BUILT_INDEXES:
+        slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+        index_dir = f"/root/repo/.scratch/index_{slug}"
+        docs = index_build.documents_with_title(spark, sf_dir)
+        engine.build_index(docs, index_dir)
+        _BUILT_INDEXES[sf_dir] = index_dir
+    return engine.search(spark, _BUILT_INDEXES[sf_dir], query, k)
+
+
 def register(reg: Registry) -> None:
     reg.add("bm25_search", bm25_search, sql_bm25(), "flagship BM25 top-10")
+    reg.add(
+        "bm25_search_persisted",
+        bm25_search_persisted,
+        sql_bm25(),
+        "BM25 over persisted bucket-partitioned index",
+    )

@@ -64,6 +64,7 @@ def build_registry() -> Registry:
         textstats,
         windows,
     )
+    from .sources import reference_corpus
     from .streaming import events_stream
 
     reg = Registry()
@@ -77,6 +78,7 @@ def build_registry() -> Registry:
         windows,
         multimodal,
         events_stream,
+        reference_corpus,
     ):
         mod.register(reg)
     return reg
