@@ -44,6 +44,21 @@ def epoch(col: Column | str) -> Column:
     return F.unix_timestamp(c)
 
 
+def ntz_lit(iso: str) -> Column:
+    """``TIMESTAMP_NTZ`` literal from ISO text. Comparisons between an NTZ
+    parquet column and an NTZ literal are wall-clock (no session timezone
+    involved) AND push down to the parquet scan as row-group filters --
+    wrapping the column in ``unix_timestamp()`` would block pushdown, which
+    at 100 TB is the difference between skipping and scanning the table."""
+    c = F.lit(iso)
+    return c.cast("timestamp_ntz")
+
+
+def sql_ts(iso: str) -> str:
+    """DuckDB twin of :func:`ntz_lit` (DuckDB TIMESTAMP is tz-naive)."""
+    return f"TIMESTAMP '{iso}'"
+
+
 def epoch_lit(iso_utc: str) -> int:
     """Epoch seconds of an ISO ``YYYY-MM-DD[ HH:MM:SS]`` instant read as UTC."""
     from datetime import datetime, timezone

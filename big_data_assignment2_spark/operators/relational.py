@@ -27,12 +27,16 @@ from pyspark.sql import functions as F
 
 from ..registry import Registry
 from ..sources.catalog import load_table
-from ._util import dsum, epoch, epoch_lit, sql_davg, sql_dsum
+from ._util import dsum, epoch, ntz_lit, sql_davg, sql_dsum, sql_ts
 
-SHIP_CUTOFF = epoch_lit("1998-06-01")
-Q6_LO = epoch_lit("1996-01-01")
-Q6_HI = epoch_lit("1998-01-01")
-ORDER_CUTOFF = epoch_lit("1997-01-01")
+# Filter cutoffs as ISO wall-clock instants: filters compare the NTZ
+# timestamp column to an NTZ literal directly so the predicate pushes down
+# to the parquet scan (see _util.ntz_lit); epoch() is reserved for
+# *emitted* columns, which leave as bigint so value hashing is tz-proof.
+SHIP_CUTOFF = "1998-06-01 00:00:00"
+Q6_LO = "1996-01-01 00:00:00"
+Q6_HI = "1998-01-01 00:00:00"
+ORDER_CUTOFF = "1997-01-01 00:00:00"
 
 
 # --- Q1: pricing summary (groupBy + 8 aggregates) ----------------------------
@@ -43,7 +47,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.where(epoch("l_shipdate") <= SHIP_CUTOFF)
+        li.where(F.col("l_shipdate") <= ntz_lit(SHIP_CUTOFF))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity")).alias("sum_qty"),
@@ -69,7 +73,7 @@ SELECT l_returnflag, l_linestatus,
        round({sql_davg('l_discount')}, 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
-WHERE epoch(l_shipdate) <= {SHIP_CUTOFF}
+WHERE l_shipdate <= {sql_ts(SHIP_CUTOFF)}
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -79,8 +83,8 @@ GROUP BY l_returnflag, l_linestatus
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    orders = load_table(spark, sf_dir, "orders").where(epoch("o_orderdate") < ORDER_CUTOFF)
-    li = load_table(spark, sf_dir, "lineitem").where(epoch("l_shipdate") > ORDER_CUTOFF)
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < ntz_lit(ORDER_CUTOFF))
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > ntz_lit(ORDER_CUTOFF))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -98,8 +102,8 @@ FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
-  AND epoch(o_orderdate) < {ORDER_CUTOFF}
-  AND epoch(l_shipdate) > {ORDER_CUTOFF}
+  AND o_orderdate < {sql_ts(ORDER_CUTOFF)}
+  AND l_shipdate > {sql_ts(ORDER_CUTOFF)}
 GROUP BY 1, 2, 3
 ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
@@ -148,8 +152,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.where(
-            (epoch("l_shipdate") >= Q6_LO)
-            & (epoch("l_shipdate") < Q6_HI)
+            (F.col("l_shipdate") >= ntz_lit(Q6_LO))
+            & (F.col("l_shipdate") < ntz_lit(Q6_HI))
             & (F.col("l_discount") >= 0.03)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -161,7 +165,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_Q6 = f"""
 SELECT {sql_dsum('l_extendedprice * l_discount', 4)} AS revenue
 FROM lineitem
-WHERE epoch(l_shipdate) >= {Q6_LO} AND epoch(l_shipdate) < {Q6_HI}
+WHERE l_shipdate >= {sql_ts(Q6_LO)} AND l_shipdate < {sql_ts(Q6_HI)}
   AND l_discount >= 0.03 AND l_discount <= 0.07
   AND l_quantity < 24
 """
