@@ -97,10 +97,166 @@ def streaming_tumbling_watermarked(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.table(name)
 
 
+SESSION_GAP_S = 1800  # keep in sync with operators.windows.SESSION_GAP_S
+
+
+def _sessionize_fn(key, pdfs, state):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    sessionization with a 30-min inactivity gap.
+
+    State = the open session ``(start_us, last_us, n_events, sum_value)``.
+    Closed sessions are emitted as data arrives; the open tail session is
+    emitted when the event-time timeout fires (watermark passes
+    ``last_us + gap``). All arithmetic is on int64 epoch-microseconds, so
+    no session-timezone conversion can touch the values."""
+    import pandas as _pd
+
+    gap_us = SESSION_GAP_S * 1_000_000
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_us, last_us, n, total = state.get
+        state.remove()
+        yield _pd.DataFrame(
+            {
+                "session_start_us": [start_us],
+                "user_id": [user_id],
+                "n_events": [n],
+                "sum_value": [round(total, 6)],
+            }
+        )
+        return
+    rows = _pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+    if state.exists:
+        start_us, last_us, n, total = state.get
+    else:
+        start_us = last_us = None
+        n, total = 0, 0.0
+    out = []
+    for ts_us, value in zip(rows["ts_us"], rows["value"]):
+        ts_us = int(ts_us)
+        # round per-value BEFORE accumulating: the oracle's decimal(18,6)
+        # sum quantizes each addend, so the python twin must too
+        v = round(float(value), 6)
+        if start_us is None:
+            start_us, last_us, n, total = ts_us, ts_us, 1, v
+        elif ts_us - last_us >= gap_us:
+            out.append((start_us, user_id, n, round(total, 6)))
+            start_us, last_us, n, total = ts_us, ts_us, 1, v
+        else:
+            last_us, n, total = ts_us, n + 1, total + v
+    state.update((start_us, last_us, n, total))
+    # fire once the watermark passes the session's gap horizon (ms API)
+    state.setTimeoutTimestamp(last_us // 1000 + SESSION_GAP_S * 1000)
+    if out:
+        yield _pd.DataFrame(
+            out, columns=["session_start_us", "user_id", "n_events", "sum_value"]
+        )
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming sessionization via applyInPandasWithState
+    (the escape hatch for semantics F.session_window can't express --
+    per-key custom state machines).
+
+    Determinism contract: with a 0-second watermark delay and an
+    availableNow trigger, the emitted set is exactly (a) sessions closed
+    by a later event of the same user plus (b) open sessions whose
+    ``last_ts + gap`` the final watermark (= max event ts) passed. That
+    set is a pure function of the input, so even this operator gets a
+    full DuckDB oracle."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = _events_stream(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "value",
+        "ts",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    sessions = (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType="session_start_us bigint, user_id bigint,"
+            " n_events bigint, sum_value double",
+            stateStructType="start_us bigint, last_us bigint,"
+            " n bigint, total double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    # The state-store partition count is fixed at query start from
+    # spark.sql.shuffle.partitions, and the stateful-operator python
+    # worker costs ~1.5s per state partition per micro-batch regardless
+    # of data volume. Pin a small count for this bounded demo corpus
+    # (and restore the caller's setting); a production deployment sizes
+    # it to keyspace/executor count instead.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try:
+        q.awaitTermination(240)
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+# Oracle: gaps-and-islands sessionization, emitting sessions that either
+# have a successor session for the same user (closed in-stream) or whose
+# gap horizon the final watermark (max event ts, 0s delay) passed.
+SQL_STREAM_SESSIONS = f"""
+WITH seq AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {SESSION_GAP_S} * 1000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM seq
+),
+sess AS (
+  SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+         user_id,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+         session_id,
+         count(*) AS n_events,
+         round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+  FROM islands GROUP BY user_id, session_id
+),
+wm AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS max_us FROM events)
+SELECT session_start_us, user_id, n_events, sum_value
+FROM sess CROSS JOIN wm
+WHERE EXISTS (SELECT 1 FROM sess s2
+              WHERE s2.user_id = sess.user_id AND s2.session_id > sess.session_id)
+   OR sess.last_us + {SESSION_GAP_S} * 1000000 <= wm.max_us
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "streaming_tumbling",
         streaming_tumbling,
         SQL_TUMBLING,
         "Structured Streaming tumbling windows (availableNow), equals batch",
+    )
+    reg.add(
+        "streaming_sessionize",
+        streaming_sessionize,
+        SQL_STREAM_SESSIONS,
+        "custom stateful sessionization (applyInPandasWithState)",
     )
