@@ -171,6 +171,42 @@ WHERE l_shipdate >= {sql_ts(Q6_LO)} AND l_shipdate < {sql_ts(Q6_HI)}
 """
 
 
+# --- Q14-style: promo revenue share (fact x part, conditional agg) ------------
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation over a broadcast fact-dim join: share of
+    revenue from ECONOMY-type parts per month-bucket of ship quantity.
+    The CASE WHEN runs inside the same two-phase hash aggregate as the
+    plain sum -- one pass, one shuffle of one row per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    econ = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(econ, 4).alias("econ_revenue"),
+            dsum(rev, 4).alias("total_revenue"),
+            F.round(
+                100.0 * dsum(econ, 4) / F.nullif(dsum(rev, 4), F.lit(0.0)), 6
+            ).alias("econ_pct"),
+        )
+    )
+
+
+SQL_Q14 = f"""
+SELECT p_brand,
+       {sql_dsum("CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 4)} AS econ_revenue,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue,
+       round(100.0 * {sql_dsum("CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 4)}
+             / nullif({sql_dsum('l_extendedprice * (1 - l_discount)', 4)}, 0.0), 6) AS econ_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 # --- primitive operators (P1/P2/P4, K1/K3, J2, A3/A5) --------------------------
 
 
@@ -352,6 +388,7 @@ def register(reg: Registry) -> None:
     reg.add("q3_shipping_priority", q3_shipping_priority, SQL_Q3, "3-way join + agg + top-k")
     reg.add("q5_nation_revenue", q5_nation_revenue, SQL_Q5, "5-way join, broadcast dims")
     reg.add("q6_forecast_revenue", q6_forecast_revenue, SQL_Q6, "range filter + global agg")
+    reg.add("q14_promo_revenue", q14_promo_revenue, SQL_Q14, "conditional agg over broadcast join")
     reg.add("scan_project_orderby_limit", scan_project_orderby_limit, SQL_SCAN, "P1/P2/K1")
     reg.add("filter_isin_project", filter_isin_project, SQL_ISIN, "P4 IN-list pushdown")
     reg.add("join_broadcast_agg", join_broadcast_agg, SQL_JOIN_BCAST, "J2 broadcast hash join")
