@@ -1,0 +1,134 @@
+"""Temporal join / reshaping operators the reference lacks but a
+general-purpose engine needs: as-of join, pivot, cube.
+
+The as-of join is the canonical "operator Spark has no primitive for"
+(SURVEY.md section 2.3 notes its absence in the reference too). It is
+composed from existing DataFrame ops -- union + running last_value over an
+event-time window -- rather than a theta-join, because the theta form
+(``b.ts <= a.ts`` max-per-key) explodes quadratically per key; the window
+form is one shuffle + one sort per key, linear in events, which is the
+shape that survives 100 TB. DuckDB verifies it with its *native*
+``ASOF JOIN`` operator, so the composition is checked against a first-class
+implementation, not a twin of itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import Registry
+from ..sources.catalog import load_table
+from ._util import dsum, sql_dsum
+
+ASOF_LEFT = "click"
+ASOF_RIGHT = "purchase"
+
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the most recent purchase by the same user at or
+    before the click (an as-of backward join).
+
+    Shape: tag both sides, union, and take a running ``max(purchase ts)``
+    over a per-user event-time window -- purchases sort before clicks on
+    ties so an equal-timestamp purchase is visible to the click (ASOF's
+    ``<=`` semantics). Only the matched timestamp is emitted, so ties
+    among simultaneous purchases cannot make the result ambiguous."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == ASOF_LEFT).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    purchases = ev.where(F.col("event_type") == ASOF_RIGHT).select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    tagged = clicks.withColumn("is_left", F.lit(1)).unionByName(
+        purchases.withColumn("event_id", F.lit(None).cast("long")).withColumn(
+            "is_left", F.lit(0)
+        )
+    )
+    # purchases (is_left=0) order before clicks at the same ts_us
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = tagged.withColumn(
+        "last_purchase_us",
+        F.max(F.when(F.col("is_left") == 0, F.col("ts_us"))).over(w),
+    )
+    return running.where(F.col("is_left") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("click_ts_us"),
+        "last_purchase_us",
+        (F.col("ts_us") - F.col("last_purchase_us")).alias("gap_us"),
+    )
+
+
+SQL_ASOF = f"""
+WITH clicks AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS click_ts_us
+  FROM events WHERE event_type = '{ASOF_LEFT}'
+),
+purchases AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS p_ts_us
+  FROM events WHERE event_type = '{ASOF_RIGHT}'
+)
+SELECT c.event_id, c.user_id, c.click_ts_us,
+       p.p_ts_us AS last_purchase_us,
+       c.click_ts_us - p.p_ts_us AS gap_us
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.click_ts_us >= p.p_ts_us
+"""
+
+
+PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per-user event counts, one column per event
+    type. The value list is explicit, which keeps the plan a single
+    two-phase aggregate (no extra distinct-values job) -- mandatory at
+    scale, where an implicit pivot would scan the fact table twice."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(PIVOT_TYPES))
+    )
+
+
+SQL_PIVOT = "SELECT user_id, " + ", ".join(
+    f"count(*) FILTER (event_type = '{t}') AS {t}" for t in PIVOT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions: all 4 grouping sets in one pass
+    (Expand + single shuffle), with grouping_id disambiguating the null
+    of "all" from a null dimension value."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+    )
+
+
+SQL_CUBE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n, {sql_dsum('o_totalprice')} AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def register(reg: Registry) -> None:
+    reg.add("asof_join_events", asof_join_events, SQL_ASOF, "as-of backward join via window")
+    reg.add("pivot_event_counts", pivot_event_counts, SQL_PIVOT, "explicit-values pivot")
+    reg.add("cube_agg", cube_agg, SQL_CUBE, "cube grouping sets + grouping_id")

@@ -61,6 +61,7 @@ def build_registry() -> Registry:
         relational,
         search,
         similarity,
+        temporal,
         textstats,
         windows,
     )
@@ -75,6 +76,7 @@ def build_registry() -> Registry:
         textstats,
         dedup,
         similarity,
+        temporal,
         windows,
         multimodal,
         events_stream,
