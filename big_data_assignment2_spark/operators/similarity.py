@@ -191,6 +191,88 @@ def _make_block_pair_sims(threshold: float):
     return _block_pair_sims
 
 
+# IVF: fixed literal centroids (a production pipeline would k-means them
+# offline and broadcast; fixed seeds keep the oracle bit-reproducible).
+N_CELLS = 8
+N_PROBE = 2
+_crng = random.Random(20250813)
+CENTROIDS: list[list[float]] = [
+    [round(_crng.gauss(0.0, 1.0), 6) for _ in range(DIM)] for _ in range(N_CELLS)
+]
+
+
+def _cell_dots(vec) -> F.Column:
+    return F.array(*[dot(vec, _plane_lit(c)) for c in CENTROIDS])
+
+
+def _sql_cell_dots(vec_expr: str) -> str:
+    return (
+        "["
+        + ", ".join(SQL_DOT.format(a=vec_expr, b=_sql_plane(c)) for c in CENTROIDS)
+        + "]"
+    )
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: vectors partition into inner-product Voronoi cells
+    of N_CELLS fixed centroids; the query probes its N_PROBE best cells
+    and ranks candidates by exact cosine. The inverted-list structure is
+    the scale path: at 100 TB the cell column is a partition key, so a
+    query reads ~N_PROBE/N_CELLS of the data instead of all of it
+    (same pruning shape as the persisted BM25 term buckets)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "cell", F.array_position(_cell_dots("embedding"), F.array_max(_cell_dots("embedding")))
+    )
+    qdots = _cell_dots(F.col("embedding"))
+    best1 = F.array_position(qdots, F.array_max(qdots))
+    second = F.array_max(F.array_remove(qdots, F.array_max(qdots)))
+    best2 = F.array_position(qdots, second)
+    q = (
+        emb.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(
+            F.col("embedding").alias("qvec"),
+            best1.alias("qcell1"),
+            best2.alias("qcell2"),
+        )
+    )
+    return (
+        emb.where(F.col("vec_id") != QUERY_VEC_ID)
+        .join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("qcell1")) | (F.col("cell") == F.col("qcell2")),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine("embedding", "qvec"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+SQL_ANN_IVF = f"""
+WITH emb AS (
+  SELECT vec_id, label, embedding,
+         list_indexof(d, list_max(d)) AS cell
+  FROM (SELECT *, {_sql_cell_dots('embedding')} AS d FROM embeddings)
+),
+q AS (
+  SELECT embedding AS qvec,
+         list_indexof(d, list_max(d)) AS qcell1,
+         list_indexof(d, list_max(list_filter(d, x -> x <> list_max(d)))) AS qcell2
+  FROM (SELECT *, {_sql_cell_dots('embedding')} AS d FROM embeddings
+        WHERE vec_id = {QUERY_VEC_ID})
+)
+SELECT vec_id, label,
+       round({sql_cosine('embedding', 'q.qvec')}, 6) AS cos_sim
+FROM emb JOIN q ON (cell = qcell1 OR cell = qcell2)
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 def embedding_neardup_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = NEARDUP_T
 ) -> DataFrame:
@@ -247,6 +329,7 @@ WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) >= {NEARDUP_T}
 def register(reg: Registry) -> None:
     reg.add("ann_topk_bruteforce", ann_topk_bruteforce, SQL_ANN_BRUTE, "exact cosine top-k")
     reg.add("ann_topk_lsh", ann_topk_lsh, SQL_ANN_LSH, "LSH-bucketed approx top-k")
+    reg.add("ann_topk_ivf", ann_topk_ivf, SQL_ANN_IVF, "IVF 2-probe approx top-k")
     reg.add(
         "embedding_neardup_pairs", embedding_neardup_pairs, SQL_NEARDUP, "cosine>=0.95 pairs"
     )

@@ -107,6 +107,39 @@ def test_ann_lsh_subset_of_bruteforce_space(spark, sf_dir):
     assert all(r["cos_sim"] <= best for r in lsh.collect())
 
 
+def test_ann_ivf_probes_cells(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from big_data_assignment2_spark.operators.similarity import (
+        N_PROBE,
+        _cell_dots,
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+    )
+    from big_data_assignment2_spark.sources.catalog import load_table
+
+    ivf = ann_topk_ivf(spark, sf_dir)
+    rows = ivf.collect()
+    assert 0 < len(rows) <= 10
+    scores = [r["cos_sim"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # every IVF hit lies in one of the N_PROBE probed cells
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "cell",
+        F.array_position(_cell_dots("embedding"), F.array_max(_cell_dots("embedding"))),
+    )
+    hit_cells = {
+        r["cell"]
+        for r in emb.where(
+            F.col("vec_id").isin([r["vec_id"] for r in rows])
+        ).collect()
+    }
+    assert len(hit_cells) <= N_PROBE
+    # and no approximate hit can beat the exact best
+    best = ann_topk_bruteforce(spark, sf_dir).collect()[0]["cos_sim"]
+    assert all(s <= best for s in scores)
+
+
 def test_multimodal_features_deterministic(spark, sf_dir):
     from big_data_assignment2_spark.operators.multimodal import multimodal_features
 
