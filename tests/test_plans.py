@@ -1,0 +1,89 @@
+"""Physical-plan audits: the intended plan shape for every headline query,
+asserted (pushdown reaches scans, dims broadcast, top-k is
+TakeOrderedAndProject, no cartesian blowups)."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_assignment2_spark.plans.audit import audit, operators, pushed_filters
+from big_data_assignment2_spark.registry import build_registry
+
+REG = build_registry()
+
+
+def _df(spark, sf_dir, name):
+    return REG.queries[name].fn(spark, sf_dir)
+
+
+def test_q1_filter_reaches_scan(spark, sf_dir):
+    df = _df(spark, sf_dir, "q1_pricing_summary")
+    assert any("LessThanOrEqual(l_shipdate" in f for f in pushed_filters(df))
+    # one scan, partial+final agg, no joins
+    ops = operators(df)
+    assert ops.count("Scan parquet") == 1
+    assert "HashAggregate" in ops
+
+
+def test_q3_broadcasts_and_topk(spark, sf_dir):
+    df = _df(spark, sf_dir, "q3_shipping_priority")
+    assert not audit(
+        df,
+        requires=("BroadcastHashJoin", "TakeOrderedAndProject"),
+        forbids=("CartesianProduct",),
+    )
+    fs = pushed_filters(df)
+    assert any("GreaterThan(l_shipdate" in f for f in fs)
+    assert any("EqualTo(c_mktsegment,BUILDING)" in f for f in fs)
+
+
+def test_q5_all_dims_broadcast(spark, sf_dir):
+    df = _df(spark, sf_dir, "q5_nation_revenue")
+    ops = operators(df)
+    assert ops.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in ops
+    assert "CartesianProduct" not in ops
+
+
+def test_isin_pushdown(spark, sf_dir):
+    df = _df(spark, sf_dir, "filter_isin_project")
+    assert any("In(l_returnflag" in f for f in pushed_filters(df))
+
+
+def test_bm25_topk_and_no_python(spark, sf_dir):
+    df = _df(spark, sf_dir, "bm25_search")
+    assert not audit(
+        df,
+        requires=("TakeOrderedAndProject",),
+        forbids=("BatchEvalPython", "ArrowEvalPython"),  # no Python in the core path
+    )
+
+
+def test_persisted_search_prunes_buckets(spark, sf_dir, tmp_path):
+    from big_data_assignment2_spark import engine
+    from big_data_assignment2_spark.operators import index_build
+
+    d = str(tmp_path / "idx")
+    engine.build_index(
+        index_build.documents_with_title(spark, sf_dir), d, n_buckets=8
+    )
+    df = engine.search(spark, d, "data model", n_buckets=8)
+    # partition-column filter present => bucket directories pruned
+    assert not audit(df, requires=("term_bucket",))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_nation_revenue",
+        "q14_promo_revenue",
+        "join_broadcast_agg",
+        "bm25_search",
+    ],
+)
+def test_no_cartesian_anywhere(spark, sf_dir, name):
+    # BroadcastNestedLoopJoin appears only for deliberate 1-row
+    # stats crossJoins (bm25); a true CartesianProduct is always a bug.
+    assert not audit(_df(spark, sf_dir, name), forbids=("CartesianProduct",))
