@@ -61,8 +61,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``mapInPandas`` keeps the decode embarrassingly parallel: each Arrow
     batch is decoded in-process with zero shuffle; downstream consumers
-    join on doc_id. (Rows-only correctness check: the feature values are
-    hash-derived, not SQL-expressible.)
+    join on doc_id. A real pipeline emits ``array<float>`` features; the
+    registered shape flattens them to scalar columns so the stub decode
+    path sits under the full value-hash gate (the md5-derived stub is
+    reproducible in SQL -- hex-slice -> int -> /2^32 is exact in both
+    engines, divisions by 2^32 are lossless in doubles).
 
     The closure is deliberately self-contained (local imports, no
     module-level references) so cloudpickle ships it by value -- executor
@@ -97,19 +100,36 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
 
         for pdf in batches:
-            yield _pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "feature": pdf["payload"].map(lambda p: decode_payload(bytes(p))),
-                    "n_frames": pdf["payload"].map(len) // 100 + 1,
-                }
-            )
+            feats = pdf["payload"].map(lambda p: decode_payload(bytes(p)))
+            out = {"doc_id": pdf["doc_id"]}
+            for i in range(feature_dim):
+                out[f"f{i}"] = feats.map(lambda v, i=i: v[i])
+            out["n_frames"] = pdf["payload"].map(len) // 100 + 1
+            yield _pd.DataFrame(out)
 
-    return docs.mapInPandas(
-        decode_batches, schema="doc_id bigint, feature array<double>, n_frames bigint"
+    schema = "doc_id bigint, " + ", ".join(
+        f"f{i} double" for i in range(FEATURE_DIM)
+    ) + ", n_frames bigint"
+    return docs.mapInPandas(decode_batches, schema=schema)
+
+
+SQL_MULTIMODAL_FEATURES = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"CAST(CAST('0x' || substr(md5(text), {i * 8 + 1}, 8) AS BIGINT) AS DOUBLE)"
+        f" / 4294967296 AS f{i}"
+        for i in range(FEATURE_DIM)
     )
+    + ", CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT) AS n_frames"
+    + " FROM documents"
+)
 
 
 def register(reg: Registry) -> None:
     reg.add("multimodal_meta", multimodal_meta, SQL_MULTIMODAL_META, "binary payload metadata")
-    reg.add("multimodal_features", multimodal_features, None, "stubbed decode via mapInPandas")
+    reg.add(
+        "multimodal_features",
+        multimodal_features,
+        SQL_MULTIMODAL_FEATURES,
+        "stubbed decode via mapInPandas, hex-slice oracle",
+    )

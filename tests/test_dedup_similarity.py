@@ -143,9 +143,10 @@ def test_ann_ivf_probes_cells(spark, sf_dir):
 def test_multimodal_features_deterministic(spark, sf_dir):
     from big_data_assignment2_spark.operators.multimodal import multimodal_features
 
-    a = {r["doc_id"]: r["feature"] for r in multimodal_features(spark, sf_dir).collect()}
-    b = {r["doc_id"]: r["feature"] for r in multimodal_features(spark, sf_dir).collect()}
+    a = {r["doc_id"]: (r["f0"], r["f1"], r["f2"], r["f3"]) for r in multimodal_features(spark, sf_dir).collect()}
+    b = {r["doc_id"]: (r["f0"], r["f1"], r["f2"], r["f3"]) for r in multimodal_features(spark, sf_dir).collect()}
     assert a == b
+    assert all(0.0 <= f < 1.0 for v in a.values() for f in v)
     assert all(len(v) == 4 and all(0 <= x <= 1 for x in v) for v in a.values())
 
 
