@@ -383,12 +383,46 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries: parts priced above their brand's
+    average retail price. Expressed through the SQL API so Catalyst's
+    subquery decorrelation rewrites it into aggregate+join (one scan per
+    side, no per-row subquery execution) -- the classic TPC-H Q17 shape.
+
+    The "above average" test is phrased as ``price * count > exact sum``
+    so both engines compare identical doubles: a naive ``> avg(...)``
+    hides an order-dependent float sum in the threshold, and a part
+    priced exactly at its brand's mean would flip between engines."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, round(p_retailprice, 2) AS p_retailprice
+        FROM part_v p
+        WHERE p_retailprice * (SELECT count(*) FROM part_v p2
+                               WHERE p2.p_brand = p.p_brand)
+              > (SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+                 FROM part_v p2 WHERE p2.p_brand = p.p_brand)
+        """
+    )
+
+
+SQL_CORRELATED = """
+SELECT p_partkey, p_brand, round(p_retailprice, 2) AS p_retailprice
+FROM part p
+WHERE p_retailprice * (SELECT count(*) FROM part p2
+                       WHERE p2.p_brand = p.p_brand)
+      > (SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+         FROM part p2 WHERE p2.p_brand = p.p_brand)
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("q1_pricing_summary", q1_pricing_summary, SQL_Q1, "TPC-H Q1 style groupBy+8 aggs")
     reg.add("q3_shipping_priority", q3_shipping_priority, SQL_Q3, "3-way join + agg + top-k")
     reg.add("q5_nation_revenue", q5_nation_revenue, SQL_Q5, "5-way join, broadcast dims")
     reg.add("q6_forecast_revenue", q6_forecast_revenue, SQL_Q6, "range filter + global agg")
     reg.add("q14_promo_revenue", q14_promo_revenue, SQL_Q14, "conditional agg over broadcast join")
+    reg.add("correlated_above_avg", correlated_above_avg, SQL_CORRELATED, "decorrelated scalar subqueries")
     reg.add("scan_project_orderby_limit", scan_project_orderby_limit, SQL_SCAN, "P1/P2/K1")
     reg.add("filter_isin_project", filter_isin_project, SQL_ISIN, "P4 IN-list pushdown")
     reg.add("join_broadcast_agg", join_broadcast_agg, SQL_JOIN_BCAST, "J2 broadcast hash join")
