@@ -10,11 +10,17 @@ Two hash families, chosen deliberately:
   the scale path (``fast=True``) for 100 TB runs where the oracle isn't in
   the loop. Same operator shapes, different hash.
 
-Everything is Column arithmetic -- no Python UDFs.
+Aggregations (MinHash, SimHash) are Column arithmetic -- JVM-side, no
+Python in the shuffle path. Per-row shingle construction is an
+Arrow-batched Pandas UDF (``shingles_pd`` / ``fingerprint_pd``): the
+equivalent higher-order-function Columns are interpreted (not codegen'd)
+and re-evaluate the tokenization per shingle position, which measured
+~50x slower; the Column forms are kept for reference/tests.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -52,6 +58,76 @@ def sql_shingles(col: str, k: int = 5) -> str:
         f" WHEN len({toks}) > 0 THEN [array_to_string({toks}, ' ')]"
         f" ELSE [] END)"
     )
+
+
+def shingles_pd(text_col: Column | str, k: int = 5) -> Column:
+    """Arrow-batched Pandas-UDF twin of :func:`shingles` -- identical
+    output set, ~50x faster.
+
+    The Column version re-evaluates the tokenization expression inside the
+    ``transform`` lambda (higher-order functions are interpreted, and the
+    lambda body is evaluated per shingle position), making it O(doc_len^2)
+    per document. Here tokenization runs once per doc in compiled regex
+    code and the shingle loop is plain Python over an Arrow batch -- the
+    narrow/no-shuffle shape is unchanged, so this is the 100 TB path.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _sh(s: pd.Series) -> pd.Series:
+        import re
+
+        tok = re.compile(r"[a-z0-9]+")
+
+        def one(text: str | None) -> list[str]:
+            toks = tok.findall(text.lower()) if text else []
+            n = len(toks)
+            if n >= k:
+                it = (" ".join(toks[i : i + k]) for i in range(n - k + 1))
+            elif n > 0:
+                it = (" ".join(toks),)
+            else:
+                it = ()
+            return list(dict.fromkeys(it))  # array_distinct: first-seen order
+
+        return s.map(one)
+
+    return _sh(F.col(text_col) if isinstance(text_col, str) else text_col)
+
+
+def fingerprint_pd(text_col: Column | str, k: int = 8) -> Column:
+    """Winnowing-style fingerprint as a struct, computed in one Arrow
+    batch: ``min(md5(shingle))`` over the doc's distinct k-token shingles
+    plus the distinct-shingle count. Same output as the Column-expression
+    pipeline ``array_min(transform(shingles(c,k), md5))`` but with
+    tokenization and hashing done once per doc in compiled code."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<fingerprint:string,n_shingles:bigint>")
+    def _fp(s: pd.Series) -> pd.DataFrame:
+        import re
+
+        tok = re.compile(r"[a-z0-9]+")
+        fps: list[str | None] = []
+        ns: list[int] = []
+        for text in s:
+            toks = tok.findall(text.lower()) if text else []
+            n = len(toks)
+            if n >= k:
+                sh = {" ".join(toks[i : i + k]) for i in range(n - k + 1)}
+            elif n > 0:
+                sh = {" ".join(toks)}
+            else:
+                sh = set()
+            fps.append(
+                min(hashlib.md5(x.encode()).hexdigest() for x in sh) if sh else None
+            )
+            ns.append(len(sh))
+        return pd.DataFrame({"fingerprint": fps, "n_shingles": ns})
+
+    return _fp(F.col(text_col) if isinstance(text_col, str) else text_col)
 
 
 # --- MinHash (md5 family, oracle-able) ---------------------------------------
@@ -99,23 +175,42 @@ def sql_band_cols(n: int = N_MINHASH, bands: int = 4) -> str:
 # --- SimHash (md5-nibble family, oracle-able) --------------------------------
 
 
-def simhash_hex(term_col: Column | str, tf_col: Column | str) -> Column:
-    """64-bit SimHash as a 16-hex-digit string, aggregated over a
-    ``(doc, term, tf)`` relation: for each of the 64 bits of ``md5(term)``
-    (first 16 hex nibbles), vote +tf / -tf; bit set iff vote sum > 0.
-
-    Usage: ``tf_df.groupBy("doc_id").agg(simhash_hex("term","tf"))``.
-    """
+def simhash_contrib_cols(term_col: Column | str, tf_col: Column | str) -> list[Column]:
+    """Per-row SimHash contributions ``c0..c63`` = ``tf * bit_j`` where
+    ``bit_j`` is bit j of ``md5(term)``'s first 16 hex nibbles (high bit
+    first within each nibble). Evaluated ONCE per row in a projection;
+    the old single-aggregate form re-evaluated md5 inside each of 128
+    conditional sums, dominating the aggregate's cost."""
     term = F.col(term_col) if isinstance(term_col, str) else term_col
     tf = (F.col(tf_col) if isinstance(tf_col, str) else tf_col).cast("long")
     h = F.md5(term)
+    # Bit j (j=0 is the high bit of the first nibble) lives in one of two
+    # 32-bit words decoded with a single conv each -- not 16 per-nibble
+    # conv(substring(...)) calls, which measured as the projection's cost.
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    out: list[Column] = []
+    for j in range(64):
+        word, off = (hi, 31 - j) if j < 32 else (lo, 63 - j)
+        bit = F.shiftright(word, off).bitwiseAND(1)
+        out.append((tf * bit).alias(f"c{len(out)}"))
+    return out
+
+
+def simhash_hex_from_votes(total_col: Column | str = "total") -> Column:
+    """Rebuild the 16-hex-char SimHash from aggregated contribution sums
+    ``s0..s63`` and the total tf: the +tf/-tf vote for bit j equals
+    ``2*s_j - total`` (exact integer identity with the conditional-sum
+    form), bit set iff vote > 0."""
+    total = F.col(total_col) if isinstance(total_col, str) else total_col
     nib_hex = []
-    for pos in range(16):  # nibble index -> 4 bits
-        v = F.conv(F.substring(h, pos + 1, 1), 16, 10).cast("int")
+    j = 0
+    for _pos in range(16):
         bits = []
-        for b in (3, 2, 1, 0):  # high bit first within the nibble
-            vote = F.sum(F.when(F.shiftright(v, b).bitwiseAND(1) == 1, tf).otherwise(-tf))
+        for _b in range(4):
+            vote = F.lit(2) * F.col(f"s{j}") - total
             bits.append(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)))
+            j += 1
         nibble = bits[0] * 8 + bits[1] * 4 + bits[2] * 2 + bits[3]
         nib_hex.append(F.lower(F.conv(nibble.cast("string"), 10, 16)))
     return F.concat(*nib_hex)

@@ -22,15 +22,16 @@ Embedding-cosine near-dup lives in ``similarity.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
     N_MINHASH,
     band_cols,
     minhash_cols,
-    shingles,
-    simhash_hex,
+    shingles_pd,
+    simhash_contrib_cols,
+    simhash_hex_from_votes,
     sql_band_cols,
     sql_minhash_cols,
     sql_shingles,
@@ -64,12 +65,23 @@ FROM documents GROUP BY md5(text)
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exploded (doc_id, shingle), stop-shingles removed."""
+    """Exploded (doc_id, shingle), stop-shingles removed.
+
+    The df cap is a count over ``Window.partitionBy(shingle)`` rather than
+    a groupBy+self-join: one pass over the shingle UDF and ONE exchange on
+    ``shingle`` (which the downstream shingle-keyed self-join then reuses
+    -- output partitioning survives the filter), where the join form
+    evaluated the shingle construction twice and shuffled three times.
+    Cached here so ngram-Jaccard and MinHash-LSH share one materialization
+    (Spark's cache manager matches the identical logical plan)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(shingles("text", SHINGLE_K)).alias("shingle"))
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    return sh.join(freq.where(F.col("df") <= MAX_SHINGLE_DF), "shingle").select(
-        "doc_id", "shingle"
+    sh = docs.select("doc_id", F.explode(shingles_pd("text", SHINGLE_K)).alias("shingle"))
+    w = Window.partitionBy("shingle")
+    return (
+        sh.withColumn("df", F.count(F.lit(1)).over(w))
+        .where(F.col("df") <= MAX_SHINGLE_DF)
+        .select("doc_id", "shingle")
+        .cache()
     )
 
 
@@ -88,7 +100,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared shingle, count intersections, derive the union from per-doc set
     sizes. The shingle-df cap bounds join fan-out (SURVEY.md section 7
     scale posture)."""
-    sh = _doc_shingles(spark, sf_dir).cache()
+    sh = _doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -129,7 +141,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verification. Only docs sharing a band key are ever
     compared, so the join is linear in bucket occupancy, not quadratic in
     corpus size -- this is the 100 TB near-dup path."""
-    sh = _doc_shingles(spark, sf_dir).cache()
+    sh = _doc_shingles(spark, sf_dir)
     sigs = sh.groupBy("doc_id").agg(*minhash_cols("shingle", N_MINHASH))
     banded = sigs.select(
         "doc_id", F.explode(F.array(*[c for c in band_cols(N_MINHASH)])).alias("band")
@@ -196,14 +208,22 @@ WHERE inter / (sa.sz + sb.sz - inter) >= {JACCARD_T}
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc as 16 hex chars, from tf-weighted bit votes
-    over md5(term). Narrow groupBy-doc aggregate -- one shuffle."""
+    over md5(term). One shuffle (the tf groupBy); the per-doc aggregate
+    reuses its partitioning. The md5 bit extraction happens once per
+    (doc, term) row in a projection; the aggregate is 65 plain sums whose
+    votes are rebuilt as ``2*s_j - total`` (see ``simhash_contrib_cols``)."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
         tokenize(docs)
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    return tf.groupBy("doc_id").agg(simhash_hex("term", "tf").alias("simhash"))
+    contrib = tf.select("doc_id", F.col("tf").cast("long").alias("tf"), *simhash_contrib_cols("term", "tf"))
+    agg = contrib.groupBy("doc_id").agg(
+        F.sum("tf").alias("total"),
+        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(64)],
+    )
+    return agg.select("doc_id", simhash_hex_from_votes("total").alias("simhash"))
 
 
 SQL_SIMHASH = f"""

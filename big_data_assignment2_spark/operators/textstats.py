@@ -4,9 +4,12 @@ and document fingerprinting.
 
 These generalize the reference's text pipeline (clean -> tokenize -> stats,
 ``app/prepare_data.py`` + ``app/mapreduce/``) into per-document feature
-extraction. Everything is per-row Column arithmetic -- narrow transforms,
-no shuffle, trivially parallel at 100 TB -- and every operator has an
-exact DuckDB oracle.
+extraction. Everything is a narrow per-row transform -- no shuffle,
+trivially parallel at 100 TB -- and every operator has an exact DuckDB
+oracle. Hot per-row work is Column arithmetic except fingerprinting,
+whose shingle loop runs as an Arrow-batched Pandas UDF (see
+``functions.hashing.fingerprint_pd`` for why that beats the interpreted
+higher-order-function form).
 """
 
 from __future__ import annotations
@@ -14,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import shingles, sql_shingles
+from ..functions.hashing import fingerprint_pd, sql_shingles
 from ..functions.text import SQL_TOKENS, tokens
 from ..registry import Registry
 from .index_build import documents_with_title
@@ -174,12 +177,11 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Equal fingerprints => near-identical prefixes of content; used as a
     cheap first-pass near-dup key at scale."""
     docs = documents_with_title(spark, sf_dir)
-    sh = shingles("text", FP_K)
-    fp = F.array_min(F.transform(sh, F.md5))
-    return docs.select(
+    fp = fingerprint_pd("text", FP_K)
+    return docs.select("doc_id", fp.alias("fp")).select(
         "doc_id",
-        fp.alias("fingerprint"),
-        F.size(sh).cast("long").alias("n_shingles"),
+        F.col("fp.fingerprint").alias("fingerprint"),
+        F.col("fp.n_shingles").alias("n_shingles"),
     )
 
 
