@@ -58,8 +58,17 @@ def doc_length(col: Column | str) -> Column:
 
 def tokenize(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Explode to one ``(doc_id, term)`` row per token occurrence (A1,
-    reference ``mapper2.py:12-18``). Narrow transform -- no shuffle."""
-    return df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    reference ``mapper2.py:12-18``). Narrow transform -- no shuffle.
+
+    Empties are dropped by a plain Filter AFTER the explode rather than a
+    higher-order ``F.filter`` lambda inside it: identical rows out, but
+    explode+WHERE stays in whole-stage codegen while array lambdas are
+    interpreted per element."""
+    c = F.lower(F.col(text_col))
+    return (
+        df.select(F.col(id_col), F.explode(F.split(c, NON_TOKEN_RE)).alias("term"))
+        .where(F.col("term") != "")
+    )
 
 
 def tokenize_query(query: str) -> list[str]:

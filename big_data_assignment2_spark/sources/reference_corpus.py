@@ -65,7 +65,9 @@ _INDEX_CACHE: dict[str, tuple[DataFrame, DataFrame, DataFrame]] = {}
 
 def _reference_index(spark: SparkSession, data_dir: str):
     if data_dir not in _INDEX_CACHE:
-        docs = load_reference_corpus(spark, data_dir)
+        # persist docs too: inverted and stats each scan the corpus, and
+        # the 1000-small-file wholetext read costs more than the cache.
+        docs = load_reference_corpus(spark, data_dir).persist()
         inverted = inverted_from_docs(docs).persist()
         vocab = vocab_from_inverted(inverted).persist()
         stats = doc_stats_from_docs(docs).persist()
