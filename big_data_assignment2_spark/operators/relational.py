@@ -416,6 +416,144 @@ WHERE p_retailprice * (SELECT count(*) FROM part p2
 """
 
 
+def q4_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS, which Catalyst rewrites to a
+    LEFT SEMI hash join on o_orderkey -- lineitem is scanned once with the
+    returnflag filter pushed to parquet, never materialized per row."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders_v o
+        WHERE o_totalprice > 150000 AND EXISTS (
+          SELECT 1 FROM lineitem_v l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_totalprice > 150000 AND EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: groupBy + HAVING on the fact table, then join the
+    survivors back to orders/customer. The HAVING side aggregates BEFORE
+    the join, so only qualifying orderkeys (a tiny set) reach the join --
+    at 100 TB the join input shrinks by orders of magnitude. The HAVING
+    threshold compares the exact decimal sum (order-independent), so no
+    row can flip in or out between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            epoch("o_orderdate").alias("o_orderdate_epoch"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+SQL_Q18 = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
+       round(o_totalprice, 2) AS o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, {sql_dsum('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {sql_dsum('l_quantity')} > 150
+) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube): one
+    Expand + one shuffle computes all three groupings; grouping_id tells a
+    null dimension value apart from the 'all' row."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n, {sql_dsum('o_totalprice')} AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete p50/p90/p99 of l_extendedprice per returnflag, via
+    row_number + count windows: the value at rank ceil(p*n) in the sorted
+    partition. Identical arithmetic on both engines (IEEE doubles round
+    the same way), and ties in price can't change the value at a rank.
+
+    Scale note: exact quantiles need a per-group sort; at 100 TB use
+    approx_percentile (t-digest, one pass, mergeable) unless exactness is
+    contractual -- this operator is the exact/oracle-able variant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    def at(p: float):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("l_extendedprice"))
+        )
+    return ranked.groupBy("l_returnflag").agg(
+        at(0.5).alias("p50"), at(0.9).alias("p90"), at(0.99).alias("p99")
+    )
+
+
+SQL_PERCENTILES = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_extendedprice END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN l_extendedprice END) AS p90,
+       max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN l_extendedprice END) AS p99
+FROM ranked GROUP BY l_returnflag
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("q1_pricing_summary", q1_pricing_summary, SQL_Q1, "TPC-H Q1 style groupBy+8 aggs")
     reg.add("q3_shipping_priority", q3_shipping_priority, SQL_Q3, "3-way join + agg + top-k")
@@ -433,3 +571,7 @@ def register(reg: Registry) -> None:
     reg.add("distinct_projection", distinct_projection, SQL_DISTINCT, "distinct projection")
     reg.add("union_all_agg", union_all_agg, SQL_UNION, "union all + re-aggregate")
     reg.add("rollup_agg", rollup_agg, SQL_ROLLUP, "rollup hierarchy totals")
+    reg.add("q4_exists_semi", q4_exists_semi, SQL_Q4, "correlated EXISTS -> semi join")
+    reg.add("q18_large_orders", q18_large_orders, SQL_Q18, "having-before-join Q18 shape")
+    reg.add("grouping_sets_agg", grouping_sets_agg, SQL_GROUPING_SETS, "explicit grouping sets + gid")
+    reg.add("percentiles_by_flag", percentiles_by_flag, SQL_PERCENTILES, "exact discrete quantiles")

@@ -140,8 +140,67 @@ FROM events GROUP BY event_type
 """
 
 
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user moving average of ``value`` over the last 3 events (ROWS
+    BETWEEN 2 PRECEDING AND CURRENT ROW). The frame sum goes through an
+    exact decimal so sliding-frame evaluation order (incremental in Spark,
+    segment-tree in DuckDB) cannot change the double. Ordering carries an
+    event_id tiebreaker so equal timestamps don't make the frame ambiguous."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    mov = (
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.round(mov, 6).alias("mov_avg3"),
+    )
+
+
+SQL_MOVING_AVG = """
+SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3
+FROM events
+"""
+
+
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user delta vs the previous event's value (lag); first event of
+    each user has a null delta. One shuffle on user_id + per-partition
+    sort -- the standard change-detection shape."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value", 1).over(w)
+    return ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.round(delta, 6).alias("delta"),
+    )
+
+
+SQL_LAG_DELTA = """
+SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+       round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+FROM events
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("window_tumbling", window_tumbling, SQL_TUMBLING, "5-min tumbling windows")
     reg.add("window_sliding", window_sliding, SQL_SLIDING, "10/5-min sliding windows")
     reg.add("window_session", window_session, SQL_SESSION, "30-min-gap session windows")
     reg.add("events_json_sum", events_json_sum, SQL_JSON_SUM, "JSON field extract + agg")
+    reg.add("window_moving_avg", window_moving_avg, SQL_MOVING_AVG, "3-row moving average per user")
+    reg.add("window_lag_delta", window_lag_delta, SQL_LAG_DELTA, "lag delta per user")

@@ -61,6 +61,7 @@ def build_registry() -> Registry:
         relational,
         search,
         similarity,
+        skew,
         temporal,
         textstats,
         windows,
@@ -78,6 +79,7 @@ def build_registry() -> Registry:
         similarity,
         temporal,
         windows,
+        skew,
         multimodal,
         events_stream,
         reference_corpus,

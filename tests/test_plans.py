@@ -87,3 +87,35 @@ def test_no_cartesian_anywhere(spark, sf_dir, name):
     # BroadcastNestedLoopJoin appears only for deliberate 1-row
     # stats crossJoins (bm25); a true CartesianProduct is always a bug.
     assert not audit(_df(spark, sf_dir, name), forbids=("CartesianProduct",))
+
+
+def test_q4_exists_becomes_semi_join(spark, sf_dir):
+    """Catalyst must decorrelate EXISTS into a semi join, not a per-row
+    subquery, and push the returnflag filter to the lineitem scan."""
+    df = _df(spark, sf_dir, "q4_exists_semi")
+    plan_ops = operators(df)
+    assert any("Join" in o for o in plan_ops), plan_ops
+    from big_data_assignment2_spark.plans.audit import explain_formatted
+
+    plan = explain_formatted(df)
+    assert "LeftSemi" in plan, plan
+    assert any("EqualTo(l_returnflag,R)" in f for f in pushed_filters(df))
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    """The HAVING aggregate must appear below the join in the plan (the
+    fact table shrinks before joining, not after)."""
+    df = _df(spark, sf_dir, "q18_large_orders")
+    ops = operators(df)
+    assert "HashAggregate" in ops
+    join_idx = max(i for i, o in enumerate(ops) if "Join" in o)
+    agg_idx = min(i for i, o in enumerate(ops) if o == "HashAggregate")
+    # formatted plans list children after parents: the aggregate that
+    # feeds the join has a HIGHER index than the join operator
+    assert agg_idx > join_idx or "BroadcastHashJoin" in ops
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    df = _df(spark, sf_dir, "grouping_sets_agg")
+    ops = operators(df)
+    assert ops.count("Expand") == 1
