@@ -247,6 +247,138 @@ WHERE EXISTS (SELECT 1 FROM sess s2
 """
 
 
+def _run_to_table(
+    spark: SparkSession, df: DataFrame, prefix: str, state_partitions: int | None = 4
+) -> DataFrame:
+    """Drive a streaming frame to completion (availableNow, append mode,
+    memory sink) and return the result table.
+
+    Stateful operators (dedup, stream-stream join) pay a fixed per-state-
+    partition per-batch cost, and the partition count freezes at query
+    start from spark.sql.shuffle.partitions -- pin it small for this
+    bounded corpus and restore the caller's value (a production deployment
+    sizes it to keyspace/executor count instead)."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first-seen (user_id, event_type) pairs via
+    ``dropDuplicates`` keyed state. Only the key columns are emitted, so
+    the output is the distinct key set regardless of which physical row
+    arrived first -- that's what makes a streaming dedup oracle-able.
+    A production deployment bounds the state with
+    ``dropDuplicatesWithinWatermark``; this bounded corpus keeps exact
+    all-time state."""
+    ev = _events_stream(spark, sf_dir).select("user_id", "event_type")
+    return _run_to_table(spark, ev.dropDuplicates(["user_id", "event_type"]), "stream_dedup")
+
+
+SQL_STREAM_DEDUP = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched against the static
+    customer dimension (broadcast per micro-batch -- no stream state), then
+    aggregated by market segment. The standard fact-stream + dim pattern."""
+    from ..sources.catalog import load_table
+
+    ev = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    # append-mode streaming can't emit a running aggregate; finish the
+    # count in batch over the joined (appended) rows -- the join is the
+    # streaming operator under test.
+    out = _run_to_table(spark, joined.select("c_mktsegment", "value"), "stream_sjoin")
+    return out.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 6).alias("sum_value")
+    )
+
+
+SQL_STREAM_STATIC_JOIN = """
+SELECT c_mktsegment, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+ATTRIB_WINDOW_S = 600  # purchase within 10 minutes of a click
+
+
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    each click joined to same-user purchases within the next 10 minutes
+    (click-to-purchase attribution). Watermarks on both sides let Spark
+    evict join state once the interval can no longer match -- the only way
+    a stream-stream join survives unbounded input."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIB_WINDOW_S} SECONDS")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("click_user").alias("user_id"),
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+    return _run_to_table(spark, pairs, "stream_ssjoin")
+
+
+SQL_STREAM_STREAM_JOIN = f"""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id,
+       CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+       round(p.value, 6) AS purchase_value
+FROM events c JOIN events p
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL {ATTRIB_WINDOW_S} SECOND
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "streaming_tumbling",
@@ -259,4 +391,22 @@ def register(reg: Registry) -> None:
         streaming_sessionize,
         SQL_STREAM_SESSIONS,
         "custom stateful sessionization (applyInPandasWithState)",
+    )
+    reg.add(
+        "streaming_dedup",
+        streaming_dedup,
+        SQL_STREAM_DEDUP,
+        "streaming dropDuplicates keyed state",
+    )
+    reg.add(
+        "streaming_static_join",
+        streaming_static_join,
+        SQL_STREAM_STATIC_JOIN,
+        "stream-static broadcast join + agg",
+    )
+    reg.add(
+        "streaming_stream_join",
+        streaming_stream_join,
+        SQL_STREAM_STREAM_JOIN,
+        "stream-stream interval join with watermark state eviction",
     )
