@@ -66,7 +66,7 @@ def build_registry() -> Registry:
         textstats,
         windows,
     )
-    from .sources import reference_corpus
+    from .sources import partitioned_sink, reference_corpus
     from .streaming import events_stream
 
     reg = Registry()
@@ -83,6 +83,7 @@ def build_registry() -> Registry:
         multimodal,
         events_stream,
         reference_corpus,
+        partitioned_sink,
     ):
         mod.register(reg)
     return reg

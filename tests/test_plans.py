@@ -119,3 +119,15 @@ def test_grouping_sets_single_expand(spark, sf_dir):
     df = _df(spark, sf_dir, "grouping_sets_agg")
     ops = operators(df)
     assert ops.count("Expand") == 1
+
+
+def test_partitioned_read_prunes(spark, sf_dir):
+    """The partition filter must prune directories (PartitionFilters on
+    the scan), not fall back to a row-group/data filter."""
+    from big_data_assignment2_spark.plans.audit import explain_formatted
+    from big_data_assignment2_spark.sources.partitioned_sink import read_events_pruned
+
+    df = read_events_pruned(spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "PartitionFilters" in plan, plan
+    assert "isnotnull(event_type" in plan and "purchase" in plan, plan
