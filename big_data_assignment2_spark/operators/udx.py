@@ -1,0 +1,120 @@
+"""The remaining user-defined-function surfaces: pandas UDAF + Python UDTF.
+
+SURVEY.md section 2.7: the reference's "UDFs" are RDD lambdas and Hadoop
+streaming scripts; this engine's core parity path uses zero Python UDFs.
+The extension surface, however, should demonstrate every Spark UDF kind a
+pipeline author might need. Elsewhere in the repo: scalar pandas UDFs
+(``functions/hashing.py``), grouped ``applyInPandas``
+(``operators/similarity.py``), ``mapInPandas`` (``operators/multimodal.py``)
+and ``applyInPandasWithState`` (``streaming/events_stream.py``). Here:
+
+- **GROUPED_AGG pandas UDF** (a real UDAF): per-group exact median via
+  numpy over the Arrow batch. Partial aggregation is impossible for an
+  exact median (it is not algebraic -- there is nothing to merge), so
+  Spark ships each group's values to one task: fine for bounded group
+  cardinality x group size; at 100 TB prefer approx_percentile (mergeable
+  t-digest) or the window-rank form in ``percentiles_by_flag``.
+- **Python UDTF** (table function): one row in, N rows out with real
+  per-row logic. Registered for SQL and used via LATERAL join -- the
+  Spark-native replacement for the reference's streaming-mapper pattern
+  (one stdin line -> many stdout records, ``app/mapreduce/mapper2.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..registry import Registry
+from ..sources.catalog import load_table
+
+
+def _median_udafs():
+    # created lazily: parsing the return type needs an active session
+    @pandas_udf("double")
+    def median_agg(v: pd.Series) -> float:
+        # numpy's even-count interpolation ((a+b)/2) is the same
+        # arithmetic DuckDB's median/quantile_cont performs, so the
+        # oracle matches bit-for-bit after the shared round(6).
+        return float(np.median(v.to_numpy()))
+
+    @pandas_udf("long")
+    def count_agg(v: pd.Series) -> int:
+        return int(len(v))
+
+    return median_agg, count_agg
+
+
+def grouped_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact median of ``value`` via a GROUPED_AGG pandas
+    UDF. Spark forbids mixing pandas and JVM aggregates in one agg, so
+    the row count is a pandas aggregate too (both share one Arrow
+    transfer of the group)."""
+    median_agg, count_agg = _median_udafs()
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(median_agg("value"), 6).alias("median_value"),
+        count_agg("value").alias("n"),
+    )
+
+
+SQL_GROUPED_MEDIAN = """
+SELECT event_type, round(median(value), 6) AS median_value, count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+class _BigramsUDTF:
+    """Emit (position, bigram) rows per document -- a genuine one-row-in,
+    N-rows-out table function with per-row Python logic (the Spark-native
+    shape of the reference's streaming mapper, ``app/mapreduce/mapper2.py``:
+    one stdin line -> many stdout records)."""
+
+    def eval(self, doc_id, text: str):  # noqa: D102 - UDTF contract
+        import re
+
+        if text is None:
+            return
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        for i in range(len(toks) - 1):
+            yield (str(doc_id), i + 1, f"{toks[i]} {toks[i + 1]}")
+
+
+def bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL-join the UDTF against documents: positional bigrams."""
+    from pyspark.sql.functions import udtf
+
+    bigrams = udtf(_BigramsUDTF, returnType="doc_id string, pos bigint, bigram string")
+    spark.udtf.register("doc_bigrams", bigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_v")
+    return spark.sql(
+        """
+        SELECT b.doc_id, b.pos, b.bigram
+        FROM docs_v, LATERAL doc_bigrams(doc_id, text) b
+        """
+    )
+
+
+# Parallel unnests of equal length zip in DuckDB, pairing each position
+# with its bigram.
+SQL_BIGRAMS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+  FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       unnest(range(1, len(ts))) AS pos,
+       unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+FROM toks
+"""
+
+
+def register(reg: Registry) -> None:
+    reg.add("grouped_median_udaf", grouped_median_udaf, SQL_GROUPED_MEDIAN,
+            "GROUPED_AGG pandas UDAF (exact median)")
+    reg.add("bigrams_udtf", bigrams_udtf, SQL_BIGRAMS,
+            "Python UDTF via LATERAL join (positional bigrams)")

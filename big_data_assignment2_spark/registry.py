@@ -63,6 +63,7 @@ def build_registry() -> Registry:
         similarity,
         skew,
         temporal,
+        udx,
         textstats,
         windows,
     )
@@ -80,6 +81,7 @@ def build_registry() -> Registry:
         temporal,
         windows,
         skew,
+        udx,
         multimodal,
         events_stream,
         reference_corpus,
