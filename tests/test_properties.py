@@ -1,0 +1,59 @@
+"""Property-based equivalence tests (hypothesis) for the hot-path
+rewrites: the Arrow-batched shingle/tokenize forms must match the
+interpreted Column forms on ARBITRARY text, not just the fixture corpus."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from big_data_assignment2_spark.functions.hashing import shingles, shingles_pd
+from big_data_assignment2_spark.functions.text import tokens
+from big_data_assignment2_spark.operators._util import dsum
+
+# text with ascii letters/digits/punct/whitespace, incl. empty and
+# separator-only strings
+TEXT = st.text(
+    alphabet=st.characters(codec="ascii", exclude_categories=("Cc",)) | st.sampled_from(" \t.,;-_"),
+    max_size=120,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_shingles_pd_matches_column_form(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {
+        r["id"]: r["sh"]
+        for r in df.select("id", shingles_pd("text", 3).alias("sh")).collect()
+    }
+    want = {
+        r["id"]: r["sh"]
+        for r in df.select("id", shingles("text", 3).alias("sh")).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_tokenize_matches_tokens_explode(spark, texts):
+    from big_data_assignment2_spark.functions.text import tokenize
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = sorted(map(tuple, tokenize(df).collect()))
+    want = sorted(
+        map(tuple, df.select("doc_id", F.explode(tokens("text")).alias("term")).collect())
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=20),
+       st.randoms())
+def test_dsum_is_order_independent(spark, values, rnd):
+    shuffled = list(values)
+    rnd.shuffle(shuffled)
+    a = spark.createDataFrame([(v,) for v in values], "v double").agg(dsum(F.col("v"), 6)).collect()[0][0]
+    b = spark.createDataFrame([(v,) for v in shuffled], "v double").agg(dsum(F.col("v"), 6)).collect()[0][0]
+    assert a == b
