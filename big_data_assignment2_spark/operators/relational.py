@@ -554,6 +554,35 @@ FROM ranked GROUP BY l_returnflag
 """
 
 
+def intersect_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers who placed high-value orders INTERSECT /
+    EXCEPT those with 'F' (finished) orders. Both set ops plan as one
+    aggregate + join each (Catalyst rewrites INTERSECT to a distinct semi
+    join, EXCEPT to a distinct anti join) -- no full-table distinct-then-
+    compare materialization."""
+    orders = load_table(spark, sf_dir, "orders")
+    high = orders.where(F.col("o_totalprice") > 200000).select("o_custkey")
+    finished = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    both = high.intersect(finished).select(F.col("o_custkey"), F.lit("both").alias("bucket"))
+    only_high = high.subtract(finished).select(
+        F.col("o_custkey"), F.lit("only_high").alias("bucket")
+    )
+    return both.unionAll(only_high)
+
+
+SQL_INTERSECT_EXCEPT = """
+SELECT o_custkey, 'both' AS bucket FROM (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT o_custkey, 'only_high' AS bucket FROM (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("q1_pricing_summary", q1_pricing_summary, SQL_Q1, "TPC-H Q1 style groupBy+8 aggs")
     reg.add("q3_shipping_priority", q3_shipping_priority, SQL_Q3, "3-way join + agg + top-k")
@@ -575,3 +604,4 @@ def register(reg: Registry) -> None:
     reg.add("q18_large_orders", q18_large_orders, SQL_Q18, "having-before-join Q18 shape")
     reg.add("grouping_sets_agg", grouping_sets_agg, SQL_GROUPING_SETS, "explicit grouping sets + gid")
     reg.add("percentiles_by_flag", percentiles_by_flag, SQL_PERCENTILES, "exact discrete quantiles")
+    reg.add("intersect_except_keys", intersect_except_keys, SQL_INTERSECT_EXCEPT, "INTERSECT / EXCEPT set ops")
