@@ -133,33 +133,43 @@ def fingerprint_pd(text_col: Column | str, k: int = 8) -> Column:
 # --- MinHash (md5 family, oracle-able) ---------------------------------------
 
 N_MINHASH = 16  # signature length; 4 bands x 4 rows for LSH
+_MH_MOD = 4294967291  # largest prime < 2^32
 
 
 def minhash_cols(shingle_col: Column | str, n: int = N_MINHASH) -> list[Column]:
-    """n MinHash values for an exploded shingle column: permutation i is
-    ``min(md5(i || '|' || shingle))``; aggregate with min() per doc.
+    """n MinHash values for an exploded shingle column via ONE md5 per
+    shingle + Carter-Wegman affine derivations: split md5(shingle) into
+    two 32-bit words (a, b) and take permutation i as
+    ``min((a + i*b) mod p)`` with p the largest prime < 2^32.
 
-    String-min over hex md5 == numeric min over the 128-bit value, and is
-    reproducible verbatim in DuckDB.
-    """
+    One cryptographic hash instead of n per row -- at 100 TB the
+    signature stage's hashing CPU drops n-fold -- while every derived
+    value is integer arithmetic both engines compute identically.
+    ``i*b`` is at most ~2^36, so the int64 product cannot overflow."""
     c = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    h = F.md5(c)
+    a = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    b = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
     return [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), c))).alias(f"mh{i}") for i in range(n)
+        F.min((a + F.lit(i) * b) % F.lit(_MH_MOD)).alias(f"mh{i}") for i in range(n)
     ]
 
 
 def sql_minhash_cols(shingle_expr: str, n: int = N_MINHASH) -> str:
+    a = f"CAST(('0x' || substr(md5({shingle_expr}), 1, 8)) AS BIGINT)"
+    b = f"CAST(('0x' || substr(md5({shingle_expr}), 9, 8)) AS BIGINT)"
     return ", ".join(
-        f"min(md5('{i}|' || {shingle_expr})) AS mh{i}" for i in range(n)
+        f"min(({a} + {i} * {b}) % {_MH_MOD}) AS mh{i}" for i in range(n)
     )
 
 
 def band_cols(n: int = N_MINHASH, bands: int = 4) -> list[Column]:
-    """LSH band keys: md5 over each contiguous group of signature values."""
+    """LSH band keys: md5 over each contiguous group of signature values
+    (cast to strings explicitly so both engines format them the same)."""
     rows = n // bands
     out = []
     for b in range(bands):
-        parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        parts = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
         out.append(F.md5(F.concat_ws("#", *parts)).alias(f"band{b}"))
     return out
 
@@ -167,7 +177,9 @@ def band_cols(n: int = N_MINHASH, bands: int = 4) -> list[Column]:
 def sql_band_cols(n: int = N_MINHASH, bands: int = 4) -> str:
     rows = n // bands
     return ", ".join(
-        "md5(" + " || '#' || ".join(f"mh{b * rows + r}" for r in range(rows)) + f") AS band{b}"
+        "md5("
+        + " || '#' || ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + f") AS band{b}"
         for b in range(bands)
     )
 
