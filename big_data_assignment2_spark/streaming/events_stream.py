@@ -61,14 +61,20 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     (availableNow trigger, complete mode, memory sink) and return the
     final result table."""
     name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    q = (
-        tumbling_agg(_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # same state-partition pinning rationale as _run_to_table
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            tumbling_agg(_events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.awaitTermination(120)
     finally:
