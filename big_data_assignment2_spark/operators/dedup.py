@@ -208,19 +208,19 @@ WHERE inter / (sa.sz + sb.sz - inter) >= {JACCARD_T}
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc as 16 hex chars, from tf-weighted bit votes
-    over md5(term). One shuffle (the tf groupBy); the per-doc aggregate
-    reuses its partitioning. The md5 bit extraction happens once per
-    (doc, term) row in a projection; the aggregate is 65 plain sums whose
-    votes are rebuilt as ``2*s_j - total`` (see ``simhash_contrib_cols``)."""
+    over md5(term). Because tf is just the occurrence count,
+    ``sum_terms(tf * bit)`` equals ``sum_occurrences(bit)`` -- so the
+    votes sum directly over raw token rows with NO tf pre-aggregation:
+    exactly one shuffle (partial aggs per doc per partition), where the
+    tf-relation form needed a (doc_id, term) exchange first. The md5 bit
+    extraction happens once per token row in a projection; votes are
+    rebuilt as ``2*s_j - total`` (see ``simhash_contrib_cols``)."""
     docs = load_table(spark, sf_dir, "documents")
-    tf = (
-        tokenize(docs)
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    contrib = tokenize(docs).select(
+        "doc_id", *simhash_contrib_cols("term", F.lit(1))
     )
-    contrib = tf.select("doc_id", F.col("tf").cast("long").alias("tf"), *simhash_contrib_cols("term", "tf"))
     agg = contrib.groupBy("doc_id").agg(
-        F.sum("tf").alias("total"),
+        F.count(F.lit(1)).alias("total"),
         *[F.sum(f"c{j}").alias(f"s{j}") for j in range(64)],
     )
     return agg.select("doc_id", simhash_hex_from_votes("total").alias("simhash"))

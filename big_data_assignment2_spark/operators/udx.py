@@ -38,11 +38,14 @@ def _median_udafs():
     def median_agg(v: pd.Series) -> float:
         # numpy's even-count interpolation ((a+b)/2) is the same
         # arithmetic DuckDB's median/quantile_cont performs, so the
-        # oracle matches bit-for-bit after the shared round(6).
-        return float(np.median(v.to_numpy()))
+        # oracle matches bit-for-bit after the shared round(6). dropna
+        # mirrors SQL aggregate NULL-skipping (np.median would return
+        # NaN on any null).
+        return float(np.median(v.dropna().to_numpy()))
 
     @pandas_udf("long")
     def count_agg(v: pd.Series) -> int:
+        # count(*) semantics: rows, not non-null values
         return int(len(v))
 
     return median_agg, count_agg

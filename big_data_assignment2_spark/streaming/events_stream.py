@@ -19,7 +19,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators._util import dsum
+from ..operators._util import dsum, sql_dsum
 from ..operators.windows import SQL_TUMBLING, TUMBLE_S
 from ..registry import Registry
 
@@ -60,26 +60,10 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the tumbling-window aggregate as a real streaming query
     (availableNow trigger, complete mode, memory sink) and return the
     final result table."""
-    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    # same state-partition pinning rationale as _run_to_table
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        q = (
-            tumbling_agg(_events_stream(spark, sf_dir))
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    try:
-        q.awaitTermination(120)
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _run_to_table(
+        spark, tumbling_agg(_events_stream(spark, sf_dir)), "stream_tumbling",
+        output_mode="complete",
+    )
 
 
 def streaming_tumbling_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,10 +238,14 @@ WHERE EXISTS (SELECT 1 FROM sess s2
 
 
 def _run_to_table(
-    spark: SparkSession, df: DataFrame, prefix: str, state_partitions: int | None = 4
+    spark: SparkSession,
+    df: DataFrame,
+    prefix: str,
+    state_partitions: int | None = 4,
+    output_mode: str = "append",
 ) -> DataFrame:
-    """Drive a streaming frame to completion (availableNow, append mode,
-    memory sink) and return the result table.
+    """Drive a streaming frame to completion (availableNow, memory sink)
+    and return the result table.
 
     Stateful operators (dedup, stream-stream join) pay a fixed per-state-
     partition per-batch cost, and the partition count freezes at query
@@ -272,7 +260,7 @@ def _run_to_table(
         q = (
             df.writeStream.format("memory")
             .queryName(name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
@@ -318,9 +306,8 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_STREAM_STATIC_JOIN = """
-SELECT c_mktsegment, count(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+SQL_STREAM_STATIC_JOIN = f"""
+SELECT c_mktsegment, count(*) AS n_events, {sql_dsum('value', 6)} AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
 """

@@ -103,16 +103,17 @@ def test_q4_exists_becomes_semi_join(spark, sf_dir):
 
 
 def test_q18_aggregates_before_join(spark, sf_dir):
-    """The HAVING aggregate must appear below the join in the plan (the
-    fact table shrinks before joining, not after)."""
+    """The HAVING aggregate must sit below the joins in the plan (the
+    fact table shrinks before joining, not after): in the optimized
+    logical plan (parent-first text), Aggregate prints after Join."""
     df = _df(spark, sf_dir, "q18_large_orders")
     ops = operators(df)
-    assert "HashAggregate" in ops
-    join_idx = max(i for i, o in enumerate(ops) if "Join" in o)
-    agg_idx = min(i for i, o in enumerate(ops) if o == "HashAggregate")
-    # formatted plans list children after parents: the aggregate that
-    # feeds the join has a HIGHER index than the join operator
-    assert agg_idx > join_idx or "BroadcastHashJoin" in ops
+    assert "HashAggregate" in ops and any("Join" in o for o in ops)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    lines = logical.splitlines()
+    first_join = min(i for i, l in enumerate(lines) if "Join" in l)
+    first_agg = min(i for i, l in enumerate(lines) if "Aggregate" in l)
+    assert first_agg > first_join, logical
 
 
 def test_grouping_sets_single_expand(spark, sf_dir):

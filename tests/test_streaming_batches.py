@@ -30,7 +30,6 @@ def test_dedup_state_spans_batches(spark, sf_dir, split_events_dir):
         .schema(schema)
         .option("maxFilesPerTrigger", 1)  # one file per micro-batch
         .load(split_events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
