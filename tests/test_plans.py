@@ -132,3 +132,11 @@ def test_partitioned_read_prunes(spark, sf_dir):
     plan = explain_formatted(df)
     assert "PartitionFilters" in plan, plan
     assert "isnotnull(event_type" in plan and "purchase" in plan, plan
+
+
+def test_simhash_single_exchange(spark, sf_dir):
+    """simhash claims exactly one shuffle (votes sum directly over token
+    rows, no tf pre-aggregation) -- hold it to that."""
+    df = _df(spark, sf_dir, "simhash")
+    ops = operators(df)
+    assert sum(1 for o in ops if o.startswith("Exchange")) == 1, ops
