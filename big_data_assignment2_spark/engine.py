@@ -81,21 +81,16 @@ def build_index(
     )
     ds = index_build.doc_stats_from_docs(docs)
     ds.write.mode("overwrite").parquet(f"{index_dir}/doc_stats")
-    stats = spark.read.parquet(f"{index_dir}/doc_stats").agg(
-        F.count(F.lit(1)).alias("total_docs"),
-        (
-            F.sum(F.col("length").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_dl"),
-    )
+    stats = index_build.corpus_stats_agg(spark.read.parquet(f"{index_dir}/doc_stats"))
+    # n_buckets is part of the index layout: persist it so search derives
+    # the bucket function from the index itself (a build/search mismatch
+    # would silently prune away every matching posting).
     meta = stats.select(
         F.explode(
-            F.map_from_arrays(
-                F.array(F.lit("total_docs"), F.lit("avg_dl")),
-                F.array(
-                    F.col("total_docs").cast("string"),
-                    F.col("avg_dl").cast("string"),
-                ),
+            F.create_map(
+                F.lit("total_docs"), F.col("total_docs").cast("string"),
+                F.lit("avg_dl"), F.col("avg_dl").cast("string"),
+                F.lit("n_buckets"), F.lit(str(n_buckets)),
             )
         ).alias("key", "value")
     )
@@ -117,12 +112,19 @@ def search(
     index_dir: str,
     query: str,
     k: int = 10,
-    n_buckets: int = N_TERM_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """BM25 top-k over the **persisted** index (reference ``query.py``
     lifecycle, SURVEY.md section 3.2): bucket-pruned postings scan, broadcast
-    vocab, meta-derived stats, one job."""
+    vocab, meta-derived stats, one job.
+
+    ``n_buckets`` defaults to the value persisted in the index's meta
+    table at build time (passing a different one would prune to the wrong
+    directories and silently return no hits)."""
     idx = load_index(spark, index_dir)
+    if n_buckets is None:
+        row = idx.meta.where(F.col("key") == "n_buckets").select("value").collect()
+        n_buckets = int(row[0]["value"]) if row else N_TERM_BUCKETS
     terms = tokenize_query(query)
     buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
     postings = idx.inverted_index.where(

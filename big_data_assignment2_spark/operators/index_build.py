@@ -32,6 +32,7 @@ from ..functions.text import (
 )
 from ..registry import Registry
 from ..sources.catalog import load_table
+from ._util import davg
 
 def sql_docs_cte_over(docs_select: str) -> str:
     """Index-shaped DuckDB CTE chain (docs -> doc_stats/tok/inverted/vocab)
@@ -142,18 +143,24 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOC_STATS = SQL_DOCS_CTE + "SELECT doc_id, title, length FROM doc_stats"
 
 
+def corpus_stats_agg(
+    doc_stats_df: DataFrame, n_alias: str = "total_docs", avg_alias: str = "avg_dl"
+) -> DataFrame:
+    """THE total-docs + average-doc-length aggregate (unrounded), shared
+    by corpus_stats, BM25 ranking, and the persisted-index build so the
+    decimal-sum determinism idiom lives in exactly one place."""
+    return doc_stats_df.agg(
+        F.count(F.lit(1)).alias(n_alias),
+        davg(F.col("length"), 6).alias(avg_alias),
+    )
+
+
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: global total_docs + avg_dl, a regular two-phase aggregate instead
     of the reference's single-reducer sentinel-key hack
     (``reducer1.py:31-37``)."""
-    ds = doc_stats(spark, sf_dir)
-    return ds.agg(
-        F.count(F.lit(1)).alias("total_docs"),
-        F.round(
-            F.sum(F.col("length").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_dl"),
+    return corpus_stats_agg(doc_stats(spark, sf_dir)).select(
+        "total_docs", F.round("avg_dl", 6).alias("avg_dl")
     )
 
 

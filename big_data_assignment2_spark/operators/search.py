@@ -43,13 +43,7 @@ def bm25_rank(
     Returns ``rank int, doc_id string, title string, score double`` --
     the reference's output line format (``app/query.py:95-96``).
     """
-    stats = doc_stats.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (
-            F.sum(F.col("length").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_dl"),
-    )
+    stats = index_build.corpus_stats_agg(doc_stats, n_alias="n_docs")
     return bm25_rank_with_stats(inverted, vocab, doc_stats, stats, query, k)
 
 

@@ -161,9 +161,20 @@ def _make_block_pair_sims(threshold: float):
 
         a = pdf[pdf["side"] == 0]
         b = pdf[pdf["side"] == 1]
-        diag = b.empty  # diagonal cell (bi == bj): pair the block with itself
+        # diagonal iff the cell's group keys match; inferring it from
+        # b.empty mis-fires whenever a hash block is empty (an empty
+        # off-diagonal side would re-emit side-0's self-pairs)
+        diag = len(pdf) > 0 and pdf["bi"].iat[0] == pdf["bj"].iat[0]
         if diag:
             b = a
+        if a.empty or b.empty:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(dtype="int64"),
+                    "vec_b": pd.Series(dtype="int64"),
+                    "cos_raw": pd.Series(dtype="float64"),
+                }
+            )
         ma = np.array(a["v"].tolist(), dtype=np.float64)
         mb = np.array(b["v"].tolist(), dtype=np.float64)
         na = np.sqrt((ma * ma).sum(axis=1))
@@ -220,19 +231,21 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale path: at 100 TB the cell column is a partition key, so a
     query reads ~N_PROBE/N_CELLS of the data instead of all of it
     (same pruning shape as the persisted BM25 term buckets)."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "cell", F.array_position(_cell_dots("embedding"), F.array_max(_cell_dots("embedding")))
+    # materialize the centroid-dot array once per row (the higher-order
+    # folds inside _cell_dots are interpreted, so a duplicated expression
+    # really does evaluate twice), then derive cells from the column
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("d", _cell_dots("embedding"))
+        .withColumn("cell", F.array_position(F.col("d"), F.array_max("d")))
     )
-    qdots = _cell_dots(F.col("embedding"))
-    best1 = F.array_position(qdots, F.array_max(qdots))
-    second = F.array_max(F.array_remove(qdots, F.array_max(qdots)))
-    best2 = F.array_position(qdots, second)
+    second = F.array_max(F.array_remove(F.col("d"), F.array_max("d")))
     q = (
         emb.where(F.col("vec_id") == QUERY_VEC_ID)
         .select(
             F.col("embedding").alias("qvec"),
-            best1.alias("qcell1"),
-            best2.alias("qcell2"),
+            F.col("cell").alias("qcell1"),
+            F.array_position(F.col("d"), second).alias("qcell2"),
         )
     )
     return (

@@ -157,3 +157,28 @@ def test_streaming_equals_batch(spark, sf_dir):
     batch = {tuple(r) for r in window_tumbling(spark, sf_dir).collect()}
     stream = {tuple(r) for r in streaming_tumbling(spark, sf_dir).collect()}
     assert batch == stream
+
+
+def test_neardup_kernel_empty_and_diagonal_cells():
+    """Grid cells with an empty side must emit nothing (an empty
+    off-diagonal side-1 used to be mistaken for a diagonal cell and
+    re-emit side-0's self-pairs; an empty side-0 crashed numpy)."""
+    import pandas as pd
+
+    from big_data_assignment2_spark.operators.similarity import _make_block_pair_sims
+
+    fn = _make_block_pair_sims(0.9)
+    v = [1.0, 0.0]
+    off_diag_no_b = pd.DataFrame(
+        {"vec_id": [1, 2], "v": [v, v], "bi": [0, 0], "bj": [1, 1], "side": [0, 0]}
+    )
+    assert fn(off_diag_no_b).empty
+    off_diag_no_a = pd.DataFrame(
+        {"vec_id": [3], "v": [v], "bi": [0], "bj": [1], "side": [1]}
+    )
+    assert fn(off_diag_no_a).empty
+    diag = pd.DataFrame(
+        {"vec_id": [1, 2], "v": [v, v], "bi": [0, 0], "bj": [0, 0], "side": [0, 0]}
+    )
+    out = fn(diag)
+    assert list(out["vec_a"]) == [1] and list(out["vec_b"]) == [2]

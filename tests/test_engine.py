@@ -28,8 +28,10 @@ def test_index_layout(spark, index_dir):
     assert set(idx.vocab.columns) == {"term", "doc_freq"}
     assert set(idx.doc_stats.columns) == {"doc_id", "title", "length"}
     meta = {r["key"]: r["value"] for r in idx.meta.collect()}
-    # meta values persisted as strings (reference load_index.py:101-111 quirk)
-    assert set(meta) == {"total_docs", "avg_dl"}
+    # meta values persisted as strings (reference load_index.py:101-111
+    # quirk); n_buckets persisted so search derives the bucket layout
+    assert set(meta) == {"total_docs", "avg_dl", "n_buckets"}
+    assert meta["n_buckets"] == "8"
     assert float(meta["avg_dl"]) > 0
     # every posting's bucket is crc32(term) % n
     bad = idx.inverted_index.where(
@@ -42,14 +44,14 @@ def test_bucket_pruning_reaches_scan(spark, index_dir):
     """The physical plan must carry the term_bucket partition filter, so the
     parquet source prunes bucket directories (Cassandra partition-key
     analog)."""
-    plan = engine.search(spark, index_dir, "data model", n_buckets=8)._jdf.queryExecution().executedPlan().toString()
+    plan = engine.search(spark, index_dir, "data model")._jdf.queryExecution().executedPlan().toString()
     assert "term_bucket" in plan
 
 
 def test_persisted_matches_inmemory(spark, sf_dir, index_dir):
     got = {
         tuple(r)
-        for r in engine.search(spark, index_dir, search_ops.DEFAULT_QUERY, n_buckets=8).collect()
+        for r in engine.search(spark, index_dir, search_ops.DEFAULT_QUERY).collect()
     }
     want = {tuple(r) for r in search_ops.bm25_search(spark, sf_dir).collect()}
     assert got == want
@@ -58,7 +60,7 @@ def test_persisted_matches_inmemory(spark, sf_dir, index_dir):
 def test_persisted_matches_oracle(spark, sf_dir, index_dir):
     con = duck_connection(sf_dir)
     diff = compare(
-        engine.search(spark, index_dir, search_ops.DEFAULT_QUERY, n_buckets=8),
+        engine.search(spark, index_dir, search_ops.DEFAULT_QUERY),
         con,
         search_ops.sql_bm25(),
     )

@@ -67,7 +67,7 @@ def test_persisted_search_prunes_buckets(spark, sf_dir, tmp_path):
     engine.build_index(
         index_build.documents_with_title(spark, sf_dir), d, n_buckets=8
     )
-    df = engine.search(spark, d, "data model", n_buckets=8)
+    df = engine.search(spark, d, "data model")
     # partition-column filter present => bucket directories pruned
     assert not audit(df, requires=("term_bucket",))
 
