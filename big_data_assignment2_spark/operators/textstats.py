@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import fingerprint_pd, sql_shingles
-from ..functions.text import SQL_TOKENS, tokens
+from ..functions.text import SQL_TOKENS, tokenize, tokens
 from ..registry import Registry
 from .index_build import documents_with_title
 
@@ -195,8 +195,38 @@ FROM documents
 """
 
 
+def doc_term_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_list) made deterministic: per-doc term
+    multiset, sorted then joined to a string. collect_list order is
+    shuffle-dependent, so the sort is what makes the result (and any
+    downstream hash) stable -- emit arrays from an engine only in a
+    canonical order."""
+    docs = documents_with_title(spark, sf_dir)
+    return (
+        tokenize(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("term")), " ").alias("terms_sorted"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+
+
+SQL_DOC_TERM_LIST = f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest({SQL_TOKENS.format(col='text')}) AS term
+  FROM documents
+)
+SELECT doc_id, array_to_string(list_sort(list(term)), ' ') AS terms_sorted,
+       count(*) AS n_terms
+FROM tok GROUP BY doc_id
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("text_quality", text_quality, _sql_text_quality(), "quality features per doc")
     reg.add("lang_id", lang_id, _sql_lang_id(), "marker-token language ID")
     reg.add("token_counts", token_counts, SQL_TOKEN_COUNTS, "3 tokenizer counts per doc")
     reg.add("doc_fingerprint", doc_fingerprint, _sql_doc_fingerprint(), "min-md5-shingle fingerprint")
+    reg.add("doc_term_list", doc_term_list, SQL_DOC_TERM_LIST, "deterministic collect_list")
