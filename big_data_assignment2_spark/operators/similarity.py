@@ -105,9 +105,33 @@ LIMIT {TOP_K}
 """
 
 
+def _hamming_le1(a: str, b: str) -> F.Column:
+    """Join condition: sign-bucket strings differ in at most one bit
+    (multi-probe LSH -- probing the 8 Hamming-1 neighbor buckets lifts
+    recall substantially over exact-bucket-only at ~9/256 of the data)."""
+    mism = [
+        F.when(F.substring(F.col(a), i + 1, 1) != F.substring(F.col(b), i + 1, 1), 1).otherwise(0)
+        for i in range(N_PLANES)
+    ]
+    total = mism[0]
+    for m in mism[1:]:
+        total = total + m
+    return total <= 1
+
+
+def _sql_hamming_le1(a: str, b: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN substr({a}, {i + 1}, 1) <> substr({b}, {i + 1}, 1) THEN 1 ELSE 0 END)"
+        for i in range(N_PLANES)
+    )
+    return f"({terms}) <= 1"
+
+
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's
-    random-hyperplane bucket, then exact cosine within it."""
+    """Approximate top-k, multi-probe: candidates come from the query's
+    random-hyperplane bucket OR any bucket one sign-bit away, then exact
+    cosine ranks them. The 1-row query side broadcasts, so the Hamming
+    condition is a per-row predicate, not a shuffle."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "bucket", _bucket_col(F.col("embedding"))
     )
@@ -117,7 +141,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         emb.where(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .join(F.broadcast(q), _hamming_le1("bucket", "qbucket"))
         .select(
             "vec_id",
             "label",
@@ -136,7 +160,7 @@ WITH emb AS (
 q AS (SELECT embedding AS qvec, bucket AS qbucket FROM emb WHERE vec_id = {QUERY_VEC_ID})
 SELECT vec_id, label,
        round({sql_cosine('embedding', 'q.qvec')}, 6) AS cos_sim
-FROM emb JOIN q ON bucket = qbucket
+FROM emb JOIN q ON {_sql_hamming_le1('bucket', 'qbucket')}
 WHERE vec_id != {QUERY_VEC_ID}
 ORDER BY cos_sim DESC, vec_id ASC
 LIMIT {TOP_K}
