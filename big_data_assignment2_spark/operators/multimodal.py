@@ -125,6 +125,66 @@ SQL_MULTIMODAL_FEATURES = (
 )
 
 
+FRAME_BYTES = 100  # stub "frame" size
+FRAME_STRIDE = 2  # sample every 2nd frame
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over 'video' payloads: one row in, one row out per
+    sampled fixed-size byte chunk (every ``FRAME_STRIDE``-th frame) --
+    the 1->N expansion shape of real video frame extraction, as a narrow
+    ``mapInPandas`` with zero shuffle. A real decoder replaces the
+    byte-slice with actual frame decode; the md5-per-chunk keeps the stub
+    under the full value-hash gate (payloads are ASCII here, so the
+    oracle's character slices equal the byte slices)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 2)  # the 'video' modality slice
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    frame_bytes, frame_stride = FRAME_BYTES, FRAME_STRIDE
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = (len(data) + frame_bytes - 1) // frame_bytes
+                for idx in range(0, n_frames, frame_stride):
+                    chunk = data[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    rows.append(
+                        (int(doc_id), idx, _hashlib.md5(chunk).hexdigest(), len(chunk))
+                    )
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_md5", "frame_len"]
+            )
+
+    return docs.mapInPandas(
+        sample_batches,
+        schema="doc_id bigint, frame_idx bigint, frame_md5 string, frame_len bigint",
+    )
+
+
+SQL_FRAME_SAMPLE = f"""
+WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+idx AS (
+  SELECT doc_id, text,
+         unnest(range(0, (octet_length(encode(text)) + {FRAME_BYTES - 1}) // {FRAME_BYTES},
+                      {FRAME_STRIDE})) AS frame_idx
+  FROM v
+)
+SELECT doc_id, frame_idx,
+       md5(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5,
+       CAST(length(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS BIGINT)
+         AS frame_len
+FROM idx
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("multimodal_meta", multimodal_meta, SQL_MULTIMODAL_META, "binary payload metadata")
     reg.add(
@@ -132,4 +192,10 @@ def register(reg: Registry) -> None:
         multimodal_features,
         SQL_MULTIMODAL_FEATURES,
         "stubbed decode via mapInPandas, hex-slice oracle",
+    )
+    reg.add(
+        "multimodal_frame_sample",
+        multimodal_frame_sample,
+        SQL_FRAME_SAMPLE,
+        "1->N frame sampling via mapInPandas",
     )
