@@ -59,6 +59,19 @@ def sql_ts(iso: str) -> str:
     return f"TIMESTAMP '{iso}'"
 
 
+def scratch_root() -> str:
+    """Writable scratch directory for persisted-index fixtures:
+    ``$SPARK_GRAFT_SCRATCH`` if set, else ``.scratch/`` under the repo
+    checkout containing this package (portable across install locations)."""
+    import os
+    from pathlib import Path
+
+    env = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if env:
+        return env
+    return str(Path(__file__).resolve().parents[2] / ".scratch")
+
+
 def epoch_lit(iso_utc: str) -> int:
     """Epoch seconds of an ISO ``YYYY-MM-DD[ HH:MM:SS]`` instant read as UTC."""
     from datetime import datetime, timezone

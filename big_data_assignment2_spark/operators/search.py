@@ -159,10 +159,11 @@ def bm25_search_persisted(
     import re
 
     from .. import engine
+    from ._util import scratch_root
 
     if sf_dir not in _BUILT_INDEXES:
         slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
-        index_dir = f"/root/repo/.scratch/index_{slug}"
+        index_dir = f"{scratch_root()}/index_{slug}"
         docs = index_build.documents_with_title(spark, sf_dir)
         engine.build_index(docs, index_dir)
         _BUILT_INDEXES[sf_dir] = index_dir

@@ -40,8 +40,12 @@ def _median_udafs():
         # arithmetic DuckDB's median/quantile_cont performs, so the
         # oracle matches bit-for-bit after the shared round(6). dropna
         # mirrors SQL aggregate NULL-skipping (np.median would return
-        # NaN on any null).
-        return float(np.median(v.dropna().to_numpy()))
+        # NaN on any null); an all-null group yields NULL like SQL
+        # median, not NaN.
+        vals = v.dropna().to_numpy()
+        if len(vals) == 0:
+            return None
+        return float(np.median(vals))
 
     @pandas_udf("long")
     def count_agg(v: pd.Series) -> int:

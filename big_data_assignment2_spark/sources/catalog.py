@@ -45,6 +45,23 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracles agree exactly."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = _read_with_nanos_as_long(spark, f"{sf_dir}/events.parquet")
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _read_with_nanos_as_long(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with the nanos-as-long legacy conf scoped to the
+    (eager) schema resolution: the previous value is restored right after
+    ``spark.read``, so a caller session's later parquet reads keep their
+    own nanos behavior. The returned frame stays valid -- the converted
+    schema is baked into its relation at read time."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        return spark.read.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -26,9 +26,11 @@ from ..registry import Registry
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same nanos->micros handling as sources.catalog.load_events, on the
-    # streaming read path.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # streaming read path (conf scoped + restored there; the explicit
+    # schema below carries the long-typed ts into the stream source).
+    from ..sources.catalog import _read_with_nanos_as_long
+
+    schema = _read_with_nanos_as_long(spark, f"{sf_dir}/events.parquet").schema
     # The file source insists on a directory; point it at sf_dir and
     # glob-filter to the events file.
     stream = (
@@ -135,8 +137,14 @@ def _sessionize_fn(key, pdfs, state):
         else:
             last_us, n, total = ts_us, n + 1, total + v
     state.update((start_us, last_us, n, total))
-    # fire once the watermark passes the session's gap horizon (ms API)
-    state.setTimeoutTimestamp(last_us // 1000 + SESSION_GAP_S * 1000)
+    # Fire once the watermark reaches the session's gap horizon. The
+    # timeout API is ms and Spark fires only when watermark_ms is
+    # STRICTLY greater than the timestamp, while the oracle emits open
+    # sessions with horizon <= watermark (inclusive); setting
+    # horizon_ms - 1 makes Spark fire iff wm_ms >= horizon_ms, exactly
+    # the oracle's ms-floored inclusive comparison (watermark_ms is
+    # floor(max_event_us / 1000)).
+    state.setTimeoutTimestamp((last_us + gap_us) // 1000 - 1)
     if out:
         yield _pd.DataFrame(
             out, columns=["session_start_us", "user_id", "n_events", "sum_value"]
@@ -233,7 +241,10 @@ SELECT session_start_us, user_id, n_events, sum_value
 FROM sess CROSS JOIN wm
 WHERE EXISTS (SELECT 1 FROM sess s2
               WHERE s2.user_id = sess.user_id AND s2.session_id > sess.session_id)
-   OR sess.last_us + {SESSION_GAP_S} * 1000000 <= wm.max_us
+   -- ms-floored inclusive horizon check: Spark's timeout API is ms
+   -- resolution (watermark_ms = max_us // 1000), so the oracle compares
+   -- at the same resolution or exact-boundary sessions would diverge
+   OR (sess.last_us + {SESSION_GAP_S} * 1000000) // 1000 <= wm.max_us // 1000
 """
 
 

@@ -61,3 +61,59 @@ def test_dedup_state_spans_batches(spark, sf_dir, split_events_dir):
         .collect()
     }
     assert got == want  # no dup emitted twice across batches, none lost
+
+
+def test_sessionize_timeout_boundary(spark, tmp_path):
+    """Exact-horizon sessions: Spark's event-time timeout fires on a
+    STRICT watermark comparison at ms resolution, the oracle emits with an
+    inclusive <= -- the operator aligns them by registering the timeout at
+    horizon_ms - 1 and the oracle floors both sides to ms. Three
+    single-event users probe the boundary: horizon == max ts exactly
+    (emit), horizon 700us past max but same ms (emit -- ms-floor
+    semantics), horizon in the next ms (hold open, no emit)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_assignment2_spark.streaming import events_stream as es
+
+    gap_us = es.SESSION_GAP_S * 1_000_000
+    base_us = 1_700_000_000_000_000  # ms-aligned
+    max_us = base_us + gap_us  # the watermark-setting event (user 99)
+    rows = {
+        # user -> last event ts (us); horizon = ts + gap_us
+        1: base_us,  # horizon == max_us exactly -> emit
+        2: base_us + 700,  # horizon = max_us + 700us, same ms -> emit
+        3: base_us + 1_700,  # horizon in the next ms -> stays open
+        99: max_us,  # watermark setter; own horizon far out -> open
+    }
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array(list(rows), pa.int64()),
+            "value": pa.array([float(u) for u in rows], pa.float64()),
+            # timestamp('ns') -> parquet TIMESTAMP(NANOS), the same
+            # physical type as the driver's events.parquet
+            "ts": pa.array([t * 1000 for t in rows.values()], pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = {
+        tuple(r)
+        for r in es.streaming_sessionize(spark, str(tmp_path))
+        .select("session_start_us", "user_id", "n_events")
+        .collect()
+    }
+    assert got == {(base_us, 1, 1), (base_us + 700, 2, 1)}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT event_id, user_id, value,"
+        f" CAST(ts AS TIMESTAMP) AS ts FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    oracle = {
+        (r[0], r[1], r[2])
+        for r in con.execute(es.SQL_STREAM_SESSIONS).fetchall()
+    }
+    assert oracle == {(base_us, 1, 1), (base_us + 700, 2, 1)}

@@ -79,3 +79,21 @@ def test_bm25_flagship_shape(spark):
     assert scores == sorted(scores, reverse=True)
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
     # absent term ('zzz') must not crash or contribute (df=0 drop, P5)
+
+
+def test_documents_payloads_are_ascii(spark, sf_dir):
+    """The multimodal frame-sample oracle slices characters (DuckDB substr)
+    while the Spark side slices utf-8 bytes; they agree only while the
+    fixture text is pure ASCII (DuckDB cannot substr BLOBs, so a byte-level
+    oracle is not expressible). Assert the assumption so a non-ASCII
+    regeneration of testdata fails loudly here instead of as an opaque
+    value-hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment2_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    non_ascii = docs.where(
+        F.octet_length(F.encode("text", "utf-8")) != F.length("text")
+    ).count()
+    assert non_ascii == 0
