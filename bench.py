@@ -3,7 +3,15 @@
 JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+     "queries": {"q1_pricing_summary": sec, ...},
+     "builds": {"bm25_index": sec, ...}, "build_total": sec,
+     "query_total": sec, "sf": 0.1}
+
+One-time index/cache builds (persisted BM25 index, ANN cell index, doc
+export, reference-fixture cache fill) run in a separate build phase so
+per-query numbers track query latency, not build amortization; ``value``
+stays build_total + query_total, comparable with rounds that charged
+builds to the first query.
 
 Execution is forced with the `noop` sink (full plan runs, nothing collected
 to the driver), which is what a cluster deployment measures too.  A short
@@ -61,20 +69,46 @@ def main() -> None:
         .agg(_F.sum("w").alias("s"))
     )
 
+    # One-time builds, timed apart from the queries that use them.
+    builds: dict[str, float] = {}
+
+    def _build(label, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        builds[label] = round(time.perf_counter() - t0, 3)
+
+    from big_data_assignment2_spark.operators.search import ensure_persisted_index
+    from big_data_assignment2_spark.operators.similarity import ensure_ann_index
+    from big_data_assignment2_spark.sources.doc_export import ensure_exported
+
+    _build("bm25_index", lambda: ensure_persisted_index(spark, sf_dir))
+    _build("ann_index", lambda: ensure_ann_index(spark, sf_dir))
+    _build("doc_export", lambda: ensure_exported(spark, sf_dir))
+    if any(n.startswith("reference_bm25") for n in reg.queries):
+        from big_data_assignment2_spark.sources.reference_corpus import (
+            warm_reference_index,
+        )
+
+        _build("reference_cache", lambda: warm_reference_index(spark))
+
     timings: dict[str, float] = {}
     for name, q in reg.queries.items():
         t0 = time.perf_counter()
         _force(q.fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    build_total = round(sum(builds.values()), 3)
+    query_total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "total wall-clock, all registered queries, noop sink",
-                "value": total,
+                "metric": "total wall-clock, all registered queries + one-time builds, noop sink",
+                "value": round(build_total + query_total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "builds": builds,
+                "build_total": build_total,
+                "query_total": query_total,
                 "sf": sf,
             }
         )

@@ -64,6 +64,30 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduped corpus itself (what a pipeline actually feeds
+    downstream): keep the minimum doc_id of each exact-content group and
+    drop the rest. One exchange on the uniformly-distributed content
+    hash -- ``min() OVER (PARTITION BY hash)`` needs no sort and no
+    join-back, so this is strictly cheaper than groupBy+semi-join and
+    carries every document column through unchanged. Scale-safe for the
+    same reason ``dedup_exact`` is: hash keys don't skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    return (
+        docs.withColumn("keep", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("keep"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
+SQL_DEDUP_APPLY = """
+SELECT doc_id, text, lang, source, n_chars
+FROM (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM documents)
+WHERE doc_id = keep
+"""
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded (doc_id, shingle), stop-shingles removed.
 
@@ -238,6 +262,7 @@ FROM tf GROUP BY doc_id
 
 def register(reg: Registry) -> None:
     reg.add("dedup_exact", dedup_exact, SQL_DEDUP_EXACT, "exact md5 dedup groups")
+    reg.add("dedup_apply", dedup_apply, SQL_DEDUP_APPLY, "deduped corpus (kept docs)")
     reg.add("ngram_jaccard_pairs", ngram_jaccard_pairs, SQL_NGRAM_JACCARD, "exact 5-gram Jaccard pairs")
     reg.add("minhash_lsh_pairs", minhash_lsh_pairs, SQL_MINHASH_LSH, "MinHash-LSH verified pairs")
     reg.add("simhash", simhash, SQL_SIMHASH, "64-bit SimHash sketch per doc")

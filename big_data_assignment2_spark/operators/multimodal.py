@@ -134,9 +134,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled fixed-size byte chunk (every ``FRAME_STRIDE``-th frame) --
     the 1->N expansion shape of real video frame extraction, as a narrow
     ``mapInPandas`` with zero shuffle. A real decoder replaces the
-    byte-slice with actual frame decode; the md5-per-chunk keeps the stub
-    under the full value-hash gate (payloads are ASCII here, so the
-    oracle's character slices equal the byte slices)."""
+    byte-slice with actual frame decode; an md5-per-chunk keeps the stub
+    under the full value-hash gate. The fingerprint is md5 of the chunk's
+    UPPERCASE HEX (not the raw bytes): DuckDB's md5 only accepts VARCHAR,
+    so hashing the hex form is the one encoding both engines can compute
+    byte-exactly for ANY payload, including non-UTF8 binary and non-ASCII
+    text -- no character-slice == byte-slice assumption."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 3 == 2)  # the 'video' modality slice
@@ -156,9 +159,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_frames = (len(data) + frame_bytes - 1) // frame_bytes
                 for idx in range(0, n_frames, frame_stride):
                     chunk = data[idx * frame_bytes : (idx + 1) * frame_bytes]
-                    rows.append(
-                        (int(doc_id), idx, _hashlib.md5(chunk).hexdigest(), len(chunk))
-                    )
+                    fp = _hashlib.md5(chunk.hex().upper().encode()).hexdigest()
+                    rows.append((int(doc_id), idx, fp, len(chunk)))
             yield _pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "frame_md5", "frame_len"]
             )
@@ -170,17 +172,17 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_FRAME_SAMPLE = f"""
-WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+WITH v AS (SELECT doc_id, hex(encode(text)) AS h FROM documents WHERE doc_id % 3 = 2),
 idx AS (
-  SELECT doc_id, text,
-         unnest(range(0, (octet_length(encode(text)) + {FRAME_BYTES - 1}) // {FRAME_BYTES},
+  SELECT doc_id, h,
+         unnest(range(0, (length(h) // 2 + {FRAME_BYTES - 1}) // {FRAME_BYTES},
                       {FRAME_STRIDE})) AS frame_idx
   FROM v
 )
 SELECT doc_id, frame_idx,
-       md5(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5,
-       CAST(length(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS BIGINT)
-         AS frame_len
+       md5(substr(h, frame_idx * {2 * FRAME_BYTES} + 1, {2 * FRAME_BYTES})) AS frame_md5,
+       CAST(length(substr(h, frame_idx * {2 * FRAME_BYTES} + 1, {2 * FRAME_BYTES})) // 2
+            AS BIGINT) AS frame_len
 FROM idx
 """
 

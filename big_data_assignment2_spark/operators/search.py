@@ -147,15 +147,10 @@ FROM ranked
 _BUILT_INDEXES: dict[str, str] = {}
 
 
-def bm25_search_persisted(
-    spark: SparkSession,
-    sf_dir: str,
-    query: str = DEFAULT_QUERY,
-    k: int = DEFAULT_K,
-) -> DataFrame:
-    """Flagship over the **persisted** index: build_index() parquet tables
-    (term-bucket partition layout) then engine.search() with bucket-pruned
-    postings scan -- the reference's index.sh/search.sh split."""
+def ensure_persisted_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process) and return the persisted index dir for
+    *sf_dir* -- the one-time ``index.sh`` phase, separated so callers
+    (bench.py) can time build and query independently."""
     import re
 
     from .. import engine
@@ -167,7 +162,21 @@ def bm25_search_persisted(
         docs = index_build.documents_with_title(spark, sf_dir)
         engine.build_index(docs, index_dir)
         _BUILT_INDEXES[sf_dir] = index_dir
-    return engine.search(spark, _BUILT_INDEXES[sf_dir], query, k)
+    return _BUILT_INDEXES[sf_dir]
+
+
+def bm25_search_persisted(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = DEFAULT_QUERY,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Flagship over the **persisted** index: build_index() parquet tables
+    (term-bucket partition layout) then engine.search() with bucket-pruned
+    postings scan -- the reference's index.sh/search.sh split."""
+    from .. import engine
+
+    return engine.search(spark, ensure_persisted_index(spark, sf_dir), query, k)
 
 
 def register(reg: Registry) -> None:

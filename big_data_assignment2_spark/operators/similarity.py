@@ -131,7 +131,13 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k, multi-probe: candidates come from the query's
     random-hyperplane bucket OR any bucket one sign-bit away, then exact
     cosine ranks them. The 1-row query side broadcasts, so the Hamming
-    condition is a per-row predicate, not a shuffle."""
+    condition is a per-row predicate, not a shuffle.
+
+    Scale note: this form still SCANS every vector row and filters -- it
+    cuts cosine work, not I/O. The pruned scan lives in
+    :func:`ann_topk_persisted`, where the cell is a parquet partition
+    column and the probe set is a driver-side literal filter (directory
+    pruning, like the BM25 term buckets in ``engine.py``)."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "bucket", _bucket_col(F.col("embedding"))
     )
@@ -310,6 +316,127 @@ LIMIT {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Persisted ANN index: the IVF cell as a parquet partition column, so a
+# query physically prunes to its probe cells instead of scanning and
+# filtering -- the same layout engine.build_index gives the BM25 term
+# buckets (reference parity: Cassandra PRIMARY KEY (term, doc_id) pruning,
+# app/load_index.py:35-41, re-expressed for vectors).
+# ---------------------------------------------------------------------------
+
+
+def _cell_dots_py(vec: list[float], centroids: list[list[float]]) -> list[float]:
+    """Driver-side twin of :func:`_cell_dots`: the identical sequential
+    double fold (acc + x*y in index order), so the probe-cell choice is
+    bit-identical to the cell the executor assigned at build time."""
+    out = []
+    for c in centroids:
+        acc = 0.0
+        for x, y in zip(vec, c):
+            acc = acc + float(x) * y
+        out.append(acc)
+    return out
+
+
+def probe_cells_py(vec: list[float], centroids: list[list[float]], n_probe: int = N_PROBE) -> list[int]:
+    """1-based probe cells for a query vector, mirroring the Column form:
+    first position of the max dot, then of the max among values != max
+    (``array_position`` / ``array_remove`` semantics)."""
+    d = _cell_dots_py(vec, centroids)
+    cells = []
+    remaining = list(d)
+    for _ in range(min(n_probe, len(d))):
+        m = max(remaining)
+        cells.append(d.index(m) + 1)
+        remaining = [x for x in remaining if x != m]
+        if not remaining:
+            break
+    return cells
+
+
+def build_ann_index(emb: DataFrame, index_dir: str) -> None:
+    """Materialize the embeddings table partitioned by IVF cell.
+
+    One shuffle keyed by the partition column so each cell directory gets
+    one writer task; the centroids are persisted alongside as the index's
+    meta table (the cell function is part of the layout -- a build/search
+    centroid mismatch would silently probe the wrong directories). At
+    100 TB the cell count scales with table size; each query still reads
+    only ``N_PROBE`` directories."""
+    spark = emb.sparkSession
+    (
+        emb.withColumn("d", _cell_dots("embedding"))
+        .withColumn("cell", F.array_position(F.col("d"), F.array_max("d")))
+        .drop("d")
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_dir}/vectors")
+    )
+    meta = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(CENTROIDS)], "cell_idx int, centroid array<double>"
+    )
+    meta.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
+_BUILT_ANN: dict[str, str] = {}  # in-process memo, never trusted across runs
+
+
+def ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process) and return the cell-partitioned ANN index
+    dir -- separated from the query so bench.py times build vs search."""
+    if sf_dir not in _BUILT_ANN:
+        import re
+
+        from ._util import scratch_root
+
+        slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+        index_dir = f"{scratch_root()}/ann_{slug}"
+        build_ann_index(load_table(spark, sf_dir, "embeddings"), index_dir)
+        _BUILT_ANN[sf_dir] = index_dir
+    return _BUILT_ANN[sf_dir]
+
+
+def ann_topk_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over the **persisted** cell-partitioned index: the probe
+    cells are computed driver-side from the persisted centroids and the
+    1-row query vector, then applied as a literal filter on the parquet
+    partition column -- the scan touches ~N_PROBE/N_CELLS of the
+    directories (``PartitionFilters`` in the plan, asserted in
+    tests/test_plans.py) instead of reading every vector the way
+    ``ann_topk_lsh``/``ann_topk_ivf`` do. Semantics identical to
+    :func:`ann_topk_ivf`, so they share an oracle."""
+    index_dir = ensure_ann_index(spark, sf_dir)
+
+    centroids = [
+        list(r["centroid"])
+        for r in sorted(
+            spark.read.parquet(f"{index_dir}/centroids").collect(),
+            key=lambda r: r["cell_idx"],
+        )
+    ]
+    qvec = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == QUERY_VEC_ID)  # pushed-down point lookup
+        .select("embedding")
+        .head()["embedding"]
+    )
+    probes = probe_cells_py(list(qvec), centroids)
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    vectors = spark.read.parquet(f"{index_dir}/vectors")
+    return (
+        vectors.where(F.col("cell").isin(probes))  # partition-directory pruning
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), qlit), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 def embedding_neardup_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = NEARDUP_T
 ) -> DataFrame:
@@ -363,10 +490,101 @@ WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) >= {NEARDUP_T}
 """
 
 
+N_BANDS = 2  # 2 bands x 4 hyperplane sign-bits each
+
+
+def _band_exprs():
+    """The banded signature keys: '0:<bits 1-4>', '1:<bits 5-8>'. The band
+    index prefix keeps keys from different bands in disjoint join
+    keyspaces."""
+    width = N_PLANES // N_BANDS
+    return [
+        F.concat(F.lit(f"{i}:"), F.substring("bucket", i * width + 1, width))
+        for i in range(N_BANDS)
+    ]
+
+
+def embedding_neardup_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = NEARDUP_T
+) -> DataFrame:
+    """Sub-quadratic near-dup pairs: the scale path that
+    :func:`embedding_neardup_pairs` (exact, O(n^2) compute) is the
+    baseline for -- the same exact/LSH split as ngram_jaccard_pairs vs
+    minhash_lsh_pairs on the text side.
+
+    Candidates come from a self-join on banded random-hyperplane
+    signatures (2 bands x 4 sign-bits: two vectors collide iff some band
+    matches exactly, ~0.9 recall at cosine 0.95), so join fan-out is
+    bounded by band-bucket occupancy, linear-ish in n, never all-pairs.
+    Candidates are then verified with the EXACT cosine, so precision is 1:
+    the result is a subset of the exact operator's pairs (recall property
+    tested in tests/test_dedup_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _bucket_col(F.col("embedding")).alias("bucket")
+    )
+    banded = emb.select("vec_id", F.explode(F.array(*_band_exprs())).alias("band"))
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band")) & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    sim = F.round(cosine("ea", "eb"), 6)
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def _sql_neardup_lsh() -> str:
+    width = N_PLANES // N_BANDS
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT vec_id, '{i}:' || substr(bucket, {i * width + 1}, {width}) AS band FROM emb"
+        for i in range(N_BANDS)
+    )
+    sim = f"round({sql_cosine('a.embedding', 'b.embedding')}, 6)"
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket FROM embeddings
+),
+banded AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.vec_id < y.vec_id
+)
+SELECT vec_a, vec_b, {sim} AS cos_sim
+FROM cand
+JOIN embeddings a ON a.vec_id = vec_a
+JOIN embeddings b ON b.vec_id = vec_b
+WHERE {sim} >= {NEARDUP_T}
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("ann_topk_bruteforce", ann_topk_bruteforce, SQL_ANN_BRUTE, "exact cosine top-k")
     reg.add("ann_topk_lsh", ann_topk_lsh, SQL_ANN_LSH, "LSH-bucketed approx top-k")
     reg.add("ann_topk_ivf", ann_topk_ivf, SQL_ANN_IVF, "IVF 2-probe approx top-k")
     reg.add(
+        "ann_topk_persisted",
+        ann_topk_persisted,
+        SQL_ANN_IVF,  # identical semantics to ann_topk_ivf, shared oracle
+        "IVF top-k over persisted cell-partitioned index (pruned scan)",
+    )
+    reg.add(
         "embedding_neardup_pairs", embedding_neardup_pairs, SQL_NEARDUP, "cosine>=0.95 pairs"
+    )
+    reg.add(
+        "embedding_neardup_lsh",
+        embedding_neardup_lsh,
+        _sql_neardup_lsh(),
+        "LSH-prefiltered cosine>=0.95 pairs (sub-quadratic)",
     )

@@ -118,7 +118,7 @@ def build_registry() -> Registry:
         textstats,
         windows,
     )
-    from .sources import partitioned_sink, reference_corpus
+    from .sources import doc_export, partitioned_sink, reference_corpus
     from .streaming import events_stream
 
     reg = Registry()
@@ -137,6 +137,7 @@ def build_registry() -> Registry:
         events_stream,
         reference_corpus,
         partitioned_sink,
+        doc_export,
     ):
         mod.register(reg)
     ordered: dict[str, Query] = {}

@@ -1,0 +1,110 @@
+"""S4: physical per-document file export -- one ``<doc_id>_<safe_title>.txt``
+file per document, holding its cleaned text.
+
+The reference does this with a driver-side loop: ``collect()`` every
+document, write a local file, shell out to ``hdfs dfs -put`` per doc
+(``app/prepare_data.py:36-50``). Here the writes happen **inside the
+executors** via ``foreachPartition`` -- no driver collect, no per-file
+subprocess, and the write parallelism is the DataFrame's partitioning. On a
+cluster, point ``out_dir`` at a shared filesystem (NFS / fuse-mounted
+object store), or swap ``open()`` for ``pyarrow.fs`` to target HDFS/S3
+directly; the operator shape is identical.
+
+The registered query is the full roundtrip: export to a scratch directory,
+read the files back (wholetext source), and return per-file
+``(doc_id, filename, content_md5, n_chars)`` -- which the DuckDB oracle
+recomputes from the ``documents`` table alone, so a missing, misnamed, or
+corrupted file is a value-hash mismatch, not just a count drift.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import SQL_CLEAN_TEXT, clean_text, safe_filename
+from ..operators.index_build import documents_with_title
+from ..registry import Registry
+
+
+def export_documents(docs: DataFrame, out_dir: str) -> None:
+    """Write one text file per document (columns ``doc_id, title, text``)
+    under *out_dir*, named ``<doc_id>_<safe_title>.txt`` and containing the
+    cleaned text -- the reference's export, distributed."""
+    rows = docs.select(
+        F.concat(
+            F.col("doc_id"), F.lit("_"), safe_filename("title"), F.lit(".txt")
+        ).alias("filename"),
+        clean_text("text").alias("content"),
+    )
+
+    def write_partition(it) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        for r in it:
+            with open(os.path.join(out_dir, r["filename"]), "w", encoding="utf-8") as f:
+                f.write(r["content"] or "")
+
+    rows.foreachPartition(write_partition)
+
+
+_EXPORTED: dict[str, str] = {}  # in-process memo of completed exports
+
+
+def ensure_exported(spark: SparkSession, sf_dir: str) -> str:
+    """Run the export (once per process) and return its directory --
+    separated from the read-back so bench.py times write vs read."""
+    import re
+    import shutil
+
+    from ..operators._util import scratch_root
+
+    if sf_dir not in _EXPORTED:
+        slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+        out_dir = f"{scratch_root()}/docs_{slug}"
+        shutil.rmtree(out_dir, ignore_errors=True)  # no stale files from prior runs
+        export_documents(documents_with_title(spark, sf_dir), out_dir)
+        _EXPORTED[sf_dir] = out_dir
+    return _EXPORTED[sf_dir]
+
+
+def doc_file_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export + read-back roundtrip over the ``documents`` table."""
+    out_dir = ensure_exported(spark, sf_dir)
+
+    raw = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(f"{out_dir}/*.txt")
+        .select(F.input_file_name().alias("path"), F.col("value").alias("content"))
+    )
+    base = F.regexp_extract("path", r"([^/]+)\.txt$", 1)
+    return raw.select(
+        F.regexp_extract(base, r"^(\d+)_", 1).alias("doc_id"),
+        F.concat(base, F.lit(".txt")).alias("filename"),
+        F.md5(F.encode("content", "utf-8")).alias("content_md5"),
+        F.length("content").cast("long").alias("n_chars"),
+    )
+
+
+_CLEAN = SQL_CLEAN_TEXT.format(col="text")
+
+SQL_DOC_FILE_EXPORT = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(doc_id AS VARCHAR) || '_' ||
+       substr(regexp_replace('doc_' || CAST(doc_id AS VARCHAR), '[^A-Za-z0-9]+', '_', 'g'), 1, 50)
+       || '.txt' AS filename,
+       md5({_CLEAN}) AS content_md5,
+       CAST(length({_CLEAN}) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def register(reg: Registry) -> None:
+    reg.add(
+        "doc_file_export",
+        doc_file_export,
+        SQL_DOC_FILE_EXPORT,
+        "S4 per-document .txt export + read-back roundtrip",
+    )

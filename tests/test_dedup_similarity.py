@@ -182,3 +182,56 @@ def test_neardup_kernel_empty_and_diagonal_cells():
     )
     out = fn(diag)
     assert list(out["vec_a"]) == [1] and list(out["vec_b"]) == [2]
+
+
+@pytest.fixture(scope="module")
+def neardup_vectors(spark, tmp_path_factory):
+    """40 unit vectors, the first 15 each with a planted perturbed copy at
+    cosine ~0.96-0.99 -- so exact near-dup pairs are known to exist (the
+    driver's random embeddings have none at 0.95)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows, vid = [], 0
+    for i in range(40):
+        v = rng.normal(size=64)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v.astype(np.float32)], 0))
+        a = vid
+        vid += 1
+        if i < 15:
+            w = v + rng.normal(size=64) * (0.015 + 0.0015 * i)
+            w /= np.linalg.norm(w)
+            rows.append((vid, [float(x) for x in w.astype(np.float32)], 1))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = tmp_path_factory.mktemp("neardup_vecs")
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return str(d)
+
+
+def test_neardup_lsh_subset_and_recall(spark, neardup_vectors):
+    """The LSH near-dup path must return a strict subset of the exact
+    operator's pairs (precision 1 -- candidates are verified with the
+    exact cosine) at usable recall (banded 2x4 sign-bits ~0.9 expected at
+    cosine 0.95; everything is seeded/deterministic, so the observed
+    recall is a fixed number and the bound is stable)."""
+    from big_data_assignment2_spark.operators.similarity import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in embedding_neardup_pairs(spark, neardup_vectors).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in embedding_neardup_lsh(spark, neardup_vectors).collect()
+    }
+    assert len(exact) >= 10, "fixture must plant real near-dup pairs"
+    assert set(lsh).issubset(set(exact))  # precision 1: verified candidates
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]  # identical exact cosine values
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.6, f"recall {recall:.2f} over {len(exact)} exact pairs"

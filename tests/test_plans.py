@@ -134,6 +134,20 @@ def test_partitioned_read_prunes(spark, sf_dir):
     assert "isnotnull(event_type" in plan and "purchase" in plan, plan
 
 
+def test_ann_persisted_prunes_cells(spark, sf_dir):
+    """The persisted ANN scan must prune cell directories (probe cells as
+    PartitionFilters), not read every vector and filter -- the fix for the
+    full-scan-with-filter shape of the in-memory LSH/IVF variants."""
+    from big_data_assignment2_spark.operators.similarity import ann_topk_persisted
+    from big_data_assignment2_spark.plans.audit import explain_formatted
+
+    df = ann_topk_persisted(spark, sf_dir)
+    plan = explain_formatted(df)
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines, plan
+    assert any("cell" in l and " IN " in l for l in pf_lines), pf_lines
+
+
 def test_simhash_single_exchange(spark, sf_dir):
     """simhash claims exactly one shuffle (votes sum directly over token
     rows, no tf pre-aggregation) -- hold it to that."""
