@@ -38,6 +38,35 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def make_cosine_pd():
+    """Arrow-batched numpy cosine ``(array, array) -> double`` -- the fast
+    path for BULK pair verification (LSH candidate sets), where the
+    interpreted ``aggregate``/``zip_with`` fold costs ~40us per 64-dim
+    pair and the vectorized kernel ~0.2us. Same double-precision math;
+    numpy's pairwise summation differs from the sequential fold only in
+    final ulps, absorbed by the shared round-to-6 (the same argument the
+    blocked near-dup kernel relies on). Built lazily: parsing the return
+    type needs an active session."""
+    from pyspark.sql.functions import pandas_udf
+
+    def cos(ea, eb):
+        import numpy as np
+        import pandas as pd
+
+        if len(ea) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in ea])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in eb])
+        num = (A * B).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        out = np.divide(num, den, out=np.zeros_like(num), where=den != 0.0)
+        return pd.Series(out)
+
+    # no type hints: under ``from __future__ import annotations`` they
+    # stringify and break eval-type inference; SCALAR is the default.
+    return pandas_udf(cos, "double")
+
+
 # DuckDB twins. list_dot_product on DOUBLE[] accumulates in double; tiny
 # last-ulp ordering differences vs the Spark fold are absorbed by the
 # round-to-6-decimals both engines apply before comparison.

@@ -260,9 +260,92 @@ FROM tf GROUP BY doc_id
 """
 
 
+MAX_CC_ITERS = 20  # safety cap; real convergence = near-dup cluster diameter
+
+
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pairs: the step
+    that turns *pairs* into dedup *groups* (A~B and B~C must collapse to
+    one kept document even when A~C was never emitted as a pair).
+
+    Iterative min-label propagation, the standard distributed CC shape
+    (GraphX/Pregel semantics without the RDD API): every node starts as
+    its own component; each round, a node's label becomes the min of its
+    own and its neighbors' labels; stop when a round changes nothing.
+    Rounds needed = max component diameter -- for near-dup clusters that
+    is small (a handful), so this is a few shuffle-join rounds, each one
+    exchange on ``src`` plus one partial-aggregated ``groupBy(dst).min``
+    (algebraic, so a giant component's hot key is absorbed map-side). The
+    edge list is ``localCheckpoint``-ed once so the LSH pipeline is not
+    re-run per round, and each round's labels are checkpointed to truncate
+    the growing lineage. For adversarially long chains at 100 TB the
+    two-phase large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") converges in O(log n) rounds with
+    the same per-round primitives.
+
+    Convergence is detected with ``sum(comp)``: labels only ever decrease,
+    so an unchanged sum means a fixpoint -- one cheap aggregate per round
+    instead of an old-vs-new join.
+
+    Output: (doc_id, component_id) for EVERY document (singletons map to
+    themselves); component_id = min doc_id in the component. The DuckDB
+    oracle computes the same fixpoint as a recursive CTE."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    edges = edges.localCheckpoint()  # materialize once; rounds re-join this
+
+    labels = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("comp"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    for _ in range(MAX_CC_ITERS):
+        nbr = (
+            edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("doc_id", F.col("comp").alias("component_id"))
+
+
+SQL_NEARDUP_COMPONENTS = f"""
+WITH RECURSIVE
+pairs AS ({SQL_MINHASH_LSH}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(doc_id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.doc_id
+)
+SELECT doc_id, min(comp) AS component_id FROM reach GROUP BY doc_id
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("dedup_exact", dedup_exact, SQL_DEDUP_EXACT, "exact md5 dedup groups")
     reg.add("dedup_apply", dedup_apply, SQL_DEDUP_APPLY, "deduped corpus (kept docs)")
     reg.add("ngram_jaccard_pairs", ngram_jaccard_pairs, SQL_NGRAM_JACCARD, "exact 5-gram Jaccard pairs")
     reg.add("minhash_lsh_pairs", minhash_lsh_pairs, SQL_MINHASH_LSH, "MinHash-LSH verified pairs")
+    reg.add(
+        "neardup_components",
+        neardup_components,
+        SQL_NEARDUP_COMPONENTS,
+        "connected components over LSH pairs (iterative label propagation)",
+    )
     reg.add("simhash", simhash, SQL_SIMHASH, "64-bit SimHash sketch per doc")

@@ -490,16 +490,44 @@ WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) >= {NEARDUP_T}
 """
 
 
-N_BANDS = 2  # 2 bands x 4 hyperplane sign-bits each
+N_BANDS = 4  # 4 bands x 8 hyperplane sign-bits each
+BAND_BITS = 8
+# Independent, wider signature for near-dup banding (the 8-plane ann
+# bucket is too coarse here: 4-bit bands put ~n/16 vectors in each band
+# key, which is 12% of ALL pairs as candidates at n=2000. 8-bit bands cut
+# occupancy 16x -- ~9x fewer candidates -- while FOUR bands lift recall at
+# cosine .95 to 1-(1-.899^8)^4 ~ 0.89, better than the 2x4 layout's 0.9^4
+# single-probe story on both axes).
+_ndrng = random.Random(20240814)
+NEARDUP_HYPERPLANES: list[list[float]] = [
+    [round(_ndrng.gauss(0.0, 1.0), 6) for _ in range(DIM)]
+    for _ in range(N_BANDS * BAND_BITS)
+]
+
+
+def _neardup_bucket_col(vec) -> F.Column:
+    bits = [
+        F.when(dot(vec, _plane_lit(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in NEARDUP_HYPERPLANES
+    ]
+    return F.concat(*bits)
+
+
+def _sql_neardup_bucket(vec_expr: str) -> str:
+    bits = [
+        f"(CASE WHEN {SQL_DOT.format(a=vec_expr, b=_sql_plane(p))} >= 0"
+        f" THEN '1' ELSE '0' END)"
+        for p in NEARDUP_HYPERPLANES
+    ]
+    return " || ".join(bits)
 
 
 def _band_exprs():
-    """The banded signature keys: '0:<bits 1-4>', '1:<bits 5-8>'. The band
-    index prefix keeps keys from different bands in disjoint join
+    """The banded signature keys: '0:<bits 1-8>', '1:<bits 9-16>', ... The
+    band index prefix keeps keys from different bands in disjoint join
     keyspaces."""
-    width = N_PLANES // N_BANDS
     return [
-        F.concat(F.lit(f"{i}:"), F.substring("bucket", i * width + 1, width))
+        F.concat(F.lit(f"{i}:"), F.substring("bucket", i * BAND_BITS + 1, BAND_BITS))
         for i in range(N_BANDS)
     ]
 
@@ -513,16 +541,27 @@ def embedding_neardup_lsh(
     minhash_lsh_pairs on the text side.
 
     Candidates come from a self-join on banded random-hyperplane
-    signatures (2 bands x 4 sign-bits: two vectors collide iff some band
-    matches exactly, ~0.9 recall at cosine 0.95), so join fan-out is
-    bounded by band-bucket occupancy, linear-ish in n, never all-pairs.
-    Candidates are then verified with the EXACT cosine, so precision is 1:
-    the result is a subset of the exact operator's pairs (recall property
-    tested in tests/test_dedup_similarity.py)."""
+    signatures (4 bands x 8 sign-bits: two vectors collide iff some band
+    matches exactly, ~0.89 recall at cosine 0.95 and higher above), so
+    join fan-out is bounded by band-bucket occupancy (~n/256 per band
+    key), linear-ish in n, never all-pairs.
+    Candidates are then verified with the EXACT cosine -- through the
+    Arrow-batched numpy kernel (:func:`make_cosine_pd`), since the
+    candidate set is bulk work where the interpreted Column fold would
+    dominate the runtime ~10x -- so precision is 1: the result is a
+    subset of the exact operator's pairs (recall property tested in
+    tests/test_dedup_similarity.py)."""
+    from ..functions.vectors import make_cosine_pd
+
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _bucket_col(F.col("embedding")).alias("bucket")
+        "vec_id", "embedding", _neardup_bucket_col(F.col("embedding")).alias("bucket")
     )
-    banded = emb.select("vec_id", F.explode(F.array(*_band_exprs())).alias("band"))
+    # materialized once: the self-join would otherwise evaluate the 32
+    # interpreted sign-bit dots per row on BOTH sides (the expensive
+    # projection here); the banded key set is tiny (n x N_BANDS rows)
+    banded = emb.select(
+        "vec_id", F.explode(F.array(*_band_exprs())).alias("band")
+    ).localCheckpoint()
     cand = (
         banded.alias("x")
         .join(
@@ -534,25 +573,27 @@ def embedding_neardup_lsh(
     )
     va = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    sim = F.round(cosine("ea", "eb"), 6)
+    # asNondeterministic stops the optimizer pushing the threshold filter
+    # beneath the projection, which would evaluate the Arrow UDF twice
+    cos_pd = make_cosine_pd().asNondeterministic()
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
-        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .select("vec_a", "vec_b", F.round(cos_pd("ea", "eb"), 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
 
 
 def _sql_neardup_lsh() -> str:
-    width = N_PLANES // N_BANDS
     band_selects = "\n  UNION ALL ".join(
-        f"SELECT vec_id, '{i}:' || substr(bucket, {i * width + 1}, {width}) AS band FROM emb"
+        f"SELECT vec_id, '{i}:' || substr(bucket, {i * BAND_BITS + 1}, {BAND_BITS})"
+        f" AS band FROM emb"
         for i in range(N_BANDS)
     )
     sim = f"round({sql_cosine('a.embedding', 'b.embedding')}, 6)"
     return f"""
 WITH emb AS (
-  SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket FROM embeddings
+  SELECT vec_id, embedding, {_sql_neardup_bucket('embedding')} AS bucket FROM embeddings
 ),
 banded AS (
   {band_selects}

@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_topk_persisted",
     "embedding_neardup_lsh",
     "doc_file_export",
+    "neardup_components",
     # --- flagships + one representative per family ---
     "bm25_search",
     "bm25_search_persisted",

@@ -235,3 +235,32 @@ def test_neardup_lsh_subset_and_recall(spark, neardup_vectors):
         assert cos == exact[pair]  # identical exact cosine values
     recall = len(lsh) / len(exact)
     assert recall >= 0.6, f"recall {recall:.2f} over {len(exact)} exact pairs"
+
+
+def test_neardup_components_closure(spark, sf_dir):
+    """Every LSH pair's endpoints must land in one component, every
+    component id must be the min doc_id of its member set, and docs in no
+    pair must stay singletons."""
+    from big_data_assignment2_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        neardup_components,
+    )
+
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in neardup_components(spark, sf_dir).collect()
+    }
+    pairs = [
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(spark, sf_dir).collect()
+    ]
+    for a, b in pairs:
+        assert comp[a] == comp[b], (a, b)
+    members: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        members.setdefault(c, []).append(d)
+    for c, ds in members.items():
+        assert c == min(ds)
+    paired = {d for p in pairs for d in p}
+    for d in comp:
+        if d not in paired:
+            assert comp[d] == d
