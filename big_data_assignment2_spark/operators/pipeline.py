@@ -1,0 +1,174 @@
+"""Corpus-shaping operators: the steps between raw documents and a
+training set -- quality filtering, deterministic sampling, and
+context-window chunking.
+
+These close the loop the per-doc feature operators (``textstats.py``)
+open: features -> *apply* the policy and hand back a corpus. All three are
+narrow per-row transforms (zero shuffle, trivially parallel at 100 TB),
+pure Column expressions, each with an exact DuckDB oracle.
+
+Design rules these encode for scale:
+
+- **Filters are plain predicates** over already-defined feature
+  expressions -- no materialized intermediate "scores table" to join back
+  (that's a shuffle a 100 TB pipeline doesn't need to pay).
+- **Sampling is content-hash-based, never random()**: reproducible across
+  retries, executors, and engines; the keep/drop decision of any document
+  is a pure function of its id, so reruns and incremental loads agree --
+  the standard trick for train/eval splits and down-sampling in LLM data
+  pipelines. ``TABLESAMPLE``/``F.rand`` give none of those guarantees.
+- **Chunking is a 1->N narrow expansion** (sequence + slice in one
+  projection), the same shape as ``multimodal_frame_sample`` but at token
+  granularity with overlap -- what context-window packing actually does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import SQL_TOKENS, tokens
+from ..registry import Registry
+from ..sources.catalog import load_table
+from .textstats import _sql_text_quality, text_quality
+
+# quality_filter_apply policy (chosen to keep a non-trivial subset of the
+# synthetic corpus while exercising every feature column)
+MIN_TOKENS = 20
+MAX_PUNCT_RATIO = 0.10
+MIN_QUALITY = 0.5
+
+# sample_stratified: per-stratum keep-rate in percent
+SAMPLE_PCT = 30
+
+# doc_chunks: context-window size/stride in tokens (16-token overlap)
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def quality_filter_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-filtered corpus: ``text_quality`` features computed and
+    the keep-policy applied in one narrow pass (predicates on the feature
+    expressions themselves -- no scores-table join-back)."""
+    q = text_quality(spark, sf_dir)
+    return q.where(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("punct_ratio") <= MAX_PUNCT_RATIO)
+        & (F.col("quality_score") >= MIN_QUALITY)
+    )
+
+
+def _sql_quality_filter() -> str:
+    return f"""
+SELECT * FROM ({_sql_text_quality()})
+WHERE n_tokens >= {MIN_TOKENS}
+  AND punct_ratio <= {MAX_PUNCT_RATIO}
+  AND quality_score >= {MIN_QUALITY}
+"""
+
+
+def _hash_pct(col) -> F.Column:
+    """Deterministic [0, 100) bucket from the md5 of a key column -- the
+    first 8 hex chars as an integer, mod 100. Bit-identical in DuckDB
+    (same ``'0x' || substr(md5(..))`` trick as the multimodal stub)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+
+
+def _sql_hash_pct(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {PCT}% sample of every (lang, source) stratum: a doc
+    is kept iff ``hash(doc_id) % 100 < PCT``. Per-stratum rates stay
+    proportional because the hash is independent of the strata; the
+    decision is reproducible (pure function of doc_id) and consistent
+    across engines, reruns and incremental arrivals -- none of which
+    ``F.rand``/``TABLESAMPLE`` guarantee. Narrow: a filter, no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        _hash_pct(F.col("doc_id")).alias("hash_bucket"),
+    ).where(F.col("hash_bucket") < SAMPLE_PCT)
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, source, n_chars,
+       {_sql_hash_pct('doc_id')} AS hash_bucket
+FROM documents
+WHERE {_sql_hash_pct('doc_id')} < {SAMPLE_PCT}
+"""
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each document's token array split into
+    {CHUNK_TOKENS}-token windows every {CHUNK_STRIDE} tokens (16-token
+    overlap), emitted one row per chunk with its re-joined text. The 1->N
+    expansion is ``explode(sequence(..))`` + ``slice`` in a single
+    projection -- narrow, no Python, no shuffle; the chunk count per doc
+    is ``floor((n_tokens-1)/stride)+1``."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    n = F.size("toks")
+    chunked = docs.where(n > 0).select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((n - 1) / CHUNK_STRIDE).cast("int"))
+        ).alias("chunk_idx"),
+    )
+    piece = F.slice("toks", F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def _sql_doc_chunks() -> str:
+    toks = SQL_TOKENS.format(col="text")
+    piece = (
+        f"toks[chunk_idx * {CHUNK_STRIDE} + 1 :"
+        f" chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}]"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, (len(toks) - 1) // {CHUNK_STRIDE} + 1)) AS chunk_idx
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len({piece}) AS BIGINT) AS n_chunk_tokens,
+       array_to_string({piece}, ' ') AS chunk_text
+FROM idx
+"""
+
+
+def register(reg: Registry) -> None:
+    reg.add(
+        "quality_filter_apply",
+        quality_filter_apply,
+        _sql_quality_filter(),
+        "quality policy applied: the kept corpus with its features",
+    )
+    reg.add(
+        "sample_stratified",
+        sample_stratified,
+        SQL_SAMPLE_STRATIFIED,
+        "deterministic hash-based per-stratum sample",
+    )
+    reg.add(
+        "doc_chunks",
+        doc_chunks,
+        _sql_doc_chunks(),
+        "token context-window chunking (1->N, overlapping)",
+    )

@@ -84,6 +84,9 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_neardup_lsh",
     "doc_file_export",
     "neardup_components",
+    "quality_filter_apply",
+    "sample_stratified",
+    "doc_chunks",
     # --- flagships + one representative per family ---
     "bm25_search",
     "bm25_search_persisted",
@@ -110,6 +113,7 @@ def build_registry() -> Registry:
         dedup,
         index_build,
         multimodal,
+        pipeline,
         relational,
         search,
         similarity,
@@ -135,6 +139,7 @@ def build_registry() -> Registry:
         skew,
         udx,
         multimodal,
+        pipeline,
         events_stream,
         reference_corpus,
         partitioned_sink,
