@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..registry import Registry
 from ..sources.catalog import load_table
-from ._util import dsum, epoch, ntz_lit, sql_davg, sql_dsum, sql_ts
+from ._util import davg, dsum, epoch, ntz_lit, sql_davg, sql_dsum, sql_ts
 
 # Filter cutoffs as ISO wall-clock instants: filters compare the NTZ
 # timestamp column to an NTZ literal directly so the predicate pushes down
@@ -583,6 +583,239 @@ SELECT o_custkey, 'only_high' AS bucket FROM (
 """
 
 
+# --- Q7-style: bi-nation volume shipping by year ------------------------------
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_LO = "1996-01-01 00:00:00"
+Q7_HI = "1999-01-01 00:00:00"
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations per ship year.
+    Two broadcast copies of the nation dim (supplier-side and
+    customer-side roles) and a disjunctive (A->B or B->A) pair filter;
+    the year is extracted from the NTZ column AFTER the pushdown-friendly
+    range filter. (`partsupp`/address columns absent from the synthetic
+    schema; semantics otherwise Q7's.)"""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ntz_lit(Q7_LO)) & (F.col("l_shipdate") < ntz_lit(Q7_HI))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair_ok = (
+        (F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B)
+    ) | ((F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), sup.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .where(pair_ok)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("volume"))
+    )
+
+
+SQL_Q7 = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {sql_dsum('volume', 4)} AS volume
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= {sql_ts(Q7_LO)} AND l_shipdate < {sql_ts(Q7_HI)}
+    AND ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+      OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- Q10-style: returned-item reporting (top 20 customers) --------------------
+
+Q10_LO = "1996-01-01 00:00:00"
+Q10_HI = "1997-01-01 00:00:00"
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer in a quarter
+    band, top 20. Fact-fact join shuffles once on orderkey; customer and
+    nation broadcast; top-k is TakeOrderedAndProject with a unique
+    tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ntz_lit(Q10_LO)) & (F.col("o_orderdate") < ntz_lit(Q10_HI))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_Q10 = f"""
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= {sql_ts(Q10_LO)} AND o_orderdate < {sql_ts(Q10_HI)}
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --- Q15-style: top supplier (argmax via scalar subquery) ---------------------
+
+Q15_LO = "1996-01-01 00:00:00"
+Q15_HI = "1996-04-01 00:00:00"
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose quarterly revenue equals the
+    global maximum -- an argmax as aggregate + scalar-subquery filter.
+    The 1-row max broadcasts (J3 pattern); equality on the exact decimal
+    sum is engine-stable so ties emit identically everywhere."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ntz_lit(Q15_LO)) & (F.col("l_shipdate") < ntz_lit(Q15_HI))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("total_revenue")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+SQL_Q15 = f"""
+WITH rev AS (
+  SELECT l_suppkey, {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= {sql_ts(Q15_LO)} AND l_shipdate < {sql_ts(Q15_HI)}
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+# --- Q19-style: disjunctive predicate pushdown --------------------------------
+
+
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a disjunction of (brand, size-range,
+    quantity-range) conjuncts across a broadcast fact-dim join. Catalyst
+    extracts the common sub-predicates and pushes the part-side and
+    lineitem-side halves below the join -- the classic OR-predicate
+    pushdown stress test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_Q19 = f"""
+SELECT {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --- Q22-style: idle high-balance customers -----------------------------------
+
+
+Q22_RECENT = "2000-01-01 00:00:00"
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance and
+    no RECENT orders, counted per nation -- a scalar aggregate subquery
+    (1-row broadcast) feeding a left-anti join whose right side is
+    pre-filtered by a pushdown-friendly date predicate. (The synthetic
+    schema has no phone column, and every customer has *some* order, so
+    nationkey stands in for the country-code grouping and recency for
+    order-lessness.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0.0)
+        .agg(F.round(davg(F.col("c_acctbal"), 6), 6).alias("avg_bal"))
+    )
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= ntz_lit(Q22_RECENT)
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dsum(F.col("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+SQL_Q22 = f"""
+SELECT c_nationkey, count(*) AS numcust, {sql_dsum('c_acctbal', 2)} AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT round({sql_davg('c_acctbal', 6)}, 6)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= {sql_ts(Q22_RECENT)})
+GROUP BY c_nationkey
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("q1_pricing_summary", q1_pricing_summary, SQL_Q1, "TPC-H Q1 style groupBy+8 aggs")
     reg.add("q3_shipping_priority", q3_shipping_priority, SQL_Q3, "3-way join + agg + top-k")
@@ -605,3 +838,8 @@ def register(reg: Registry) -> None:
     reg.add("grouping_sets_agg", grouping_sets_agg, SQL_GROUPING_SETS, "explicit grouping sets + gid")
     reg.add("percentiles_by_flag", percentiles_by_flag, SQL_PERCENTILES, "exact discrete quantiles")
     reg.add("intersect_except_keys", intersect_except_keys, SQL_INTERSECT_EXCEPT, "INTERSECT / EXCEPT set ops")
+    reg.add("q7_volume_shipping", q7_volume_shipping, SQL_Q7, "bi-nation volume by year, dual nation roles")
+    reg.add("q10_returned_items", q10_returned_items, SQL_Q10, "returned-item revenue top-20")
+    reg.add("q15_top_supplier", q15_top_supplier, SQL_Q15, "argmax supplier via scalar subquery")
+    reg.add("q19_disjunctive_filter", q19_disjunctive_filter, SQL_Q19, "disjunctive predicate pushdown")
+    reg.add("q22_idle_customers", q22_idle_customers, SQL_Q22, "scalar avg subquery + anti join")

@@ -87,6 +87,11 @@ _PRIORITY: tuple[str, ...] = (
     "quality_filter_apply",
     "sample_stratified",
     "doc_chunks",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q19_disjunctive_filter",
+    "q22_idle_customers",
     # --- flagships + one representative per family ---
     "bm25_search",
     "bm25_search_persisted",
