@@ -154,3 +154,41 @@ def test_simhash_single_exchange(spark, sf_dir):
     df = _df(spark, sf_dir, "simhash")
     ops = operators(df)
     assert sum(1 for o in ops if o.startswith("Exchange")) == 1, ops
+
+
+def test_q19_or_predicate_pushes_common_parts(spark, sf_dir):
+    """The disjunctive (brand AND size AND qty) OR-chain must not block
+    pushdown entirely: Catalyst extracts the per-side common disjunction,
+    so BOTH scans carry an Or(..) pushed filter and the join is broadcast."""
+    from big_data_assignment2_spark.operators.relational import q19_disjunctive_filter
+    from big_data_assignment2_spark.plans.audit import audit, pushed_filters
+
+    df = q19_disjunctive_filter(spark, sf_dir)
+    assert not audit(df, requires=("BroadcastHashJoin",), forbids=("CartesianProduct",))
+    pushed = pushed_filters(df)
+    assert any("Or(" in p and "l_quantity" in p for p in pushed), pushed
+    assert any("Or(" in p and "p_size" in p for p in pushed), pushed
+
+
+def test_q22_anti_join_with_pushed_date(spark, sf_dir):
+    """Anti join against recent orders: the date predicate must reach the
+    orders scan (row-group pruning at scale), and the anti join itself
+    must be broadcast (no shuffle of the customer side for it)."""
+    from big_data_assignment2_spark.operators.relational import q22_idle_customers
+    from big_data_assignment2_spark.plans.audit import audit, pushed_filters
+
+    df = q22_idle_customers(spark, sf_dir)
+    assert not audit(df, forbids=("CartesianProduct",))
+    pushed = pushed_filters(df)
+    assert any("GreaterThanOrEqual(o_orderdate" in p for p in pushed), pushed
+    assert "LeftAnti" in str(df._jdf.queryExecution().executedPlan())
+
+
+def test_doc_chunks_is_narrow_and_python_free(spark, sf_dir):
+    """The 1->N chunk expansion must be a single narrow projection chain:
+    no shuffle (Exchange), no Python eval -- sequence+slice stay JVM-side."""
+    from big_data_assignment2_spark.operators.pipeline import doc_chunks
+    from big_data_assignment2_spark.plans.audit import audit
+
+    df = doc_chunks(spark, sf_dir)
+    assert not audit(df, forbids=("Exchange", "ArrowEvalPython", "BatchEvalPython"))
