@@ -290,6 +290,21 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_id, component_id) for EVERY document (singletons map to
     themselves); component_id = min doc_id in the component. The DuckDB
     oracle computes the same fixpoint as a recursive CTE."""
+    return _components_labels(spark, sf_dir).select(
+        "doc_id", F.col("comp").alias("component_id")
+    )
+
+
+# Per-process memo of the converged label frame (keyed by session so a
+# checkpointed frame is never reused under a different SparkSession):
+# neardup_components and dedup_apply_neardup share one propagation.
+_CC_LABELS: dict[tuple[int, str], DataFrame] = {}
+
+
+def _components_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key in _CC_LABELS:
+        return _CC_LABELS[key]
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -320,10 +335,27 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select("doc_id", F.col("comp").alias("component_id"))
+    _CC_LABELS[key] = labels
+    return labels
 
 
-SQL_NEARDUP_COMPONENTS = f"""
+def dedup_apply_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-dup-deduped corpus: keep each connected component's
+    representative (its minimum doc_id) and drop every other member --
+    the capstone the pairs/components machinery exists for, and the
+    fuzzy sibling of :func:`dedup_apply` (exact-hash groups). One
+    semi-join of the documents table against the representative id set;
+    the component labels are shared with :func:`neardup_components`, so
+    a pipeline running both pays for one propagation."""
+    labels = _components_labels(spark, sf_dir)
+    keep = labels.where(F.col("doc_id") == F.col("comp")).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.join(keep, "doc_id", "semi").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+_SQL_CC_PREFIX = f"""
 WITH RECURSIVE
 pairs AS ({SQL_MINHASH_LSH}),
 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -333,8 +365,20 @@ reach(doc_id, comp) AS (
   UNION
   SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.doc_id
 )
-SELECT doc_id, min(comp) AS component_id FROM reach GROUP BY doc_id
 """
+
+SQL_NEARDUP_COMPONENTS = (
+    _SQL_CC_PREFIX
+    + "SELECT doc_id, min(comp) AS component_id FROM reach GROUP BY doc_id"
+)
+
+SQL_DEDUP_APPLY_NEARDUP = (
+    _SQL_CC_PREFIX
+    + """, comp AS (SELECT doc_id, min(comp) AS component_id FROM reach GROUP BY doc_id)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d JOIN comp c ON d.doc_id = c.doc_id AND d.doc_id = c.component_id
+"""
+)
 
 
 def register(reg: Registry) -> None:
@@ -347,5 +391,11 @@ def register(reg: Registry) -> None:
         neardup_components,
         SQL_NEARDUP_COMPONENTS,
         "connected components over LSH pairs (iterative label propagation)",
+    )
+    reg.add(
+        "dedup_apply_neardup",
+        dedup_apply_neardup,
+        SQL_DEDUP_APPLY_NEARDUP,
+        "near-dup-deduped corpus (component representatives kept)",
     )
     reg.add("simhash", simhash, SQL_SIMHASH, "64-bit SimHash sketch per doc")

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import shingles_pd, sql_shingles
 from ..functions.text import SQL_TOKENS, tokens
 from ..registry import Registry
 from ..sources.catalog import load_table
@@ -153,6 +154,88 @@ FROM idx
 """
 
 
+# decontaminate: shingle width + the deterministic pseudo-benchmark slice
+DECON_K = 5
+BENCH_MOD = 50
+
+# ngram_counts: n-gram width and table size
+NGRAM_N = 2
+NGRAM_TOP = 100
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    {K}-token shingle with a benchmark set (here the deterministic
+    ``doc_id % {MOD} == 0`` slice stands in for an eval suite).
+
+    The at-scale shape is the point: the benchmark side is always tiny
+    relative to a 100 TB corpus, so its distinct shingle set is
+    **broadcast** and the overlap check is a broadcast join on the
+    corpus-shingle stream -- no shuffle of the corpus, one narrow pass
+    plus a (doc, bench) count aggregate over only the matching rows.
+    Output: one row per contaminated (doc, benchmark doc) pair with the
+    number of distinct shared shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = (
+        docs.where(F.col("doc_id") % BENCH_MOD == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.explode(shingles_pd("text", DECON_K)).alias("shingle"),
+        )
+        .distinct()
+    )
+    corpus = (
+        docs.where(F.col("doc_id") % BENCH_MOD != 0)
+        .select("doc_id", F.explode(shingles_pd("text", DECON_K)).alias("shingle"))
+        .distinct()
+    )
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH bench AS (
+  SELECT DISTINCT doc_id AS bench_id, unnest({sql_shingles('text', DECON_K)}) AS shingle
+  FROM documents WHERE doc_id % {BENCH_MOD} = 0
+),
+corpus AS (
+  SELECT DISTINCT doc_id, unnest({sql_shingles('text', DECON_K)}) AS shingle
+  FROM documents WHERE doc_id % {BENCH_MOD} <> 0
+)
+SELECT doc_id, bench_id, count(*) AS n_shared
+FROM corpus JOIN bench USING (shingle)
+GROUP BY doc_id, bench_id
+"""
+
+
+def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram frequency table (top {TOP} bigrams): the LM
+    prep statistic. Explode the per-doc shingle stream, one two-phase
+    count aggregate keyed by the n-gram (uniform hash key, no skew
+    beyond natural frequency), TakeOrdered for the top slice with the
+    n-gram itself as the unique tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(shingles_pd("text", NGRAM_N)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(NGRAM_TOP)
+    )
+
+
+SQL_NGRAM_COUNTS = f"""
+SELECT ngram, count(*) AS n
+FROM (SELECT unnest({sql_shingles('text', NGRAM_N)}) AS ngram FROM documents)
+GROUP BY ngram
+ORDER BY n DESC, ngram ASC
+LIMIT {NGRAM_TOP}
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "quality_filter_apply",
@@ -171,4 +254,16 @@ def register(reg: Registry) -> None:
         doc_chunks,
         _sql_doc_chunks(),
         "token context-window chunking (1->N, overlapping)",
+    )
+    reg.add(
+        "decontaminate",
+        decontaminate,
+        SQL_DECONTAMINATE,
+        "benchmark-overlap contamination flags (broadcast shingle join)",
+    )
+    reg.add(
+        "ngram_counts",
+        ngram_counts,
+        SQL_NGRAM_COUNTS,
+        "corpus top-100 bigram frequency table",
     )

@@ -84,9 +84,12 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_neardup_lsh",
     "doc_file_export",
     "neardup_components",
+    "dedup_apply_neardup",
     "quality_filter_apply",
     "sample_stratified",
     "doc_chunks",
+    "decontaminate",
+    "ngram_counts",
     "q7_volume_shipping",
     "q10_returned_items",
     "q15_top_supplier",
