@@ -95,6 +95,38 @@ def shingles_pd(text_col: Column | str, k: int = 5) -> Column:
     return _sh(F.col(text_col) if isinstance(text_col, str) else text_col)
 
 
+def ngrams_pd(text_col: Column | str, n: int = 2) -> Column:
+    """All token n-grams of a document, **duplicates kept, in order** --
+    the frequency-counting sibling of :func:`shingles_pd` (which dedups
+    per doc because set semantics are what Jaccard/MinHash need). Docs
+    with fewer than *n* tokens emit no n-grams (no short-doc fallback:
+    a 1-token doc has no bigrams). Same Arrow-batched narrow shape."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _ng(s: pd.Series) -> pd.Series:
+        import re
+
+        tok = re.compile(r"[a-z0-9]+")
+
+        def one(text: str | None) -> list[str]:
+            toks = tok.findall(text.lower()) if text else []
+            return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+        return s.map(one)
+
+    return _ng(F.col(text_col) if isinstance(text_col, str) else text_col)
+
+
+def sql_ngrams(col: str, n: int = 2) -> str:
+    """DuckDB twin of :func:`ngrams_pd` (no list_distinct, no fallback)."""
+    toks = f"list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
+    return (
+        f"list_transform(range(1, len({toks}) - {n} + 2),"
+        f" i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
+    )
+
+
 def fingerprint_pd(text_col: Column | str, k: int = 8) -> Column:
     """Winnowing-style fingerprint as a struct, computed in one Arrow
     batch: ``min(md5(shingle))`` over the doc's distinct k-token shingles

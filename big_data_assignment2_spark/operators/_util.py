@@ -72,6 +72,16 @@ def scratch_root() -> str:
     return str(Path(__file__).resolve().parents[2] / ".scratch")
 
 
+def scratch_slug(path: str) -> str:
+    """Canonical filesystem-safe slug of a source path, shared by every
+    scratch-dir consumer (persisted BM25/ANN indexes, doc export,
+    partitioned sink, CLI): all callers MUST derive the same directory
+    for the same corpus, so this lives in exactly one place."""
+    import re
+
+    return re.sub(r"[^A-Za-z0-9.]+", "_", path.strip("/"))
+
+
 def epoch_lit(iso_utc: str) -> int:
     """Epoch seconds of an ISO ``YYYY-MM-DD[ HH:MM:SS]`` instant read as UTC."""
     from datetime import datetime, timezone

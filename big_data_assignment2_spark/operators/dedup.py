@@ -295,16 +295,18 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Per-process memo of the converged label frame (keyed by session so a
-# checkpointed frame is never reused under a different SparkSession):
-# neardup_components and dedup_apply_neardup share one propagation.
-_CC_LABELS: dict[tuple[int, str], DataFrame] = {}
+# Per-process memo of the converged label frame: neardup_components and
+# dedup_apply_neardup share one propagation. The creating SparkSession is
+# stored WITH the frame and compared by identity -- a checkpointed frame
+# must never be served to a different session (``id()`` alone can recycle
+# addresses after GC), and a new session simply recomputes.
+_CC_LABELS: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def _components_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    if key in _CC_LABELS:
-        return _CC_LABELS[key]
+    hit = _CC_LABELS.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -317,6 +319,7 @@ def _components_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("comp")).first()[0]
+    converged = False
     for _ in range(MAX_CC_ITERS):
         nbr = (
             edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
@@ -333,9 +336,18 @@ def _components_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
-    _CC_LABELS[key] = labels
+    if not converged:
+        # unconverged labels are silently WRONG (chain ends disagree) --
+        # fail loudly; a graph this deep needs the large-star/small-star
+        # variant, not more rounds of plain propagation
+        raise RuntimeError(
+            f"connected components did not converge in {MAX_CC_ITERS} rounds"
+            " (component diameter exceeds the cap)"
+        )
+    _CC_LABELS[sf_dir] = (spark, labels)
     return labels
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import shingles_pd, sql_shingles
+from ..functions.hashing import ngrams_pd, shingles_pd, sql_ngrams, sql_shingles
 from ..functions.text import SQL_TOKENS, tokens
 from ..registry import Registry
 from ..sources.catalog import load_table
@@ -176,18 +176,15 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per contaminated (doc, benchmark doc) pair with the
     number of distinct shared shingles."""
     docs = load_table(spark, sf_dir, "documents")
-    bench = (
-        docs.where(F.col("doc_id") % BENCH_MOD == 0)
-        .select(
-            F.col("doc_id").alias("bench_id"),
-            F.explode(shingles_pd("text", DECON_K)).alias("shingle"),
-        )
-        .distinct()
+    # shingles_pd dedups per doc already, so the exploded (id, shingle)
+    # rows are unique -- no .distinct() (which would shuffle the corpus,
+    # exactly what this operator's design avoids)
+    bench = docs.where(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.explode(shingles_pd("text", DECON_K)).alias("shingle"),
     )
-    corpus = (
-        docs.where(F.col("doc_id") % BENCH_MOD != 0)
-        .select("doc_id", F.explode(shingles_pd("text", DECON_K)).alias("shingle"))
-        .distinct()
+    corpus = docs.where(F.col("doc_id") % BENCH_MOD != 0).select(
+        "doc_id", F.explode(shingles_pd("text", DECON_K)).alias("shingle")
     )
     return (
         corpus.join(F.broadcast(bench), "shingle")
@@ -198,11 +195,11 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DECONTAMINATE = f"""
 WITH bench AS (
-  SELECT DISTINCT doc_id AS bench_id, unnest({sql_shingles('text', DECON_K)}) AS shingle
+  SELECT doc_id AS bench_id, unnest({sql_shingles('text', DECON_K)}) AS shingle
   FROM documents WHERE doc_id % {BENCH_MOD} = 0
 ),
 corpus AS (
-  SELECT DISTINCT doc_id, unnest({sql_shingles('text', DECON_K)}) AS shingle
+  SELECT doc_id, unnest({sql_shingles('text', DECON_K)}) AS shingle
   FROM documents WHERE doc_id % {BENCH_MOD} <> 0
 )
 SELECT doc_id, bench_id, count(*) AS n_shared
@@ -213,13 +210,16 @@ GROUP BY doc_id, bench_id
 
 def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level n-gram frequency table (top {TOP} bigrams): the LM
-    prep statistic. Explode the per-doc shingle stream, one two-phase
-    count aggregate keyed by the n-gram (uniform hash key, no skew
-    beyond natural frequency), TakeOrdered for the top slice with the
-    n-gram itself as the unique tie-break."""
+    prep statistic. True occurrence counts -- ``ngrams_pd`` keeps
+    duplicates within a document (``shingles_pd`` would dedup per doc and
+    silently turn this into a document-frequency table). Explode the
+    per-doc n-gram stream, one two-phase count aggregate keyed by the
+    n-gram (uniform hash key, no skew beyond natural frequency),
+    TakeOrdered for the top slice with the n-gram itself as the unique
+    tie-break."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(shingles_pd("text", NGRAM_N)).alias("ngram"))
+        docs.select(F.explode(ngrams_pd("text", NGRAM_N)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("ngram"))
@@ -229,7 +229,7 @@ def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NGRAM_COUNTS = f"""
 SELECT ngram, count(*) AS n
-FROM (SELECT unnest({sql_shingles('text', NGRAM_N)}) AS ngram FROM documents)
+FROM (SELECT unnest({sql_ngrams('text', NGRAM_N)}) AS ngram FROM documents)
 GROUP BY ngram
 ORDER BY n DESC, ngram ASC
 LIMIT {NGRAM_TOP}

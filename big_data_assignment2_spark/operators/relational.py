@@ -668,7 +668,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "n_name")
+        # raw double as group key: both engines read the identical bits
+        # from parquet, while round(double, 2) can HALF_UP differently
+        # near .xx5 midpoints between Spark and DuckDB
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -676,7 +679,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_Q10 = f"""
-SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+SELECT c_custkey, c_name, c_acctbal, n_name,
        {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey

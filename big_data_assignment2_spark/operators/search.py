@@ -151,14 +151,11 @@ def ensure_persisted_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per process) and return the persisted index dir for
     *sf_dir* -- the one-time ``index.sh`` phase, separated so callers
     (bench.py) can time build and query independently."""
-    import re
-
     from .. import engine
-    from ._util import scratch_root
+    from ._util import scratch_root, scratch_slug
 
     if sf_dir not in _BUILT_INDEXES:
-        slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
-        index_dir = f"{scratch_root()}/index_{slug}"
+        index_dir = f"{scratch_root()}/index_{scratch_slug(sf_dir)}"
         docs = index_build.documents_with_title(spark, sf_dir)
         engine.build_index(docs, index_dir)
         _BUILT_INDEXES[sf_dir] = index_dir

@@ -52,20 +52,20 @@ def _sql_plane(p: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
 
 
-def _bucket_col(vec) -> F.Column:
-    """Sign-bit bucket string, e.g. '10110010'."""
+def _bucket_col(vec, planes: list[list[float]] = HYPERPLANES) -> F.Column:
+    """Sign-bit bucket string over *planes*, e.g. '10110010'."""
     bits = [
         F.when(dot(vec, _plane_lit(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in HYPERPLANES
+        for p in planes
     ]
     return F.concat(*bits)
 
 
-def _sql_bucket(vec_expr: str) -> str:
+def _sql_bucket(vec_expr: str, planes: list[list[float]] = HYPERPLANES) -> str:
     bits = [
         f"(CASE WHEN {SQL_DOT.format(a=vec_expr, b=_sql_plane(p))} >= 0"
         f" THEN '1' ELSE '0' END)"
-        for p in HYPERPLANES
+        for p in planes
     ]
     return " || ".join(bits)
 
@@ -386,12 +386,9 @@ def ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per process) and return the cell-partitioned ANN index
     dir -- separated from the query so bench.py times build vs search."""
     if sf_dir not in _BUILT_ANN:
-        import re
+        from ._util import scratch_root, scratch_slug
 
-        from ._util import scratch_root
-
-        slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
-        index_dir = f"{scratch_root()}/ann_{slug}"
+        index_dir = f"{scratch_root()}/ann_{scratch_slug(sf_dir)}"
         build_ann_index(load_table(spark, sf_dir, "embeddings"), index_dir)
         _BUILT_ANN[sf_dir] = index_dir
     return _BUILT_ANN[sf_dir]
@@ -505,23 +502,6 @@ NEARDUP_HYPERPLANES: list[list[float]] = [
 ]
 
 
-def _neardup_bucket_col(vec) -> F.Column:
-    bits = [
-        F.when(dot(vec, _plane_lit(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in NEARDUP_HYPERPLANES
-    ]
-    return F.concat(*bits)
-
-
-def _sql_neardup_bucket(vec_expr: str) -> str:
-    bits = [
-        f"(CASE WHEN {SQL_DOT.format(a=vec_expr, b=_sql_plane(p))} >= 0"
-        f" THEN '1' ELSE '0' END)"
-        for p in NEARDUP_HYPERPLANES
-    ]
-    return " || ".join(bits)
-
-
 def _band_exprs():
     """The banded signature keys: '0:<bits 1-8>', '1:<bits 9-16>', ... The
     band index prefix keeps keys from different bands in disjoint join
@@ -554,7 +534,9 @@ def embedding_neardup_lsh(
     from ..functions.vectors import make_cosine_pd
 
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _neardup_bucket_col(F.col("embedding")).alias("bucket")
+        "vec_id",
+        "embedding",
+        _bucket_col(F.col("embedding"), NEARDUP_HYPERPLANES).alias("bucket"),
     )
     # materialized once: the self-join would otherwise evaluate the 32
     # interpreted sign-bit dots per row on BOTH sides (the expensive
@@ -593,7 +575,8 @@ def _sql_neardup_lsh() -> str:
     sim = f"round({sql_cosine('a.embedding', 'b.embedding')}, 6)"
     return f"""
 WITH emb AS (
-  SELECT vec_id, embedding, {_sql_neardup_bucket('embedding')} AS bucket FROM embeddings
+  SELECT vec_id, embedding,
+         {_sql_bucket('embedding', NEARDUP_HYPERPLANES)} AS bucket FROM embeddings
 ),
 banded AS (
   {band_selects}

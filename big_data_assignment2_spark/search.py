@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import re
 import sys
 
 
@@ -69,8 +68,9 @@ def main(argv: list[str] | None = None) -> int:
 
     index_dir = args.index_dir
     if index_dir is None:
-        slug = re.sub(r"[^A-Za-z0-9.]+", "_", args.corpus.strip("/"))
-        index_dir = f"{scratch_root()}/cli_index_{slug}"
+        from .operators._util import scratch_slug
+
+        index_dir = f"{scratch_root()}/cli_index_{scratch_slug(args.corpus)}"
 
     from . import engine
     from .session import get_spark

@@ -55,14 +55,12 @@ _EXPORTED: dict[str, str] = {}  # in-process memo of completed exports
 def ensure_exported(spark: SparkSession, sf_dir: str) -> str:
     """Run the export (once per process) and return its directory --
     separated from the read-back so bench.py times write vs read."""
-    import re
     import shutil
 
-    from ..operators._util import scratch_root
+    from ..operators._util import scratch_root, scratch_slug
 
     if sf_dir not in _EXPORTED:
-        slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
-        out_dir = f"{scratch_root()}/docs_{slug}"
+        out_dir = f"{scratch_root()}/docs_{scratch_slug(sf_dir)}"
         shutil.rmtree(out_dir, ignore_errors=True)  # no stale files from prior runs
         export_documents(documents_with_title(spark, sf_dir), out_dir)
         _EXPORTED[sf_dir] = out_dir
@@ -119,14 +117,18 @@ def doc_file_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CLEAN = SQL_CLEAN_TEXT.format(col="text")
+# coalesce to '' AFTER cleaning: the Spark writer emits an empty file for
+# a NULL text (`r["content"] or ""`), so the oracle must hash/measure the
+# empty string too, not propagate NULL through md5/length
+_CONTENT = f"coalesce({_CLEAN}, '')"
 
 SQL_DOC_FILE_EXPORT = f"""
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(doc_id AS VARCHAR) || '_' ||
        substr(regexp_replace('doc_' || CAST(doc_id AS VARCHAR), '[^A-Za-z0-9]+', '_', 'g'), 1, 50)
        || '.txt' AS filename,
-       md5({_CLEAN}) AS content_md5,
-       CAST(length({_CLEAN}) AS BIGINT) AS n_chars
+       md5({_CONTENT}) AS content_md5,
+       CAST(length({_CONTENT}) AS BIGINT) AS n_chars
 FROM documents
 """
 

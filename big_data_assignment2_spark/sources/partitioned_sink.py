@@ -22,7 +22,6 @@ The write side demonstrates the scale-correct knobs:
 
 from __future__ import annotations
 
-import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,8 +36,9 @@ _WRITTEN: dict[str, str] = {}
 def write_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
     """Write events partitioned by event_type; memoized per sf_dir."""
     if sf_dir not in _WRITTEN:
-        slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
-        out = f"/root/repo/.scratch/events_by_type_{slug}"
+        from ..operators._util import scratch_root, scratch_slug
+
+        out = f"{scratch_root()}/events_by_type_{scratch_slug(sf_dir)}"
         (
             load_table(spark, sf_dir, "events")
             # one writer task per partition value: no small-files explosion
