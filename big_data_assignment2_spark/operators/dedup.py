@@ -29,6 +29,7 @@ from ..functions.hashing import (
     N_MINHASH,
     band_cols,
     minhash_cols,
+    minhash_cols_fast,
     shingles_pd,
     simhash_contrib_cols,
     simhash_hex_from_votes,
@@ -91,19 +92,26 @@ WHERE doc_id = keep
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded (doc_id, shingle), stop-shingles removed.
 
-    The df cap is a count over ``Window.partitionBy(shingle)`` rather than
-    a groupBy+self-join: one pass over the shingle UDF and ONE exchange on
-    ``shingle`` (which the downstream shingle-keyed self-join then reuses
-    -- output partitioning survives the filter), where the join form
-    evaluated the shingle construction twice and shuffled three times.
-    Cached here so ngram-Jaccard and MinHash-LSH share one materialization
-    (Spark's cache manager matches the identical logical plan)."""
+    The df cap is a two-phase ``groupBy(shingle).count()`` whose result
+    (just the shingles OVER the cap -- tiny by definition, Zipf's tail cut
+    at df>100) is broadcast into a left-anti join. An earlier version used
+    ``count() OVER (PARTITION BY shingle)``, but window aggregates have no
+    map-side partial: at 100 TB every row of a mega-hot stop-shingle lands
+    on ONE task *before* the filter drops it. The groupBy's partial
+    aggregation absorbs hot keys map-side, and the broadcast anti-join
+    adds no exchange, so the cap is skew-proof at any scale. Cached here
+    so ngram-Jaccard and MinHash-LSH share one materialization (Spark's
+    cache manager matches the identical logical plan)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select("doc_id", F.explode(shingles_pd("text", SHINGLE_K)).alias("shingle"))
-    w = Window.partitionBy("shingle")
+    stop = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
     return (
-        sh.withColumn("df", F.count(F.lit(1)).over(w))
-        .where(F.col("df") <= MAX_SHINGLE_DF)
+        sh.join(F.broadcast(stop), "shingle", "left_anti")
         .select("doc_id", "shingle")
         .cache()
     )
@@ -228,6 +236,19 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE inter / (sa.sz + sb.sz - inter) >= {JACCARD_T}
 """
+
+
+def minhash_signatures_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signatures on the xxhash64 scale path: the same
+    shape as the md5 family in :func:`minhash_lsh_pairs` but ~10x cheaper
+    per hash (one 64-bit mix vs a full cryptographic digest + substring
+    decode), which at 100 TB is the difference between the hash step
+    being free and being the bottleneck. No SQL oracle -- DuckDB has no
+    xxhash64, so the driver records a rows-only check; the md5 twin is
+    the value-verified one and the LSH banding/verify downstream of
+    either is identical."""
+    sh = _doc_shingles(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(*minhash_cols_fast("shingle", N_MINHASH))
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,3 +432,9 @@ def register(reg: Registry) -> None:
         "near-dup-deduped corpus (component representatives kept)",
     )
     reg.add("simhash", simhash, SQL_SIMHASH, "64-bit SimHash sketch per doc")
+    reg.add(
+        "minhash_cols_fast",
+        minhash_signatures_fast,
+        None,
+        "xxhash64 MinHash signatures (scale path; rows-only check)",
+    )

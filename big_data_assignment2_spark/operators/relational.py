@@ -554,6 +554,28 @@ FROM ranked GROUP BY l_returnflag
 """
 
 
+def percentiles_by_flag_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of :func:`percentiles_by_flag`: one-pass
+    ``approx_percentile`` whose GK sketch is MERGEABLE -- map-side
+    partials combine like any algebraic aggregate, so there is no
+    per-group sort and no window, just one exchange of tiny sketches.
+    This is the shape to deploy at scale; the rank-window twin is the
+    exact/contractual variant.
+
+    Oracle note: with accuracy=1e6 the GK compression threshold
+    (2 * count / accuracy) stays below 1 for groups under ~500k values,
+    so the sketch retains every sample and the query returns exactly the
+    value at rank ceil(p*n) -- the same arithmetic as the exact oracle
+    (verified identical at sf0.001/0.01/0.1). A production run at real
+    scale uses the default accuracy and accepts the bounded error."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.9, 1000000).alias("p90"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000000).alias("p99"),
+    )
+
+
 def intersect_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: customers who placed high-value orders INTERSECT /
     EXCEPT those with 'F' (finished) orders. Both set ops plan as one
@@ -840,6 +862,12 @@ def register(reg: Registry) -> None:
     reg.add("q18_large_orders", q18_large_orders, SQL_Q18, "having-before-join Q18 shape")
     reg.add("grouping_sets_agg", grouping_sets_agg, SQL_GROUPING_SETS, "explicit grouping sets + gid")
     reg.add("percentiles_by_flag", percentiles_by_flag, SQL_PERCENTILES, "exact discrete quantiles")
+    reg.add(
+        "percentiles_by_flag_approx",
+        percentiles_by_flag_approx,
+        SQL_PERCENTILES,
+        "mergeable-sketch quantiles (the 100 TB path; exact at oracle scale)",
+    )
     reg.add("intersect_except_keys", intersect_except_keys, SQL_INTERSECT_EXCEPT, "INTERSECT / EXCEPT set ops")
     reg.add("q7_volume_shipping", q7_volume_shipping, SQL_Q7, "bi-nation volume by year, dual nation roles")
     reg.add("q10_returned_items", q10_returned_items, SQL_Q10, "returned-item revenue top-20")

@@ -59,7 +59,7 @@ class Registry:
 # operators, then flagships, then the long-green relational tail. Names not
 # present (e.g. reference_* when the fixture corpus is absent) are skipped.
 _PRIORITY: tuple[str, ...] = (
-    # --- no CORRECTNESS_r01 row (driver stopped at 50) ---
+    # --- never driver-green (events-loader casualties in r1+r2) ---
     "streaming_tumbling",
     "streaming_sessionize",
     "streaming_dedup",
@@ -68,8 +68,54 @@ _PRIORITY: tuple[str, ...] = (
     "events_json_sum",
     "window_moving_avg",
     "window_lag_delta",
-    "join_salted_agg",
     "grouped_median_udaf",
+    "partitioned_sink_roundtrip",
+    # --- green in r1, lost in r2 to the same loader bug: re-verify ---
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "asof_join_events",
+    "pivot_event_counts",
+    # --- new in round 3 ---
+    "percentiles_by_flag_approx",
+    "minhash_cols_fast",
+    # --- green only in r1 (not re-checked since): keep inside the cap ---
+    "scan_project_orderby_limit",
+    "filter_isin_project",
+    "corpus_clean",
+    "tokenize_explode",
+    "inverted_index",
+    "vocab",
+    "doc_stats",
+    "corpus_stats",
+    "tsv_export",
+    "doc_filenames",
+    "window_rank_topn",
+    "join_broadcast_agg",
+    "text_quality",
+    "lang_id",
+    "token_counts",
+    "doc_fingerprint",
+    "doc_term_list",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "percentiles_by_flag",
+    "q4_exists_semi",
+    "q14_promo_revenue",
+    "join_anti",
+    "join_semi",
+    "rollup_agg",
+    "grouping_sets_agg",
+    "intersect_except_keys",
+    "correlated_above_avg",
+    "union_all_agg",
+    "agg_count_distinct",
+    "distinct_projection",
+    # --- r2-green: rotate toward the tail of the 50-query cap ---
+    "join_salted_agg",
     "bigrams_udtf",
     "multimodal_meta",
     "multimodal_features",
@@ -77,8 +123,6 @@ _PRIORITY: tuple[str, ...] = (
     "reference_bm25_big_data",
     "reference_bm25_ml_model",
     "reference_bm25_distributed_db",
-    "partitioned_sink_roundtrip",
-    # --- new in round 2 ---
     "dedup_apply",
     "ann_topk_persisted",
     "embedding_neardup_lsh",
@@ -95,7 +139,6 @@ _PRIORITY: tuple[str, ...] = (
     "q15_top_supplier",
     "q19_disjunctive_filter",
     "q22_idle_customers",
-    # --- flagships + one representative per family ---
     "bm25_search",
     "bm25_search_persisted",
     "minhash_lsh_pairs",
@@ -106,11 +149,6 @@ _PRIORITY: tuple[str, ...] = (
     "ann_topk_lsh",
     "ann_topk_ivf",
     "embedding_neardup_pairs",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "asof_join_events",
-    "pivot_event_counts",
     "cube_agg",
 )
 

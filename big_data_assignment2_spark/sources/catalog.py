@@ -37,31 +37,57 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table stores TIMESTAMP(NANOS) parquet, which Spark's
-    vectorized reader rejects outright. Read the nanos as int64
-    (legacy conf) and convert to a microsecond timestamp with integer
-    division -- NOT a double divide, which loses precision above 2^53 and
-    corrupts the microseconds. DuckDB truncates ns->us the same way, so
-    oracles agree exactly."""
+    """Type-adaptive events read: the driver's ``events.parquet`` has
+    shipped both TIMESTAMP(NANOS) and ``timestamp[us]`` physical storage
+    across rounds, so never assume one -- branch on the post-read dtype.
+
+    * nanos file: Spark's vectorized reader rejects TIMESTAMP(NANOS)
+      outright; the scoped ``nanosAsLong`` conf reads it as int64 and we
+      convert with integer division (NOT a double divide, which loses
+      precision above 2^53). DuckDB truncates ns->us the same way.
+    * micros/millis file: the scoped ``inferTimestampNTZ.enabled=false``
+      conf reads the tz-naive column as plain TIMESTAMP whose
+      ``unix_micros`` equals the raw stored int64 -- bit-identical to
+      DuckDB's naive read, independent of the session timezone, and
+      (unlike an expression rewrite) the bare column keeps full
+      predicate pushdown to the parquet scan.
+
+    Either way ``ts`` comes out as TIMESTAMP (an instant equal to the
+    file's wall-clock value read as UTC), which is what every downstream
+    windows/temporal/streaming operator and oracle twin expects."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
-    raw = _read_with_nanos_as_long(spark, f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = _read_events_raw(spark, f"{sf_dir}/events.parquet")
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
-def _read_with_nanos_as_long(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet read with the nanos-as-long legacy conf scoped to the
-    (eager) schema resolution: the previous value is restored right after
+def _read_events_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with the two ts-affecting confs scoped to the (eager)
+    schema resolution -- previous values are restored right after
     ``spark.read``, so a caller session's later parquet reads keep their
-    own nanos behavior. The returned frame stays valid -- the converted
-    schema is baked into its relation at read time."""
-    key = "spark.sql.legacy.parquet.nanosAsLong"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "true")
+    own behavior (other tables' tz-naive timestamp columns must stay NTZ
+    for the ``ntz_lit`` pushdown comparisons). The returned frame stays
+    valid: the resolved schema is baked into its relation at read time.
+
+    * ``legacy.parquet.nanosAsLong=true``: TIMESTAMP(NANOS) -> int64.
+    * ``parquet.inferTimestampNTZ.enabled=false``: tz-naive micros/millis
+      -> plain TIMESTAMP (raw int64 as a UTC instant, session-tz-proof).
+    """
+    confs = {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
     try:
         return spark.read.parquet(path)
     finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+        for k, p in prev.items():
+            if p is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, p)

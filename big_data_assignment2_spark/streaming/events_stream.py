@@ -25,12 +25,16 @@ from ..registry import Registry
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Same nanos->micros handling as sources.catalog.load_events, on the
-    # streaming read path (conf scoped + restored there; the explicit
-    # schema below carries the long-typed ts into the stream source).
-    from ..sources.catalog import _read_with_nanos_as_long
+    # Same type-adaptive ts handling as sources.catalog.load_events, on
+    # the streaming read path: resolve the physical schema with the same
+    # scoped-conf batch read (nanos -> long, tz-naive micros -> plain
+    # TIMESTAMP), hand it to the file source explicitly, and only apply
+    # the ns->us conversion when the file really stores nanos.
+    from pyspark.sql.types import LongType
 
-    schema = _read_with_nanos_as_long(spark, f"{sf_dir}/events.parquet").schema
+    from ..sources.catalog import _read_events_raw
+
+    schema = _read_events_raw(spark, f"{sf_dir}/events.parquet").schema
     # The file source insists on a directory; point it at sf_dir and
     # glob-filter to the events file.
     stream = (
@@ -39,7 +43,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
 
 
 def tumbling_agg(events: DataFrame, watermark: str | None = None) -> DataFrame:

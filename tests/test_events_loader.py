@@ -1,0 +1,84 @@
+"""The events loader must adapt to whatever physical timestamp type the
+driver's ``events.parquet`` ships with: round 1's testdata stored
+TIMESTAMP(NANOS), round 2's stores tz-naive ``timestamp[us]``, and the
+round-2 loader's nanos assumption broke 15 queries when the data changed.
+These tests write BOTH physical variants from the same logical rows and
+require the loaded ``ts`` to come out identical (TimestampType, raw
+micros preserved bit-for-bit vs pyarrow), batch and streaming, so the
+assumption can never silently return.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
+
+
+@pytest.fixture(scope="module")
+def variant_dirs(sf_dir, tmp_path_factory):
+    """{'micros': dir, 'nanos': dir} -- the same first 200 event rows of
+    the real testdata written with timestamp[us] and timestamp[ns] ts."""
+    src = pq.read_table(f"{sf_dir}/events.parquet").slice(0, 200)
+    i = src.schema.get_field_index("ts")
+    dirs = {}
+    for unit in ("us", "ns"):
+        tbl = src.set_column(i, "ts", src.column("ts").cast(pa.timestamp(unit)))
+        d = tmp_path_factory.mktemp(f"events_{unit}")
+        pq.write_table(tbl, str(d / "events.parquet"))
+        dirs[unit] = str(d)
+    raw_us = src.column("ts").cast(pa.int64()).to_pylist()
+    return dirs, raw_us
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_load_events_type_adaptive(spark, variant_dirs, unit):
+    from big_data_assignment2_spark.sources.catalog import load_events
+
+    dirs, raw_us = variant_dirs
+    df = load_events(spark, dirs[unit])
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    got = [r[0] for r in df.select(F.unix_micros("ts")).collect()]
+    assert sorted(got) == sorted(raw_us)
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_events_stream_type_adaptive(spark, variant_dirs, unit):
+    import uuid
+
+    from big_data_assignment2_spark.streaming.events_stream import _events_stream
+
+    dirs, raw_us = variant_dirs
+    stream = _events_stream(spark, dirs[unit])
+    assert isinstance(stream.schema["ts"].dataType, TimestampType)
+    name = f"ts_variant_{unit}_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.select(F.unix_micros("ts").alias("us"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = [r[0] for r in spark.table(name).collect()]
+    assert sorted(got) == sorted(raw_us)
+
+
+def test_load_events_restores_confs(spark, variant_dirs):
+    """The scoped confs must not leak: another table's tz-naive timestamp
+    parquet still reads as TIMESTAMP_NTZ after load_events."""
+    from big_data_assignment2_spark.sources.catalog import load_events
+
+    dirs, _ = variant_dirs
+    load_events(spark, dirs["us"])
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) in (None, "false")
+    assert (
+        spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", None)
+        in (None, "true")
+    )

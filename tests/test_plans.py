@@ -184,6 +184,45 @@ def test_q22_anti_join_with_pushed_date(spark, sf_dir):
     assert "LeftAnti" in str(df._jdf.queryExecution().executedPlan())
 
 
+def test_events_ts_filter_pushes_to_scan(spark, sf_dir):
+    """With the type-adaptive loader, a micros/millis events file keeps
+    ``ts`` as a bare scan column (no expression rewrite), so a ts-range
+    predicate must reach the parquet scan as a pushed row-group filter --
+    at 100 TB that is time-partition skipping vs a full table read.
+    (A nanos file pays the ns->us projection and legitimately loses this;
+    the current testdata is micros at every SF.)"""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment2_spark.sources.catalog import load_events
+
+    df = load_events(spark, sf_dir)
+    filtered = df.where(df.ts >= F.timestamp_micros(F.lit(1704067200000000)))
+    assert any(
+        "GreaterThanOrEqual(ts" in f for f in pushed_filters(filtered)
+    ), pushed_filters(filtered)
+
+
+def test_asof_event_type_filter_pushes(spark, sf_dir):
+    """The asof join's per-side event_type filters must reach the events
+    scan whichever physical ts type the file has."""
+    df = _df(spark, sf_dir, "asof_join_events")
+    fs = pushed_filters(df)
+    assert any("EqualTo(event_type" in f for f in fs), fs
+
+
+def test_shingle_cap_is_skew_proof(spark, sf_dir):
+    """The stop-shingle df cap must be a partial-aggregated groupBy whose
+    (tiny) over-cap result is broadcast into a left-anti join -- NOT a
+    window count, which has no map-side partial and funnels a mega-hot
+    shingle's every row onto one task before filtering."""
+    from big_data_assignment2_spark.operators.dedup import _doc_shingles
+
+    df = _doc_shingles(spark, sf_dir)
+    plan = str(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_doc_chunks_is_narrow_and_python_free(spark, sf_dir):
     """The 1->N chunk expansion must be a single narrow projection chain:
     no shuffle (Exchange), no Python eval -- sequence+slice stay JVM-side."""
