@@ -236,6 +236,80 @@ LIMIT {NGRAM_TOP}
 """
 
 
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals, the token-level form of the
+    Gopher/Dolma repetitious-text rules: ``top_bigram_frac`` (occurrences
+    of the single most frequent bigram over all bigram occurrences) and
+    ``dup_bigram_frac`` (fraction of bigram occurrences whose bigram
+    appears >= 2 times in the doc). High values mark boilerplate/spam for
+    the quality filter.
+
+    Two aggregation hops, both two-phase with map-side partials: count by
+    (doc_id, bigram) -- a near-unique composite key, no skew -- then
+    reduce to one row per doc. Docs with < 2 tokens have no bigrams and
+    drop out in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select("doc_id", F.explode(ngrams_pd("text", 2)).alias("bg"))
+    counts = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_c"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup_c"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("top_c") / F.col("n_bigrams"), 6).alias("top_bigram_frac"),
+            F.round(F.col("dup_c") / F.col("n_bigrams"), 6).alias("dup_bigram_frac"),
+        )
+    )
+
+
+SQL_REPETITION_STATS = f"""
+WITH bg AS (
+  SELECT doc_id, unnest({sql_ngrams('text', 2)}) AS bg FROM documents
+),
+c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       round(max(c) / sum(c), 6) AS top_bigram_frac,
+       round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) / sum(c), 6) AS dup_bigram_frac
+FROM c GROUP BY doc_id
+"""
+
+
+def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus composition: doc count, char volume and
+    token volume -- the mixture table a data-curation run reports before
+    and after every shaping step. One two-phase aggregate over a narrow
+    projection; the token count rides the same pass (no separate
+    tokenize job)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source", "lang", "n_chars", F.size(tokens("text")).alias("n_toks")
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.round(F.sum("n_toks") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+        )
+    )
+
+
+SQL_CORPUS_BY_SOURCE = f"""
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len({SQL_TOKENS.format(col='text')})) AS BIGINT) AS total_tokens,
+       round(sum(len({SQL_TOKENS.format(col='text')})) / count(*), 6) AS avg_tokens
+FROM documents GROUP BY source, lang
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "quality_filter_apply",
@@ -266,4 +340,16 @@ def register(reg: Registry) -> None:
         ngram_counts,
         SQL_NGRAM_COUNTS,
         "corpus top-100 bigram frequency table",
+    )
+    reg.add(
+        "repetition_stats",
+        repetition_stats,
+        SQL_REPETITION_STATS,
+        "per-doc repetition signals (Gopher-style bigram fractions)",
+    )
+    reg.add(
+        "corpus_stats_by_source",
+        corpus_stats_by_source,
+        SQL_CORPUS_BY_SOURCE,
+        "per-(source, lang) corpus composition table",
     )

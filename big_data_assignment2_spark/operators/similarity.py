@@ -173,6 +173,37 @@ LIMIT {TOP_K}
 """
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH path against the brute-force ground truth --
+    the evaluation loop every production ANN deployment needs before it
+    can trade recall for speed. Both sides are deterministic registered
+    queries, so even the eval has an exact oracle. The measured set is
+    k rows per side: a broadcast semi-join counts the overlap, nothing
+    beyond the two top-k computations runs, so the eval costs what the
+    two queries cost at any corpus size."""
+    truth = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    approx = ann_topk_lsh(spark, sf_dir).select("vec_id")
+    return (
+        truth.join(F.broadcast(approx), "vec_id", "semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(TOP_K).cast("long").alias("k"),
+            "n_hits",
+            F.round(F.col("n_hits") / TOP_K, 6).alias("recall"),
+        )
+    )
+
+
+SQL_ANN_RECALL = f"""
+WITH truth AS ({SQL_ANN_BRUTE}),
+approx AS ({SQL_ANN_LSH})
+SELECT CAST({TOP_K} AS BIGINT) AS k,
+       count(*) AS n_hits,
+       round(count(*) / {TOP_K}, 6) AS recall
+FROM truth WHERE vec_id IN (SELECT vec_id FROM approx)
+"""
+
+
 N_BLOCKS = 8  # block grid for the pair space; at cluster scale set ~ n / rows_per_block
 
 
@@ -597,6 +628,12 @@ def register(reg: Registry) -> None:
     reg.add("ann_topk_bruteforce", ann_topk_bruteforce, SQL_ANN_BRUTE, "exact cosine top-k")
     reg.add("ann_topk_lsh", ann_topk_lsh, SQL_ANN_LSH, "LSH-bucketed approx top-k")
     reg.add("ann_topk_ivf", ann_topk_ivf, SQL_ANN_IVF, "IVF 2-probe approx top-k")
+    reg.add(
+        "ann_recall_eval",
+        ann_recall_eval,
+        SQL_ANN_RECALL,
+        "recall@k of LSH vs brute-force ground truth",
+    )
     reg.add(
         "ann_topk_persisted",
         ann_topk_persisted,

@@ -79,6 +79,9 @@ _PRIORITY: tuple[str, ...] = (
     # --- new in round 3 ---
     "percentiles_by_flag_approx",
     "minhash_cols_fast",
+    "ann_recall_eval",
+    "repetition_stats",
+    "corpus_stats_by_source",
     # --- green only in r1 (not re-checked since): keep inside the cap ---
     "scan_project_orderby_limit",
     "filter_isin_project",
