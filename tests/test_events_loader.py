@@ -23,8 +23,13 @@ def variant_dirs(sf_dir, tmp_path_factory):
     the real testdata written with timestamp[us] and timestamp[ns] ts."""
     src = pq.read_table(f"{sf_dir}/events.parquet").slice(0, 200)
     i = src.schema.get_field_index("ts")
+    # truncate to whole milliseconds so the us/ms/ns variants hold the
+    # same logical instants (a raw us value would not survive a ms cast)
+    us = src.column("ts").cast(pa.int64())
+    ms_floored = pa.compute.multiply(pa.compute.divide(us, 1000), 1000)
+    src = src.set_column(i, "ts", ms_floored.cast(pa.timestamp("us")))
     dirs = {}
-    for unit in ("us", "ns"):
+    for unit in ("us", "ms", "ns"):
         tbl = src.set_column(i, "ts", src.column("ts").cast(pa.timestamp(unit)))
         d = tmp_path_factory.mktemp(f"events_{unit}")
         pq.write_table(tbl, str(d / "events.parquet"))
@@ -33,7 +38,7 @@ def variant_dirs(sf_dir, tmp_path_factory):
     return dirs, raw_us
 
 
-@pytest.mark.parametrize("unit", ["us", "ns"])
+@pytest.mark.parametrize("unit", ["us", "ms", "ns"])
 def test_load_events_type_adaptive(spark, variant_dirs, unit):
     from big_data_assignment2_spark.sources.catalog import load_events
 
@@ -44,7 +49,7 @@ def test_load_events_type_adaptive(spark, variant_dirs, unit):
     assert sorted(got) == sorted(raw_us)
 
 
-@pytest.mark.parametrize("unit", ["us", "ns"])
+@pytest.mark.parametrize("unit", ["us", "ms", "ns"])
 def test_events_stream_type_adaptive(spark, variant_dirs, unit):
     import uuid
 
