@@ -67,7 +67,12 @@ def _reference_index(spark: SparkSession, data_dir: str):
     if data_dir not in _INDEX_CACHE:
         # persist docs too: inverted and stats each scan the corpus, and
         # the 1000-small-file wholetext read costs more than the cache.
-        docs = load_reference_corpus(spark, data_dir).persist()
+        # coalesce first: wholetext yields ~1 partition per file, and a
+        # 1000-partition cache makes every downstream op pay 1000 tasks
+        # of scheduling for 1000 rows -- the classic small-files problem,
+        # answered the same way an ingest pipeline would (compact once,
+        # then operate on sane partitions).
+        docs = load_reference_corpus(spark, data_dir).coalesce(8).persist()
         inverted = inverted_from_docs(docs).persist()
         vocab = vocab_from_inverted(inverted).persist()
         stats = doc_stats_from_docs(docs).persist()
