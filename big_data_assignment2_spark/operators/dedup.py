@@ -92,29 +92,44 @@ WHERE doc_id = keep
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded (doc_id, shingle), stop-shingles removed.
 
-    The df cap is a two-phase ``groupBy(shingle).count()`` whose result
-    (just the shingles OVER the cap -- tiny by definition, Zipf's tail cut
-    at df>100) is broadcast into a left-anti join. An earlier version used
+    The df cap is a two-phase ``groupBy(shingle).count()`` whose over-cap
+    result is broadcast into a left-anti join. An earlier version used
     ``count() OVER (PARTITION BY shingle)``, but window aggregates have no
     map-side partial: at 100 TB every row of a mega-hot stop-shingle lands
     on ONE task *before* the filter drops it. The groupBy's partial
     aggregation absorbs hot keys map-side, and the broadcast anti-join
-    adds no exchange, so the cap is skew-proof at any scale. Cached here
-    so ngram-Jaccard and MinHash-LSH share one materialization (Spark's
-    cache manager matches the identical logical plan)."""
+    adds no exchange, so the cap is skew-proof.
+
+    The raw exploded frame is persisted for the build so the Pandas-UDF
+    shingle pass runs ONCE (the stop list and the probe side both read the
+    cache), then unpersisted after the filtered result materializes.
+
+    Broadcast-size honesty: the stop set is *types*, bounded by
+    occurrences/cap (df > 100 means each stop shingle accounts for > 100
+    rows), so it is < 1% of shingle rows -- comfortably broadcastable far
+    past this corpus, but NOT constant-size: a 100 TB deployment splits
+    the cap (broadcast the Zipf head, shuffle-anti-join the long tail of
+    barely-over-cap types, both sides still partial-aggregated). Cached
+    here so ngram-Jaccard and MinHash-LSH share one materialization
+    (Spark's cache manager matches the identical logical plan)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(shingles_pd("text", SHINGLE_K)).alias("shingle"))
+    sh = docs.select(
+        "doc_id", F.explode(shingles_pd("text", SHINGLE_K)).alias("shingle")
+    ).persist()
     stop = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > MAX_SHINGLE_DF)
         .select("shingle")
     )
-    return (
+    out = (
         sh.join(F.broadcast(stop), "shingle", "left_anti")
         .select("doc_id", "shingle")
         .cache()
     )
+    out.count()  # materialize the filtered cache off the raw cache ...
+    sh.unpersist()  # ... then drop the raw rows
+    return out
 
 
 SQL_DOC_SHINGLES = f"""

@@ -113,6 +113,9 @@ _PRIORITY: tuple[str, ...] = (
     "rollup_agg",
     "grouping_sets_agg",
     "intersect_except_keys",
+    # --- positions 51+: past the driver's 50-query cap this round;
+    # these four r1-green queries roll into the NEXT round's window
+    # (promote them to the head of this section then) ---
     "correlated_above_avg",
     "union_all_agg",
     "agg_count_distinct",

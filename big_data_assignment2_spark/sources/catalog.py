@@ -46,11 +46,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       convert with integer division (NOT a double divide, which loses
       precision above 2^53). DuckDB truncates ns->us the same way.
     * micros/millis file: the scoped ``inferTimestampNTZ.enabled=false``
-      conf reads the tz-naive column as plain TIMESTAMP whose
-      ``unix_micros`` equals the raw stored int64 -- bit-identical to
-      DuckDB's naive read, independent of the session timezone, and
-      (unlike an expression rewrite) the bare column keeps full
-      predicate pushdown to the parquet scan.
+      conf reads the tz-naive column as plain TIMESTAMP holding the
+      file's wall-clock value as a UTC instant (``unix_micros`` equals
+      the raw stored int64 for a micros file, raw*1000 for millis) --
+      the same instants DuckDB's naive read produces, independent of the
+      session timezone, and (unlike an expression rewrite) the bare
+      column keeps full predicate pushdown to the parquet scan.
 
     Either way ``ts`` comes out as TIMESTAMP (an instant equal to the
     file's wall-clock value read as UTC), which is what every downstream

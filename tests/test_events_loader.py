@@ -68,9 +68,10 @@ def test_events_stream_type_adaptive(spark, variant_dirs, unit):
         .start()
     )
     try:
-        q.awaitTermination(120)
+        finished = q.awaitTermination(120)
     finally:
         q.stop()
+    assert finished, "stream did not finish within 120s"
     got = [r[0] for r in spark.table(name).collect()]
     assert sorted(got) == sorted(raw_us)
 
