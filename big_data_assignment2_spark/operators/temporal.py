@@ -1,5 +1,5 @@
 """Temporal join / reshaping operators the reference lacks but a
-general-purpose engine needs: as-of join, pivot, cube.
+general-purpose engine needs: as-of join, binned range join, pivot, cube.
 
 The as-of join is the canonical "operator Spark has no primitive for"
 (SURVEY.md section 2.3 notes its absence in the reference too). It is
@@ -83,6 +83,61 @@ ASOF LEFT JOIN purchases p
 """
 
 
+RANGE_BIN_S = 1800  # bin width == max range length, so a range spans <= 2 bins
+RANGE_DEF_MOD = 97  # events with event_id % MOD == 0 define the ranges
+
+
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join (range join) in its scale-correct binned
+    form: every event matched to each 30-minute window ``[lo, lo+30min)``
+    anchored at a deterministic ~1% slice of events (``event_id % 97 ==
+    0`` stands in for a maintenance/campaign-window table).
+
+    Naive Spark plans an interval-only predicate as
+    BroadcastNestedLoopJoin -- O(|events| * |ranges|) compute, the thing
+    that cannot run at 100 TB. The binned form makes it an EQUI join:
+    both sides get a bin key ``floor(epoch / BIN_S)``, each range is
+    exploded to the <= 2 bins it overlaps (bin width >= range length
+    bounds the fan-out), the join runs hash-partitioned on the bin, and
+    the exact ``lo <= ts < hi`` filter runs post-join. An event's bin is
+    unique, so each matching (event, range) pair appears exactly once --
+    no dedup pass. This is the standard bucketized range-join rewrite
+    (what Databricks' range-join hints do under the hood), expressed in
+    plain DataFrame ops; plan-asserted nested-loop-free."""
+    ev = load_table(spark, sf_dir, "events")
+    lo_us = F.unix_micros("ts")
+    ranges = ev.where(F.col("event_id") % RANGE_DEF_MOD == 0).select(
+        F.col("event_id").alias("window_id"),
+        lo_us.alias("lo_us"),
+        (lo_us + RANGE_BIN_S * 1_000_000).alias("hi_us"),
+    )
+    bin_of = lambda c: F.floor(F.col(c) / (RANGE_BIN_S * 1_000_000))  # noqa: E731
+    r_binned = ranges.withColumn(
+        "bin", F.explode(F.sequence(bin_of("lo_us"), bin_of("hi_us")))
+    )
+    e_binned = ev.select(
+        "event_id", F.unix_micros("ts").alias("ts_us")
+    ).withColumn("bin", bin_of("ts_us"))
+    return (
+        e_binned.join(r_binned, "bin")
+        .where((F.col("ts_us") >= F.col("lo_us")) & (F.col("ts_us") < F.col("hi_us")))
+        .select("event_id", "window_id", "ts_us", "lo_us")
+    )
+
+
+SQL_RANGE_JOIN = f"""
+WITH r AS (
+  SELECT event_id AS window_id,
+         CAST(epoch_us(ts) AS BIGINT) AS lo_us,
+         CAST(epoch_us(ts) AS BIGINT) + {RANGE_BIN_S} * 1000000 AS hi_us
+  FROM events WHERE event_id % {RANGE_DEF_MOD} = 0
+)
+SELECT e.event_id, r.window_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us, r.lo_us
+FROM events e JOIN r
+  ON epoch_us(e.ts) >= r.lo_us AND epoch_us(e.ts) < r.hi_us
+"""
+
+
 PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
 
 
@@ -130,5 +185,11 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 def register(reg: Registry) -> None:
     reg.add("asof_join_events", asof_join_events, SQL_ASOF, "as-of backward join via window")
+    reg.add(
+        "range_join_events",
+        range_join_events,
+        SQL_RANGE_JOIN,
+        "binned interval-containment join (equi on time bin, no nested loop)",
+    )
     reg.add("pivot_event_counts", pivot_event_counts, SQL_PIVOT, "explicit-values pivot")
     reg.add("cube_agg", cube_agg, SQL_CUBE, "cube grouping sets + grouping_id")

@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_recall_eval",
     "repetition_stats",
     "corpus_stats_by_source",
+    "range_join_events",
     # --- green only in r1 (not re-checked since): keep inside the cap ---
     "scan_project_orderby_limit",
     "filter_isin_project",

@@ -223,6 +223,19 @@ def test_shingle_cap_is_skew_proof(spark, sf_dir):
     assert "Window" not in plan, plan
 
 
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The binned range join exists to avoid the BroadcastNestedLoopJoin
+    Spark plans for interval-only predicates: the physical join must be a
+    hash/sort-merge equi join on the time bin, never a nested loop."""
+    df = _df(spark, sf_dir, "range_join_events")
+    plan = str(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
 def test_doc_chunks_is_narrow_and_python_free(spark, sf_dir):
     """The 1->N chunk expansion must be a single narrow projection chain:
     no shuffle (Exchange), no Python eval -- sequence+slice stay JVM-side."""
