@@ -74,25 +74,33 @@ FROM events GROUP BY event_type
 """
 
 
-class _BigramsUDTF:
-    """Emit (position, bigram) rows per document -- a genuine one-row-in,
-    N-rows-out table function with per-row Python logic (the Spark-native
-    shape of the reference's streaming mapper, ``app/mapreduce/mapper2.py``:
-    one stdin line -> many stdout records)."""
-
-    def eval(self, doc_id, text: str):  # noqa: D102 - UDTF contract
-        import re
-
-        if text is None:
-            return
-        toks = re.findall(r"[a-z0-9]+", text.lower())
-        for i in range(len(toks) - 1):
-            yield (str(doc_id), i + 1, f"{toks[i]} {toks[i + 1]}")
-
-
 def bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LATERAL-join the UDTF against documents: positional bigrams."""
+    """LATERAL-join a Python UDTF against documents: positional bigrams.
+
+    The UDTF class is defined inside this function on purpose: a
+    module-level class is cloudpickled BY REFERENCE, which makes every
+    executor's Python worker re-import this package -- broken whenever
+    the driver process found the package via a runtime ``sys.path``
+    edit rather than PYTHONPATH/cwd (workers inherit neither). A local
+    class pickles by value and runs anywhere.
+    """
     from pyspark.sql.functions import udtf
+
+    class _BigramsUDTF:
+        """Emit (position, bigram) rows per document -- a genuine
+        one-row-in, N-rows-out table function with per-row Python logic
+        (the Spark-native shape of the reference's streaming mapper,
+        ``app/mapreduce/mapper2.py``: one stdin line -> many stdout
+        records)."""
+
+        def eval(self, doc_id, text: str):  # noqa: D102 - UDTF contract
+            import re
+
+            if text is None:
+                return
+            toks = re.findall(r"[a-z0-9]+", text.lower())
+            for i in range(len(toks) - 1):
+                yield (str(doc_id), i + 1, f"{toks[i]} {toks[i + 1]}")
 
     bigrams = udtf(_BigramsUDTF, returnType="doc_id string, pos bigint, bigram string")
     spark.udtf.register("doc_bigrams", bigrams)

@@ -98,63 +98,72 @@ def streaming_tumbling_watermarked(spark: SparkSession, sf_dir: str) -> DataFram
 SESSION_GAP_S = 1800  # keep in sync with operators.windows.SESSION_GAP_S
 
 
-def _sessionize_fn(key, pdfs, state):
-    """Custom stateful operator (applyInPandasWithState): per-user
-    sessionization with a 30-min inactivity gap.
+def _make_sessionize_fn(gap_us: int):
+    """Build the applyInPandasWithState callable as a CLOSURE so
+    cloudpickle ships it by value: a module-level function would be
+    pickled by reference and force every executor Python worker to
+    re-import this package, which breaks when the driver located the
+    package via a runtime ``sys.path`` edit (workers inherit PYTHONPATH
+    and cwd, not driver ``sys.path`` mutations)."""
 
-    State = the open session ``(start_us, last_us, n_events, sum_value)``.
-    Closed sessions are emitted as data arrives; the open tail session is
-    emitted when the event-time timeout fires (watermark passes
-    ``last_us + gap``). All arithmetic is on int64 epoch-microseconds, so
-    no session-timezone conversion can touch the values."""
-    import pandas as _pd
+    def _sessionize_fn(key, pdfs, state):
+        # Custom stateful operator: per-user sessionization with a
+        # 30-min inactivity gap. State = the open session
+        # (start_us, last_us, n_events, sum_value). Closed sessions are
+        # emitted as data arrives; the open tail session is emitted when
+        # the event-time timeout fires (watermark passes last_us + gap).
+        # All arithmetic is on int64 epoch-microseconds, so no
+        # session-timezone conversion can touch the values.
+        import pandas as _pd
 
-    gap_us = SESSION_GAP_S * 1_000_000
-    (user_id,) = key
-    if state.hasTimedOut:
-        start_us, last_us, n, total = state.get
-        state.remove()
-        yield _pd.DataFrame(
-            {
-                "session_start_us": [start_us],
-                "user_id": [user_id],
-                "n_events": [n],
-                "sum_value": [round(total, 6)],
-            }
-        )
-        return
-    rows = _pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
-    if state.exists:
-        start_us, last_us, n, total = state.get
-    else:
-        start_us = last_us = None
-        n, total = 0, 0.0
-    out = []
-    for ts_us, value in zip(rows["ts_us"], rows["value"]):
-        ts_us = int(ts_us)
-        # round per-value BEFORE accumulating: the oracle's decimal(18,6)
-        # sum quantizes each addend, so the python twin must too
-        v = round(float(value), 6)
-        if start_us is None:
-            start_us, last_us, n, total = ts_us, ts_us, 1, v
-        elif ts_us - last_us >= gap_us:
-            out.append((start_us, user_id, n, round(total, 6)))
-            start_us, last_us, n, total = ts_us, ts_us, 1, v
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield _pd.DataFrame(
+                {
+                    "session_start_us": [start_us],
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "sum_value": [round(total, 6)],
+                }
+            )
+            return
+        rows = _pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        if state.exists:
+            start_us, last_us, n, total = state.get
         else:
-            last_us, n, total = ts_us, n + 1, total + v
-    state.update((start_us, last_us, n, total))
-    # Fire once the watermark reaches the session's gap horizon. The
-    # timeout API is ms and Spark fires only when watermark_ms is
-    # STRICTLY greater than the timestamp, while the oracle emits open
-    # sessions with horizon <= watermark (inclusive); setting
-    # horizon_ms - 1 makes Spark fire iff wm_ms >= horizon_ms, exactly
-    # the oracle's ms-floored inclusive comparison (watermark_ms is
-    # floor(max_event_us / 1000)).
-    state.setTimeoutTimestamp((last_us + gap_us) // 1000 - 1)
-    if out:
-        yield _pd.DataFrame(
-            out, columns=["session_start_us", "user_id", "n_events", "sum_value"]
-        )
+            start_us = last_us = None
+            n, total = 0, 0.0
+        out = []
+        for ts_us, value in zip(rows["ts_us"], rows["value"]):
+            ts_us = int(ts_us)
+            # round per-value BEFORE accumulating: the oracle's
+            # decimal(18,6) sum quantizes each addend, so the python
+            # twin must too
+            v = round(float(value), 6)
+            if start_us is None:
+                start_us, last_us, n, total = ts_us, ts_us, 1, v
+            elif ts_us - last_us >= gap_us:
+                out.append((start_us, user_id, n, round(total, 6)))
+                start_us, last_us, n, total = ts_us, ts_us, 1, v
+            else:
+                last_us, n, total = ts_us, n + 1, total + v
+        state.update((start_us, last_us, n, total))
+        # Fire once the watermark reaches the session's gap horizon. The
+        # timeout API is ms and Spark fires only when watermark_ms is
+        # STRICTLY greater than the timestamp, while the oracle emits open
+        # sessions with horizon <= watermark (inclusive); setting
+        # horizon_ms - 1 makes Spark fire iff wm_ms >= horizon_ms, exactly
+        # the oracle's ms-floored inclusive comparison (watermark_ms is
+        # floor(max_event_us / 1000)).
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000 - 1)
+        if out:
+            yield _pd.DataFrame(
+                out, columns=["session_start_us", "user_id", "n_events", "sum_value"]
+            )
+
+    return _sessionize_fn
 
 
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,7 +190,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.withWatermark("ts", "0 seconds")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize_fn,
+            _make_sessionize_fn(SESSION_GAP_S * 1_000_000),
             outputStructType="session_start_us bigint, user_id bigint,"
             " n_events bigint, sum_value double",
             stateStructType="start_us bigint, last_us bigint,"
