@@ -24,7 +24,7 @@ Design rules these encode for scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import ngrams_pd, shingles_pd, sql_ngrams, sql_shingles
@@ -310,6 +310,154 @@ FROM documents GROUP BY source, lang
 """
 
 
+# doc_pack_greedy: token budget of one packed training sequence
+PACK_BUDGET = 256
+
+# blocklist_scan: policy term list + per-doc hit threshold
+BLOCKLIST = ("customer", "vector", "stream")
+BLOCK_MAX_HITS = 2
+
+# sample_balanced_lang: hash-bucket resolution for per-language keep rates
+BALANCE_BUCKETS = 1_000_000
+
+
+def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign each document to the fixed-token-budget
+    training pack where its text starts, concat-and-split style (docs
+    are laid end-to-end in doc_id order and a pack boundary falls every
+    {PACK_BUDGET} tokens). The assignment is the exclusive running token
+    sum integer-divided by the budget -- one window cumsum, fully
+    deterministic, no Python.
+
+    Scale shape: the cumsum partitions by ``source``, so packing
+    parallelizes across sources instead of serializing the corpus
+    through one global running total (a global ORDER BY window is a
+    single-task bottleneck at 100 TB; per-shard packing is what real
+    pretraining pipelines do -- packs never need to cross shard
+    boundaries)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        start.alias("start_tok"),
+        F.floor(start / PACK_BUDGET).alias("pack_id"),
+    )
+
+
+_SQL_DOC_TOKENS = SQL_TOKENS.format(col="text")
+
+SQL_PACK = f"""
+SELECT doc_id, source, n_tok, start_tok,
+       CAST(floor(start_tok / {PACK_BUDGET}) AS BIGINT) AS pack_id
+FROM (
+  SELECT doc_id, source, len({_SQL_DOC_TOKENS}) AS n_tok,
+         CAST(coalesce(sum(len({_SQL_DOC_TOKENS})) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM documents
+)
+"""
+
+
+def blocklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-policy scan: per-document count of blocklisted terms and the
+    resulting keep/drop flag. The hit count is a higher-order filter
+    over the token array inside one narrow projection -- no explode, no
+    shuffle, no Python. This is the literal-IN-list form for small
+    policy lists; for blocklists too large to inline, the scaled
+    sibling is ``decontaminate`` (broadcast join against the exploded
+    term set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = F.size(
+        F.filter(tokens("text"), lambda t: t.isin(*BLOCKLIST))
+    )
+    return docs.select(
+        "doc_id",
+        hits.alias("block_hits"),
+        (hits <= BLOCK_MAX_HITS).alias("kept"),
+    )
+
+
+_SQL_BLOCKLIST_IN = ", ".join(f"'{t}'" for t in BLOCKLIST)
+
+SQL_BLOCKLIST = f"""
+SELECT doc_id,
+       len(list_filter({_SQL_DOC_TOKENS}, t -> t IN ({_SQL_BLOCKLIST_IN}))) AS block_hits,
+       len(list_filter({_SQL_DOC_TOKENS}, t -> t IN ({_SQL_BLOCKLIST_IN}))) <= {BLOCK_MAX_HITS} AS kept
+FROM documents
+"""
+
+
+def sample_balanced_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced resampling: down-sample every language to the
+    size of the smallest one, so the kept corpus has a uniform language
+    mixture. Each language's keep-rate is ``min_count / count``; the
+    keep decision is the same content-hash bucket trick as
+    ``sample_stratified`` (reproducible, engine-independent, rerun and
+    incremental-load stable) at 1e-6 rate granularity.
+
+    Scale shape: one tiny groupBy builds the per-language rate table
+    (thousands of rows at most), broadcast back over the corpus; the
+    corpus itself never shuffles. Rates are computed with integer
+    arithmetic (``floor(1e6 * min / cnt)``) so both engines make the
+    identical keep decision at the bucket boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    target = counts.agg(F.min("cnt").alias("target"))
+    rates = counts.join(F.broadcast(target)).select(
+        F.col("lang").alias("r_lang"),
+        F.floor(F.lit(BALANCE_BUCKETS) * F.col("target") / F.col("cnt")).alias("keep_below"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % BALANCE_BUCKETS
+    )
+    return (
+        docs.join(F.broadcast(rates), docs.lang == F.col("r_lang"))
+        .where(bucket < F.col("keep_below"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+SQL_BALANCED = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS cnt FROM documents GROUP BY 1
+), rates AS (
+  SELECT lang, CAST(floor({BALANCE_BUCKETS} * (SELECT min(cnt) FROM counts) / cnt) AS BIGINT) AS keep_below
+  FROM counts
+)
+SELECT doc_id, d.lang, source
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {BALANCE_BUCKETS} < keep_below
+"""
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user counts per event type
+    (``approx_count_distinct``, rsd 2%). The sketch is mergeable, so the
+    aggregate stays two-phase: each task shuffles one ~kilobyte sketch
+    per group, never the raw user ids -- THE way to count distincts at
+    100 TB (exact count-distinct shuffles every distinct value; see
+    ``agg_count_distinct`` for the exact twin).
+
+    No DuckDB oracle: HLL estimates are sketch-implementation-specific
+    (driver records the rows-only check). ``tests/test_properties.py``
+    bounds the relative error against the exact count instead."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "quality_filter_apply",
@@ -352,4 +500,28 @@ def register(reg: Registry) -> None:
         corpus_stats_by_source,
         SQL_CORPUS_BY_SOURCE,
         "per-(source, lang) corpus composition table",
+    )
+    reg.add(
+        "doc_pack_greedy",
+        doc_pack_greedy,
+        SQL_PACK,
+        "sequence packing: per-source window cumsum -> pack assignment",
+    )
+    reg.add(
+        "blocklist_scan",
+        blocklist_scan,
+        SQL_BLOCKLIST,
+        "term-policy scan (higher-order filter, narrow)",
+    )
+    reg.add(
+        "sample_balanced_lang",
+        sample_balanced_lang,
+        SQL_BALANCED,
+        "language-balanced hash resampling (broadcast rate table)",
+    )
+    reg.add(
+        "approx_distinct_users",
+        approx_distinct_users,
+        None,  # HLL estimates are sketch-specific; error bounded in tests
+        "HLL++ approx distinct users per event type (mergeable sketch)",
     )

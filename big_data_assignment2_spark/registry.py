@@ -83,6 +83,21 @@ _PRIORITY: tuple[str, ...] = (
     "repetition_stats",
     "corpus_stats_by_source",
     "range_join_events",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q16_part_supplier_counts",
+    "q17_small_qty_revenue",
+    "q20_promotable_suppliers",
+    "q21_waiting_suppliers",
+    "doc_pack_greedy",
+    "blocklist_scan",
+    "sample_balanced_lang",
+    "approx_distinct_users",
+    "csv_roundtrip",
     # --- green only in r1 (not re-checked since): keep inside the cap ---
     "scan_project_orderby_limit",
     "filter_isin_project",
@@ -172,11 +187,12 @@ def build_registry() -> Registry:
         similarity,
         skew,
         temporal,
+        tpch_rest,
         udx,
         textstats,
         windows,
     )
-    from .sources import doc_export, partitioned_sink, reference_corpus
+    from .sources import doc_export, partitioned_sink, reference_corpus, text_formats
     from .streaming import events_stream
 
     reg = Registry()
@@ -188,6 +204,7 @@ def build_registry() -> Registry:
         dedup,
         similarity,
         temporal,
+        tpch_rest,
         windows,
         skew,
         udx,
@@ -196,6 +213,7 @@ def build_registry() -> Registry:
         events_stream,
         reference_corpus,
         partitioned_sink,
+        text_formats,
         doc_export,
     ):
         mod.register(reg)

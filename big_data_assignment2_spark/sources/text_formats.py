@@ -1,0 +1,108 @@
+"""CSV sink + schema'd read-back: text-format source coverage.
+
+The reference ingests TSV/plain-text corpora (``app/prepare_data.py``
+reads tab-separated id/title/text lines); the engine already covers that
+shape with the TSV export (S3) and the text-line source (S5,
+``reference_corpus.py``). This module closes the remaining text-format
+gap: a delimited-file SOURCE with an explicit schema, round-tripped so
+the oracle can verify value fidelity end-to-end.
+
+Scale notes:
+
+- The read back is ``spark.read.schema(...).csv`` with an EXPLICIT
+  schema: schema inference reads the data twice (a full extra pass at
+  100 TB) and infers per-run types -- never acceptable in production.
+- CSV scans can't push predicates into row groups or prune columns the
+  way parquet does (the whole line is parsed either way) -- which is
+  exactly why the round-trip's aggregate query costs more than its
+  parquet twin and why the engine treats CSV as an INGEST format, not a
+  storage format. The write side repartitions to a handful of files so
+  the read parallelizes without a tiny-file explosion.
+- Timestamps round-trip as ISO-8601 text; the read schema declares
+  ``timestamp_ntz`` so the parsed wall-clock is session-timezone-proof
+  (same contract as the parquet catalog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators._util import dsum, sql_dsum
+from ..registry import Registry
+from ..sources.catalog import load_table
+
+_WRITTEN: dict[str, str] = {}
+
+CSV_SCHEMA = (
+    "l_orderkey bigint, l_linenumber int, l_quantity double,"
+    " l_extendedprice double, l_returnflag string, l_shipdate timestamp_ntz"
+)
+
+
+def write_lineitem_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Write a lineitem projection as headered CSV; memoized per sf_dir."""
+    if sf_dir not in _WRITTEN:
+        from ..operators._util import scratch_root, scratch_slug
+
+        out = f"{scratch_root()}/lineitem_csv_{scratch_slug(sf_dir)}"
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                "l_quantity",
+                "l_extendedprice",
+                "l_returnflag",
+                F.date_format("l_shipdate", "yyyy-MM-dd'T'HH:mm:ss").alias("l_shipdate"),
+            )
+            .repartition(4)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(out)
+        )
+        _WRITTEN[sf_dir] = out
+    return _WRITTEN[sf_dir]
+
+
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: CSV write, explicit-schema read, per-returnflag
+    aggregate. The oracle runs the same aggregate on the ORIGINAL
+    parquet table, so any parse/format infidelity (float text
+    round-trip, timestamp format, header handling) breaks the value
+    hash."""
+    path = write_lineitem_csv(spark, sf_dir)
+    li = (
+        spark.read.schema(CSV_SCHEMA)
+        .option("header", "true")
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss")
+        .csv(path)
+    )
+    return (
+        li.where(F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+SQL_CSV_ROUNDTRIP = f"""
+SELECT l_returnflag, count(*) AS n_rows,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice', 4)} AS sum_price
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+def register(reg: Registry) -> None:
+    reg.add(
+        "csv_roundtrip",
+        csv_roundtrip,
+        SQL_CSV_ROUNDTRIP,
+        "CSV sink + explicit-schema source round-trip",
+    )

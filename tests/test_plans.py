@@ -236,6 +236,38 @@ def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
     ), plan
 
 
+def test_q2_dims_broadcast_no_merge_join(spark, sf_dir):
+    """Q2's four dimension joins (part/supplier/nation/region) must all
+    broadcast; the only shuffles are the (part, supplier) cost aggregate
+    and the window min."""
+    df = _df(spark, sf_dir, "q2_min_cost_supplier")
+    ops = operators(df)
+    assert ops.count("BroadcastHashJoin") == 4, ops
+    assert "SortMergeJoin" not in ops and "CartesianProduct" not in ops
+
+
+def test_q16_not_in_becomes_broadcast_anti(spark, sf_dir):
+    """The NOT IN supplier exclusion must plan as a broadcast left-anti
+    join, never a per-row subquery or shuffled anti join of the fact."""
+    df = _df(spark, sf_dir, "q16_part_supplier_counts")
+    plan = str(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_q21_reuses_one_fact_shuffle(spark, sf_dir):
+    """The waiting-suppliers rewrite must shuffle the fact ONCE: the
+    explicit orderkey repartition satisfies both aggregations and the
+    join-back (subset rule), and the twice-referenced subtree dedupes to
+    a ReusedExchange at runtime. A second fact-sized exchange would mean
+    the rewrite regressed toward the classic triple-scan plan."""
+    df = _df(spark, sf_dir, "q21_waiting_suppliers")
+    df.collect()  # AQE finalizes exchange reuse at execution
+    plan = str(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "REPARTITION_BY_COL" in plan, plan
+    assert "ReusedExchange" in plan, plan
+
+
 def test_doc_chunks_is_narrow_and_python_free(spark, sf_dir):
     """The 1->N chunk expansion must be a single narrow projection chain:
     no shuffle (Exchange), no Python eval -- sequence+slice stay JVM-side."""

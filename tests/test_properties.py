@@ -57,3 +57,27 @@ def test_dsum_is_order_independent(spark, values, rnd):
     a = spark.createDataFrame([(v,) for v in values], "v double").agg(dsum(F.col("v"), 6)).collect()[0][0]
     b = spark.createDataFrame([(v,) for v in shuffled], "v double").agg(dsum(F.col("v"), 6)).collect()[0][0]
     assert a == b
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """approx_distinct_users has no SQL oracle (HLL estimates are
+    sketch-specific); bound its relative error against the exact
+    count-distinct instead. rsd=0.02 gives a ~2% standard deviation --
+    5% is a >2-sigma ceiling, loose enough to be flake-free."""
+    from big_data_assignment2_spark.operators.pipeline import approx_distinct_users
+    from big_data_assignment2_spark.sources.catalog import load_table
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in approx_distinct_users(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for et, est in approx.items():
+        assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])
