@@ -197,6 +197,81 @@ FROM events
 """
 
 
+ROLLUP_DAY_S = 86400
+ROLLUP_HOUR_S = 3600
+
+HIST_LO = 0.0
+HIST_STEP = 10.0
+HIST_BINS = 10  # values land in [0, 100) + an overflow bin
+
+
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup (the hypertable / continuous-aggregate
+    pattern): hour totals, day totals, and the grand total in ONE pass
+    via ``rollup(day, hour)`` -- a single Expand + two-phase aggregate
+    instead of one scan per granularity. ``grouping_id`` distinguishes
+    the levels; bucket starts are integer epoch math, so the hierarchy
+    is timezone-proof (a calendar ``date_trunc`` would shift with the
+    session zone).
+
+    At 100 TB this is THE way to maintain multi-granularity dashboards:
+    the expand emits level-tagged rows into the same partial aggregate,
+    so the fact is read and shuffled once for all levels."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch_s = F.unix_timestamp("ts")
+    day = (F.floor(epoch_s / ROLLUP_DAY_S) * ROLLUP_DAY_S).cast("long")
+    hour = (F.floor(epoch_s / ROLLUP_HOUR_S) * ROLLUP_HOUR_S).cast("long")
+    return (
+        ev.select(day.alias("day_epoch"), hour.alias("hour_epoch"), "value")
+        .rollup("day_epoch", "hour_epoch")
+        .agg(
+            F.grouping_id().alias("level"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+SQL_TIME_ROLLUP = f"""
+SELECT day_epoch, hour_epoch,
+       CAST(grouping_id(day_epoch, hour_epoch) AS BIGINT) AS level,
+       count(*) AS n_events, {sql_dsum('value', 6)} AS sum_value
+FROM (
+  SELECT CAST(floor(epoch(ts) / {ROLLUP_DAY_S}) * {ROLLUP_DAY_S} AS BIGINT) AS day_epoch,
+         CAST(floor(epoch(ts) / {ROLLUP_HOUR_S}) * {ROLLUP_HOUR_S} AS BIGINT) AS hour_epoch,
+         value
+  FROM events
+)
+GROUP BY ROLLUP (day_epoch, hour_epoch)
+"""
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of ``value`` per event type: bin assignment
+    is pure row-local arithmetic (no width_bucket dependency -- the
+    floor form is engine-portable), then one two-phase count aggregate.
+    Out-of-range values clamp into the top bin so the bin count is
+    bounded regardless of data. The whole histogram of a 100 TB table
+    costs one shuffle of (type x {HIST_BINS + 1}) partial counts."""
+    ev = load_table(spark, sf_dir, "events")
+    raw_bin = F.floor((F.col("value") - HIST_LO) / HIST_STEP)
+    bin_id = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(HIST_BINS)).cast("long")
+    return (
+        ev.select("event_type", bin_id.alias("bin_id"))
+        .groupBy("event_type", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_VALUE_HISTOGRAM = f"""
+SELECT event_type,
+       CAST(least(greatest(floor((value - {HIST_LO}) / {HIST_STEP}), 0), {HIST_BINS}) AS BIGINT) AS bin_id,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("window_tumbling", window_tumbling, SQL_TUMBLING, "5-min tumbling windows")
     reg.add("window_sliding", window_sliding, SQL_SLIDING, "10/5-min sliding windows")
@@ -204,3 +279,15 @@ def register(reg: Registry) -> None:
     reg.add("events_json_sum", events_json_sum, SQL_JSON_SUM, "JSON field extract + agg")
     reg.add("window_moving_avg", window_moving_avg, SQL_MOVING_AVG, "3-row moving average per user")
     reg.add("window_lag_delta", window_lag_delta, SQL_LAG_DELTA, "lag delta per user")
+    reg.add(
+        "events_time_rollup",
+        events_time_rollup,
+        SQL_TIME_ROLLUP,
+        "hour/day/total time-hierarchy rollup in one pass",
+    )
+    reg.add(
+        "events_value_histogram",
+        events_value_histogram,
+        SQL_VALUE_HISTOGRAM,
+        "fixed-width value histogram per event type",
+    )

@@ -98,6 +98,8 @@ _PRIORITY: tuple[str, ...] = (
     "sample_balanced_lang",
     "approx_distinct_users",
     "csv_roundtrip",
+    "events_time_rollup",
+    "events_value_histogram",
     # --- green only in r1 (not re-checked since): keep inside the cap ---
     "scan_project_orderby_limit",
     "filter_isin_project",
