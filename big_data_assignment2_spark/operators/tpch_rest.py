@@ -222,15 +222,20 @@ GROUP BY 1, 2
 # --- Q11: important parts (scalar-subquery threshold) ---------------------------
 
 Q11_NATION = "NATION_7"
-Q11_FRACTION = 0.001
+Q11_MULTIPLE = 2.0
 
 
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose stock value (adapted: shipped
     ``l_extendedprice`` through suppliers of one nation) exceeds a
-    fraction of the total. The grand total is a 1-row aggregate of the
-    per-part values, broadcast back as a cross join -- the per-part table
-    is aggregated ONCE and reused for both sides (no second scan)."""
+    threshold scalar subquery. The original's fixed fraction-of-total
+    threshold must shrink as 1/SF to stay meaningful (TPC-H specifies
+    exactly that), so this adaptation uses a scale-free multiple of the
+    AVERAGE per-part value instead -- the selected set stays
+    non-degenerate at every scale factor. The 1-row scalar is an
+    aggregate of the per-part values, broadcast back as a cross join --
+    the per-part table is aggregated ONCE and reused for both sides (no
+    second scan)."""
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").where(F.col("n_name") == Q11_NATION)
@@ -240,12 +245,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(dsum(F.col("l_extendedprice"), 2).alias("part_value"))
     )
-    total = per_part.agg(
-        dsum(F.col("part_value"), 2).alias("total_value")
+    threshold = per_part.agg(
+        F.round(davg(F.col("part_value"), 2), 6).alias("avg_value")
     )
     return (
-        per_part.join(F.broadcast(total))
-        .where(F.col("part_value") > Q11_FRACTION * F.col("total_value"))
+        per_part.join(F.broadcast(threshold))
+        .where(F.col("part_value") > Q11_MULTIPLE * F.col("avg_value"))
         .select("l_partkey", "part_value")
     )
 
@@ -260,8 +265,8 @@ WITH per_part AS (
   GROUP BY 1
 )
 SELECT l_partkey, part_value FROM per_part
-WHERE part_value > {Q11_FRACTION} * (
-  SELECT {sql_dsum('part_value', 2)} FROM per_part)
+WHERE part_value > {Q11_MULTIPLE} * (
+  SELECT round({sql_davg('part_value', 2)}, 6) FROM per_part)
 """
 
 
