@@ -100,6 +100,9 @@ _PRIORITY: tuple[str, ...] = (
     "csv_roundtrip",
     "events_time_rollup",
     "events_value_histogram",
+    "json_roundtrip",
+    "orc_roundtrip",
+    "streaming_foreach_batch",
     # --- green only in r1 (not re-checked since): keep inside the cap ---
     "scan_project_orderby_limit",
     "filter_isin_project",

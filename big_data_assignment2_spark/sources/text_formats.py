@@ -1,11 +1,13 @@
-"""CSV sink + schema'd read-back: text-format source coverage.
+"""CSV / JSON-lines / ORC sinks + schema'd read-back: source-format
+coverage beyond parquet.
 
 The reference ingests TSV/plain-text corpora (``app/prepare_data.py``
 reads tab-separated id/title/text lines); the engine already covers that
 shape with the TSV export (S3) and the text-line source (S5,
-``reference_corpus.py``). This module closes the remaining text-format
-gap: a delimited-file SOURCE with an explicit schema, round-tripped so
-the oracle can verify value fidelity end-to-end.
+``reference_corpus.py``). This module closes the remaining format gaps:
+delimited text (CSV), newline-delimited JSON, and the other mainstream
+columnar format (ORC), each as a SOURCE with an explicit schema,
+round-tripped so the oracle can verify value fidelity end-to-end.
 
 Scale notes:
 
@@ -99,10 +101,125 @@ GROUP BY 1
 """
 
 
+_WRITTEN_JSON: dict[str, str] = {}
+_WRITTEN_ORC: dict[str, str] = {}
+
+JSON_SCHEMA = (
+    "event_id bigint, ts_us bigint, user_id bigint,"
+    " event_type string, value double, props string"
+)
+
+
+def write_events_json(spark: SparkSession, sf_dir: str) -> str:
+    """Write events as newline-delimited JSON; memoized per sf_dir.
+    Timestamps serialize as EPOCH MICROSECOND integers, not ISO text:
+    text timestamps render through the writer session's timezone (a
+    file written under one zone mis-parses under another), while the
+    epoch int64 is the same bytes everywhere -- the standard contract
+    for JSONL event feeds. Doubles serialize shortest-round-trip, so
+    values survive the text format bit-exactly."""
+    if sf_dir not in _WRITTEN_JSON:
+        from ..operators._util import scratch_root, scratch_slug
+
+        out = f"{scratch_root()}/events_json_{scratch_slug(sf_dir)}"
+        (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+            .repartition(4)
+            .write.mode("overwrite")
+            .json(out)
+        )
+        _WRITTEN_JSON[sf_dir] = out
+    return _WRITTEN_JSON[sf_dir]
+
+
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: JSONL write, explicit-schema read, per-type aggregate
+    verified against the original parquet. Schema inference on JSON
+    would re-read the data AND guess types per-run -- the explicit
+    schema is the production contract (same rule as the CSV source)."""
+    path = write_events_json(spark, sf_dir)
+    ev = spark.read.schema(JSON_SCHEMA).json(path)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), 6).alias("sum_value"),
+        F.max("ts_us").alias("max_ts_us"),
+    )
+
+
+SQL_JSON_ROUNDTRIP = f"""
+SELECT event_type, count(*) AS n_events,
+       {sql_dsum('value', 6)} AS sum_value,
+       CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts_us
+FROM events GROUP BY 1
+"""
+
+
+def write_lineitem_orc(spark: SparkSession, sf_dir: str) -> str:
+    """Write lineitem as ORC; memoized per sf_dir. ORC keeps binary
+    column encodings (no text round-trip), so this exercises the other
+    mainstream columnar source with pushdown support."""
+    if sf_dir not in _WRITTEN_ORC:
+        from ..operators._util import scratch_root, scratch_slug
+
+        out = f"{scratch_root()}/lineitem_orc_{scratch_slug(sf_dir)}"
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .repartition(4)
+            .write.mode("overwrite")
+            .orc(out)
+        )
+        _WRITTEN_ORC[sf_dir] = out
+    return _WRITTEN_ORC[sf_dir]
+
+
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: ORC write, filtered read (the returnflag predicate
+    pushes into the ORC reader like parquet), per-status aggregate
+    verified against the original table."""
+    path = write_lineitem_orc(spark, sf_dir)
+    li = spark.read.orc(path)
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+SQL_ORC_ROUNDTRIP = f"""
+SELECT l_linestatus, count(*) AS n_rows,
+       {sql_dsum('l_extendedprice', 4)} AS sum_price
+FROM lineitem WHERE l_returnflag = 'R'
+GROUP BY 1
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "csv_roundtrip",
         csv_roundtrip,
         SQL_CSV_ROUNDTRIP,
         "CSV sink + explicit-schema source round-trip",
+    )
+    reg.add(
+        "json_roundtrip",
+        json_roundtrip,
+        SQL_JSON_ROUNDTRIP,
+        "JSONL sink + explicit-schema source round-trip",
+    )
+    reg.add(
+        "orc_roundtrip",
+        orc_roundtrip,
+        SQL_ORC_ROUNDTRIP,
+        "ORC sink + pushdown-filtered source round-trip",
     )

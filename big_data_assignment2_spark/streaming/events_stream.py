@@ -398,12 +398,82 @@ FROM events c JOIN events p
 """
 
 
+def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` sink: per-micro-batch aggregates written to a
+    parquet table partitioned by ``batch_id``, then read back and reduced
+    to per-type totals. foreachBatch is the production sink surface for
+    destinations without a native streaming writer (JDBC, key-value
+    stores, MERGE targets); the contract demonstrated here is
+    IDEMPOTENT REPLAY -- the batch function dynamically overwrites its
+    own batch_id partition, so Spark's at-least-once redelivery of a
+    batch after a failure converges to exactly-once table contents.
+
+    The totals are a pure function of the input (batch boundaries cancel
+    out in the sum), so even this sink gets a full DuckDB oracle. The
+    per-batch partial sums go through the same decimal(18,6) accumulation
+    as everything else: decimal addition is associative, so
+    sum-of-batch-sums equals the oracle's global sum exactly."""
+    out = f"{_util_scratch()}/stream_fb_{uuid.uuid4().hex[:8]}"
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum(F.col("value"), 6).alias("sum_value"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+
+    ev = _events_stream(spark, sf_dir).select("event_type", "value")
+    q = (
+        ev.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", f"{out}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            dsum(F.col("sum_value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def _util_scratch() -> str:
+    from ..operators._util import scratch_root
+
+    return scratch_root()
+
+
+SQL_FOREACH_BATCH = f"""
+SELECT event_type, count(*) AS n_events, {sql_dsum('value', 6)} AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "streaming_tumbling",
         streaming_tumbling,
         SQL_TUMBLING,
         "Structured Streaming tumbling windows (availableNow), equals batch",
+    )
+    reg.add(
+        "streaming_foreach_batch",
+        streaming_foreach_batch,
+        SQL_FOREACH_BATCH,
+        "foreachBatch idempotent parquet sink (batch_id partition overwrite)",
     )
     reg.add(
         "streaming_sessionize",

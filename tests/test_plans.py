@@ -268,6 +268,43 @@ def test_q21_reuses_one_fact_shuffle(spark, sf_dir):
     assert "ReusedExchange" in plan, plan
 
 
+def test_doc_pack_windows_per_source_not_globally(spark, sf_dir):
+    """Sequence packing must partition its cumsum window by source: a
+    global ORDER BY window plans an Exchange SinglePartition -- the
+    one-task bottleneck this operator exists to avoid."""
+    df = _df(spark, sf_dir, "doc_pack_greedy")
+    plan = str(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_blocklist_scan_is_narrow_and_python_free(spark, sf_dir):
+    """The policy scan is one narrow projection: no shuffle, no explode
+    blow-up, no Python eval."""
+    df = _df(spark, sf_dir, "blocklist_scan")
+    assert not audit(
+        df, forbids=("Exchange", "ArrowEvalPython", "BatchEvalPython", "Generate")
+    )
+
+
+def test_sample_balanced_corpus_never_shuffles(spark, sf_dir):
+    """The corpus side must meet the rate table via broadcast join; the
+    only shuffles belong to the tiny per-language count aggregate."""
+    df = _df(spark, sf_dir, "sample_balanced_lang")
+    plan = str(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_time_rollup_single_expand(spark, sf_dir):
+    """All three granularities must come from ONE Expand feeding one
+    two-phase aggregate -- not a scan per level."""
+    df = _df(spark, sf_dir, "events_time_rollup")
+    ops = operators(df)
+    assert ops.count("Expand") == 1, ops
+    assert ops.count("Scan parquet") == 1, ops
+
+
 def test_doc_chunks_is_narrow_and_python_free(spark, sf_dir):
     """The 1->N chunk expansion must be a single narrow projection chain:
     no shuffle (Exchange), no Python eval -- sequence+slice stay JVM-side."""
