@@ -458,6 +458,124 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus pipeline in ONE composed query -- what a user
+    actually runs to turn raw documents into a training manifest:
+
+    1. length floor (the binding part of the quality policy on this
+       corpus; the full feature policy is ``quality_filter_apply``),
+    2. exact dedup (keep min doc_id per content hash -- one window over
+       the uniform md5 key, no join-back),
+    3. benchmark decontamination (drop docs sharing any 5-shingle with
+       the ``doc_id % {BENCH_MOD} == 0`` eval slice; bench shingles
+       broadcast, corpus never shuffles for the check),
+    4. language rebalancing (hash-bucket down-sample to the smallest
+       surviving language; broadcast rate table),
+    5. sequence packing (per-source window cumsum -> pack assignment).
+
+    Emits the manifest: (doc_id, lang, source, n_tok, pack_id). Because
+    every stage is deterministic and engine-portable, the five-stage
+    composition still has an exact DuckDB oracle -- the property that
+    makes the pipeline testable stage-by-stage AND end-to-end.
+
+    Scale shape: stages 1-2 are one narrow pass plus one hash-key
+    window; stage 3 adds a broadcast join over the corpus-shingle
+    stream; stages 4-5 are a filter and a per-shard window. Total: two
+    corpus shuffles (content-hash window, per-source pack window) and
+    one broadcast -- no stage materializes an intermediate corpus to
+    disk."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", "source", "text", F.size(tokens("text")).alias("n_tok")
+    ).where(F.col("n_tok") >= MIN_TOKENS)
+    kept = (
+        base.withColumn("keep", F.min("doc_id").over(Window.partitionBy(F.md5("text"))))
+        .where(F.col("doc_id") == F.col("keep"))
+    )
+    bench_sh = (
+        docs.where(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.explode(shingles_pd("text", DECON_K)).alias("shingle"))
+        .distinct()
+    )
+    corpus = kept.where(F.col("doc_id") % BENCH_MOD != 0)
+    contaminated = (
+        corpus.select("doc_id", F.explode(shingles_pd("text", DECON_K)).alias("shingle"))
+        .join(F.broadcast(bench_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = corpus.join(contaminated, "doc_id", "left_anti")
+    counts = clean.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    target = counts.agg(F.min("cnt").alias("target"))
+    rates = counts.join(F.broadcast(target)).select(
+        F.col("lang").alias("r_lang"),
+        F.floor(F.lit(BALANCE_BUCKETS) * F.col("target") / F.col("cnt")).alias("keep_below"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % BALANCE_BUCKETS
+    )
+    sampled = (
+        clean.join(F.broadcast(rates), clean.lang == F.col("r_lang"))
+        .where(bucket < F.col("keep_below"))
+        .select("doc_id", "lang", "source", "n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return sampled.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tok",
+        F.floor(start / PACK_BUDGET).alias("pack_id"),
+    )
+
+
+def _sql_pipeline_end_to_end() -> str:
+    toks = SQL_TOKENS.format(col="text")
+    sh = sql_shingles("text", DECON_K)
+    bucket = f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {BALANCE_BUCKETS}"
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, source, text, len({toks}) AS n_tok
+  FROM documents WHERE len({toks}) >= {MIN_TOKENS}
+), kept AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM base)
+  WHERE doc_id = keep
+), bench AS (
+  SELECT DISTINCT unnest({sh}) AS shingle FROM documents WHERE doc_id % {BENCH_MOD} = 0
+), corpus AS (
+  SELECT * FROM kept WHERE doc_id % {BENCH_MOD} <> 0
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest({sh}) AS shingle FROM corpus) s
+  JOIN bench USING (shingle)
+), clean AS (
+  SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+), counts AS (
+  SELECT lang, count(*) AS cnt FROM clean GROUP BY 1
+), rates AS (
+  SELECT lang, CAST(floor({BALANCE_BUCKETS} * (SELECT min(cnt) FROM counts) / cnt) AS BIGINT) AS keep_below
+  FROM counts
+), sampled AS (
+  SELECT c.doc_id, c.lang, c.source, c.n_tok
+  FROM clean c JOIN rates r ON c.lang = r.lang
+  WHERE {bucket} < keep_below
+)
+SELECT doc_id, lang, source, n_tok,
+       CAST(floor(CAST(coalesce(sum(n_tok) OVER (
+         PARTITION BY source ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         / {PACK_BUDGET}) AS BIGINT) AS pack_id
+FROM sampled
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "quality_filter_apply",
@@ -524,4 +642,10 @@ def register(reg: Registry) -> None:
         approx_distinct_users,
         None,  # HLL estimates are sketch-specific; error bounded in tests
         "HLL++ approx distinct users per event type (mergeable sketch)",
+    )
+    reg.add(
+        "pipeline_end_to_end",
+        pipeline_end_to_end,
+        _sql_pipeline_end_to_end(),
+        "5-stage corpus pipeline composed: filter->dedup->decontaminate->balance->pack",
     )
