@@ -296,6 +296,97 @@ FROM tf GROUP BY doc_id
 """
 
 
+SIMHASH_BANDS = 4  # 4 x 16-bit bands over the 64-bit signature
+SIMHASH_HAM_MAX = 3  # near-dup iff hamming(sig_a, sig_b) <= 3
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs: the signature table becomes dedup
+    *candidates* the same way MinHash-LSH does -- split the 64-bit
+    signature into {SIMHASH_BANDS} 16-bit bands, bucket-join docs that
+    share any band verbatim, then verify the full Hamming distance
+    <= {SIMHASH_HAM_MAX} on the survivors. Pigeonhole guarantee: any
+    pair within Hamming 3 of a 4-band split MUST agree on at least one
+    whole band, so banding loses no true pair -- it only prunes the
+    candidate space from O(n^2) to per-bucket joins (the same
+    sub-quadratic shape as ``minhash_lsh_pairs``).
+
+    Bands stay as 4-hex-char strings for the bucket join (no 64-bit
+    signed-overflow risk); the Hamming check parses each 16-bit band to
+    int and sums ``bit_count(xor)`` -- all JVM-side integer ops. A group
+    of k identical docs produces k^2/2 candidates within its buckets;
+    exact-dup groups are small, and an upstream ``dedup_apply`` pass
+    removes them entirely at production scale."""
+    sig = simhash(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.substring("simhash", 4 * j + 1, 4).alias("key"),
+                    )
+                    for j in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band", "b.key")
+    left = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sig"), "band", "key"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sig"), "band", "key"
+    )
+    cand = (
+        left.join(right, ["band", "key"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .distinct()
+    )
+    band_int = lambda c, j: F.conv(F.substring(c, 4 * j + 1, 4), 16, 10).cast("int")  # noqa: E731
+    hamming = sum(
+        F.bit_count(band_int("a_sig", j).bitwiseXOR(band_int("b_sig", j)))
+        for j in range(SIMHASH_BANDS)
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def _sql_simhash_neardup() -> str:
+    band_int = lambda c, j: f"CAST(('0x' || substr({c}, {4 * j + 1}, 4)) AS INT)"  # noqa: E731
+    hamming = " + ".join(
+        f"bit_count(xor({band_int('a_sig', j)}, {band_int('b_sig', j)}))"
+        for j in range(SIMHASH_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band, substr(simhash, {4 * j + 1}, 4) AS key FROM sig"
+        for j in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKENS.format(col='text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+sig AS (
+  SELECT doc_id, {sql_simhash_hex('term', 'tf')} AS simhash FROM tf GROUP BY doc_id
+),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.simhash AS a_sig, b.simhash AS b_sig
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST({hamming} AS BIGINT) AS hamming
+FROM cand WHERE {hamming} <= {SIMHASH_HAM_MAX}
+"""
+
+
 MAX_CC_ITERS = 20  # safety cap; real convergence = near-dup cluster diameter
 
 
@@ -447,6 +538,12 @@ def register(reg: Registry) -> None:
         "near-dup-deduped corpus (component representatives kept)",
     )
     reg.add("simhash", simhash, SQL_SIMHASH, "64-bit SimHash sketch per doc")
+    reg.add(
+        "simhash_neardup_pairs",
+        simhash_neardup_pairs,
+        _sql_simhash_neardup(),
+        "banded SimHash near-dup pairs (16-bit buckets + Hamming verify)",
+    )
     reg.add(
         "minhash_cols_fast",
         minhash_signatures_fast,

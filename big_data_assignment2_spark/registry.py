@@ -104,6 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "orc_roundtrip",
     "streaming_foreach_batch",
     "pipeline_end_to_end",
+    "simhash_neardup_pairs",
     # --- green only in r1 (not re-checked since): keep inside the cap ---
     "scan_project_orderby_limit",
     "filter_isin_project",
