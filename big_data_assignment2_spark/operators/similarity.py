@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import SQL_DOT, cosine, dot, sql_cosine
 from ..registry import Registry
 from ..sources.catalog import load_table
+from ._util import davg, sql_davg
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -624,8 +625,50 @@ WHERE {sim} >= {NEARDUP_T}
 """
 
 
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column -- the training step
+    of every IVF/k-means-style index (``ensure_ann_index`` computes the
+    same quantity for its cells), exposed as a first-class operator.
+
+    Emitted as (label, dim, centroid_val) rows rather than re-assembled
+    arrays: the flat form is what both engines can hash-compare exactly,
+    and the downstream consumer (a dot product against a query vector)
+    reads it either way. Plan: ``posexplode`` is narrow (a row's dims
+    stay in its partition, partial aggs collapse them locally), then ONE
+    exchange of (label x dim) partial sums -- shuffle volume is the
+    centroid table size, independent of row count. The mean goes through
+    the same decimal-exact accumulation as every other aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.round(davg(F.col("val"), 8), 6).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+SQL_CENTROIDS = f"""
+WITH e AS (
+  SELECT label, embedding,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+)
+SELECT label, CAST(i - 1 AS INT) AS dim,
+       round({sql_davg('embedding[i]', 8)}, 6) AS centroid_val,
+       count(*) AS n_vecs
+FROM e GROUP BY 1, 2
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("ann_topk_bruteforce", ann_topk_bruteforce, SQL_ANN_BRUTE, "exact cosine top-k")
+    reg.add(
+        "embedding_centroids",
+        embedding_centroids,
+        SQL_CENTROIDS,
+        "per-label centroid (the IVF training step as an operator)",
+    )
     reg.add("ann_topk_lsh", ann_topk_lsh, SQL_ANN_LSH, "LSH-bucketed approx top-k")
     reg.add("ann_topk_ivf", ann_topk_ivf, SQL_ANN_IVF, "IVF 2-probe approx top-k")
     reg.add(

@@ -105,6 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_foreach_batch",
     "pipeline_end_to_end",
     "simhash_neardup_pairs",
+    "embedding_centroids",
     # --- green only in r1 (not re-checked since): keep inside the cap ---
     "scan_project_orderby_limit",
     "filter_isin_project",
