@@ -81,12 +81,18 @@ def main() -> None:
     from big_data_assignment2_spark.operators.similarity import ensure_ann_index
     from big_data_assignment2_spark.sources.doc_export import ensure_exported
 
-    from big_data_assignment2_spark.sources.text_formats import write_lineitem_csv
+    from big_data_assignment2_spark.sources.text_formats import (
+        write_events_json,
+        write_lineitem_csv,
+        write_lineitem_orc,
+    )
 
     _build("bm25_index", lambda: ensure_persisted_index(spark, sf_dir))
     _build("ann_index", lambda: ensure_ann_index(spark, sf_dir))
     _build("doc_export", lambda: ensure_exported(spark, sf_dir))
     _build("csv_export", lambda: write_lineitem_csv(spark, sf_dir))
+    _build("json_export", lambda: write_events_json(spark, sf_dir))
+    _build("orc_export", lambda: write_lineitem_orc(spark, sf_dir))
     if any(n.startswith("reference_bm25") for n in reg.queries):
         from big_data_assignment2_spark.sources.reference_corpus import (
             warm_reference_index,

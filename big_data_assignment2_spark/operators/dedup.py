@@ -316,8 +316,19 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     int and sums ``bit_count(xor)`` -- all JVM-side integer ops. A group
     of k identical docs produces k^2/2 candidates within its buckets;
     exact-dup groups are small, and an upstream ``dedup_apply`` pass
-    removes them entirely at production scale."""
-    sig = simhash(spark, sf_dir)
+    removes them entirely at production scale.
+
+    The signature table is materialized (localCheckpoint) before the
+    self-join: the two join sides project different column sets, so
+    their plan subtrees don't canonicalize to one exchange (no
+    ReusedExchange) and an unmaterialized sig would compute the full
+    SimHash aggregation twice. localCheckpoint rather than persist():
+    persist registers the plan in the CacheManager, which would silently
+    rewrite OTHER queries' identical subtrees (the standalone ``simhash``
+    plan assertion would see an InMemoryRelation) -- a materialization
+    local to this operator must not leak into unrelated plans. The
+    (doc_id, 16-hex-char) table is tiny relative to the corpus."""
+    sig = simhash(spark, sf_dir).localCheckpoint()
     bands = sig.select(
         "doc_id",
         "simhash",

@@ -137,9 +137,10 @@ _PRIORITY: tuple[str, ...] = (
     "rollup_agg",
     "grouping_sets_agg",
     "intersect_except_keys",
-    # --- positions 51+: past the driver's 50-query cap this round;
-    # these four r1-green queries roll into the NEXT round's window
-    # (promote them to the head of this section then) ---
+    # --- positions 51+: past the driver's 50-query cap this round.
+    # Round 3 adds 29 new operators, so the cap holds the 15 never/lost
+    # rows + all new ops + 6 r1-green re-checks; everything below is
+    # ever-green from r1/r2 and rotates into later rounds' windows ---
     "correlated_above_avg",
     "union_all_agg",
     "agg_count_distinct",
