@@ -127,8 +127,10 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shingle")
         .cache()
     )
-    out.count()  # materialize the filtered cache off the raw cache ...
-    sh.unpersist()  # ... then drop the raw rows
+    try:
+        out.count()  # materialize the filtered cache off the raw cache
+    finally:
+        sh.unpersist()  # drop the raw rows even if materialization fails
     return out
 
 

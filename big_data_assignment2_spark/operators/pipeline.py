@@ -321,6 +321,66 @@ BLOCK_MAX_HITS = 2
 BALANCE_BUCKETS = 1_000_000
 
 
+def _pack_window_cols(df):
+    """start_tok/pack_id columns from the per-source exclusive token
+    cumsum -- THE packing definition, shared by ``doc_pack_greedy`` and
+    ``pipeline_end_to_end`` so the two can never drift. Input needs
+    (doc_id, source, n_tok)."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return start.alias("start_tok"), F.floor(start / PACK_BUDGET).alias("pack_id")
+
+
+_SQL_START_TOK = (
+    "CAST(coalesce(sum(n_tok) OVER ("
+    "PARTITION BY source ORDER BY doc_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+)
+_SQL_PACK_ID = f"CAST(floor({_SQL_START_TOK} / {PACK_BUDGET}) AS BIGINT)"
+
+
+def _balance_keep(docs):
+    """Language-balanced subset of ``docs`` (needs doc_id + lang): the
+    per-language keep-rate table (min count / count, integer bucket
+    edges) broadcast back over the corpus -- THE balancing definition,
+    shared by ``sample_balanced_lang`` and ``pipeline_end_to_end``."""
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    target = counts.agg(F.min("cnt").alias("target"))
+    rates = counts.join(F.broadcast(target)).select(
+        F.col("lang").alias("r_lang"),
+        F.floor(F.lit(BALANCE_BUCKETS) * F.col("target") / F.col("cnt")).alias("keep_below"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % BALANCE_BUCKETS
+    )
+    return (
+        docs.join(F.broadcast(rates), docs.lang == F.col("r_lang"))
+        .where(bucket < F.col("keep_below"))
+        .drop("r_lang", "keep_below")
+    )
+
+
+def _sql_balance_ctes(src: str) -> str:
+    """counts/rates CTE bodies for the SQL twin of :func:`_balance_keep`
+    over relation ``src`` (compose inside a WITH chain)."""
+    return f"""counts AS (
+  SELECT lang, count(*) AS cnt FROM {src} GROUP BY 1
+), rates AS (
+  SELECT lang, CAST(floor({BALANCE_BUCKETS} * (SELECT min(cnt) FROM counts) / cnt) AS BIGINT) AS keep_below
+  FROM counts
+)"""
+
+
+_SQL_BALANCE_BUCKET = (
+    f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {BALANCE_BUCKETS}"
+)
+
+
 def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign each document to the fixed-token-budget
     training pack where its text starts, concat-and-split style (docs
@@ -338,32 +398,17 @@ def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.size(tokens("text")).alias("n_tok")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
-    return docs.select(
-        "doc_id",
-        "source",
-        "n_tok",
-        start.alias("start_tok"),
-        F.floor(start / PACK_BUDGET).alias("pack_id"),
-    )
+    start_tok, pack_id = _pack_window_cols(docs)
+    return docs.select("doc_id", "source", "n_tok", start_tok, pack_id)
 
 
 _SQL_DOC_TOKENS = SQL_TOKENS.format(col="text")
 
 SQL_PACK = f"""
-SELECT doc_id, source, n_tok, start_tok,
-       CAST(floor(start_tok / {PACK_BUDGET}) AS BIGINT) AS pack_id
+SELECT doc_id, source, n_tok, {_SQL_START_TOK} AS start_tok,
+       {_SQL_PACK_ID} AS pack_id
 FROM (
-  SELECT doc_id, source, len({_SQL_DOC_TOKENS}) AS n_tok,
-         CAST(coalesce(sum(len({_SQL_DOC_TOKENS})) OVER (
-           PARTITION BY source ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
-  FROM documents
+  SELECT doc_id, source, len({_SQL_DOC_TOKENS}) AS n_tok FROM documents
 )
 """
 
@@ -411,33 +456,14 @@ def sample_balanced_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (``floor(1e6 * min / cnt)``) so both engines make the
     identical keep decision at the bucket boundary."""
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
-    target = counts.agg(F.min("cnt").alias("target"))
-    rates = counts.join(F.broadcast(target)).select(
-        F.col("lang").alias("r_lang"),
-        F.floor(F.lit(BALANCE_BUCKETS) * F.col("target") / F.col("cnt")).alias("keep_below"),
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
-        % BALANCE_BUCKETS
-    )
-    return (
-        docs.join(F.broadcast(rates), docs.lang == F.col("r_lang"))
-        .where(bucket < F.col("keep_below"))
-        .select("doc_id", "lang", "source")
-    )
+    return _balance_keep(docs).select("doc_id", "lang", "source")
 
 
 SQL_BALANCED = f"""
-WITH counts AS (
-  SELECT lang, count(*) AS cnt FROM documents GROUP BY 1
-), rates AS (
-  SELECT lang, CAST(floor({BALANCE_BUCKETS} * (SELECT min(cnt) FROM counts) / cnt) AS BIGINT) AS keep_below
-  FROM counts
-)
+WITH {_sql_balance_ctes('documents')}
 SELECT doc_id, d.lang, source
 FROM documents d JOIN rates r ON d.lang = r.lang
-WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {BALANCE_BUCKETS} < keep_below
+WHERE {_SQL_BALANCE_BUCKET} < keep_below
 """
 
 
@@ -505,40 +531,15 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     clean = corpus.join(contaminated, "doc_id", "left_anti")
-    counts = clean.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
-    target = counts.agg(F.min("cnt").alias("target"))
-    rates = counts.join(F.broadcast(target)).select(
-        F.col("lang").alias("r_lang"),
-        F.floor(F.lit(BALANCE_BUCKETS) * F.col("target") / F.col("cnt")).alias("keep_below"),
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
-        % BALANCE_BUCKETS
-    )
-    sampled = (
-        clean.join(F.broadcast(rates), clean.lang == F.col("r_lang"))
-        .where(bucket < F.col("keep_below"))
-        .select("doc_id", "lang", "source", "n_tok")
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
-    return sampled.select(
-        "doc_id",
-        "lang",
-        "source",
-        "n_tok",
-        F.floor(start / PACK_BUDGET).alias("pack_id"),
-    )
+    sampled = _balance_keep(clean).select("doc_id", "lang", "source", "n_tok")
+    _, pack_id = _pack_window_cols(sampled)
+    return sampled.select("doc_id", "lang", "source", "n_tok", pack_id)
 
 
 def _sql_pipeline_end_to_end() -> str:
     toks = SQL_TOKENS.format(col="text")
     sh = sql_shingles("text", DECON_K)
-    bucket = f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {BALANCE_BUCKETS}"
+    bucket = _SQL_BALANCE_BUCKET
     return f"""
 WITH base AS (
   SELECT doc_id, lang, source, text, len({toks}) AS n_tok
@@ -557,21 +558,12 @@ WITH base AS (
   JOIN bench USING (shingle)
 ), clean AS (
   SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
-), counts AS (
-  SELECT lang, count(*) AS cnt FROM clean GROUP BY 1
-), rates AS (
-  SELECT lang, CAST(floor({BALANCE_BUCKETS} * (SELECT min(cnt) FROM counts) / cnt) AS BIGINT) AS keep_below
-  FROM counts
-), sampled AS (
+), {_sql_balance_ctes('clean')}, sampled AS (
   SELECT c.doc_id, c.lang, c.source, c.n_tok
   FROM clean c JOIN rates r ON c.lang = r.lang
   WHERE {bucket} < keep_below
 )
-SELECT doc_id, lang, source, n_tok,
-       CAST(floor(CAST(coalesce(sum(n_tok) OVER (
-         PARTITION BY source ORDER BY doc_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-         / {PACK_BUDGET}) AS BIGINT) AS pack_id
+SELECT doc_id, lang, source, n_tok, {_SQL_PACK_ID} AS pack_id
 FROM sampled
 """
 

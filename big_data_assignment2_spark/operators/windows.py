@@ -272,8 +272,50 @@ GROUP BY 1, 2
 """
 
 
+def window_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic window functions in one per-user pass:
+    row_number, ntile, percent_rank, first_value, and a running max --
+    all share ONE window spec, so Spark plans a single shuffle on
+    user_id + one in-partition sort for all five (check: one Exchange,
+    one Window operator). Partitioned by user, never a global ORDER BY
+    -- the same single-task-bottleneck rule as ``doc_pack_greedy``."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    running = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(order).alias("rn"),
+        F.ntile(4).over(order).alias("quartile"),
+        F.round(F.percent_rank().over(order), 6).alias("pct_rank"),
+        F.round(F.first("value").over(order), 6).alias("first_value"),
+        F.round(F.max("value").over(running), 6).alias("running_max"),
+    )
+
+
+SQL_WINDOW_FUNCS = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS INT) AS rn,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(first_value(value) OVER w, 6) AS first_value,
+       round(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("window_tumbling", window_tumbling, SQL_TUMBLING, "5-min tumbling windows")
+    reg.add(
+        "window_funcs_suite",
+        window_funcs_suite,
+        SQL_WINDOW_FUNCS,
+        "row_number/ntile/percent_rank/first_value/running max, one window",
+    )
     reg.add("window_sliding", window_sliding, SQL_SLIDING, "10/5-min sliding windows")
     reg.add("window_session", window_session, SQL_SESSION, "30-min-gap session windows")
     reg.add("events_json_sum", events_json_sum, SQL_JSON_SUM, "JSON field extract + agg")

@@ -106,12 +106,18 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_end_to_end",
     "simhash_neardup_pairs",
     "embedding_centroids",
-    # --- green only in r1 (not re-checked since): keep inside the cap ---
+    "window_funcs_suite",
+    # --- green only in r1 (not re-checked since): the 5 that still fit
+    # inside the 50-query cap after the 15 never/lost + 30 new entries ---
     "scan_project_orderby_limit",
     "filter_isin_project",
     "corpus_clean",
     "tokenize_explode",
     "inverted_index",
+    # --- positions 51+: past the driver's 50-query cap this round;
+    # everything below is ever-green from r1/r2 and NOT re-verified in
+    # round 3 -- promote the r1-green block to the head of the re-check
+    # section next round ---
     "vocab",
     "doc_stats",
     "corpus_stats",
@@ -137,10 +143,6 @@ _PRIORITY: tuple[str, ...] = (
     "rollup_agg",
     "grouping_sets_agg",
     "intersect_except_keys",
-    # --- positions 51+: past the driver's 50-query cap this round.
-    # Round 3 adds 29 new operators, so the cap holds the 15 never/lost
-    # rows + all new ops + 6 r1-green re-checks; everything below is
-    # ever-green from r1/r2 and rotates into later rounds' windows ---
     "correlated_above_avg",
     "union_all_agg",
     "agg_count_distinct",

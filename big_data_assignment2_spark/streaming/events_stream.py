@@ -89,9 +89,13 @@ def streaming_tumbling_watermarked(spark: SparkSession, sf_dir: str) -> DataFram
         .start()
     )
     try:
-        q.awaitTermination(120)
+        finished = q.awaitTermination(120)
     finally:
         q.stop()
+    if not finished:
+        # a stopped-mid-batch memory sink holds partial results -- fail
+        # loudly instead of returning a plausible subset
+        raise RuntimeError(f"streaming query {name} did not finish within 120s")
     return spark.table(name)
 
 
@@ -293,9 +297,13 @@ def _run_to_table(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
-        q.awaitTermination(120)
+        finished = q.awaitTermination(120)
     finally:
         q.stop()
+    if not finished:
+        # a stopped-mid-batch memory sink holds partial results -- fail
+        # loudly instead of returning a plausible subset
+        raise RuntimeError(f"streaming query {name} did not finish within 120s")
     return spark.table(name)
 
 
@@ -413,7 +421,9 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-batch partial sums go through the same decimal(18,6) accumulation
     as everything else: decimal addition is associative, so
     sum-of-batch-sums equals the oracle's global sum exactly."""
-    out = f"{_util_scratch()}/stream_fb_{uuid.uuid4().hex[:8]}"
+    from ..operators._util import scratch_root
+
+    out = f"{scratch_root()}/stream_fb_{uuid.uuid4().hex[:8]}"
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -437,9 +447,13 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(120)
+        finished = q.awaitTermination(120)
     finally:
         q.stop()
+    if not finished:
+        # fail loudly: stopping mid-batch can leave a torn batch_id
+        # partition, and reading it would return plausible wrong totals
+        raise RuntimeError("streaming_foreach_batch did not finish within 120s")
     return (
         spark.read.parquet(out)
         .groupBy("event_type")
@@ -448,12 +462,6 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("sum_value"), 6).alias("sum_value"),
         )
     )
-
-
-def _util_scratch() -> str:
-    from ..operators._util import scratch_root
-
-    return scratch_root()
 
 
 SQL_FOREACH_BATCH = f"""

@@ -305,6 +305,23 @@ def test_time_rollup_single_expand(spark, sf_dir):
     assert ops.count("Scan parquet") == 1, ops
 
 
+def test_orc_roundtrip_pushes_filter(spark, sf_dir):
+    """The returnflag predicate must reach the ORC reader (PushedFilters
+    on the ORC scan) -- format coverage includes format pushdown."""
+    df = _df(spark, sf_dir, "orc_roundtrip")
+    assert any("EqualTo(l_returnflag,R)" in f for f in pushed_filters(df)), pushed_filters(df)
+
+
+def test_window_suite_single_shuffle(spark, sf_dir):
+    """All five analytic functions share one window spec, so the plan
+    must contain exactly one user_id Exchange and Window operators, and
+    no global (SinglePartition) sort."""
+    df = _df(spark, sf_dir, "window_funcs_suite")
+    plan = str(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
 def test_doc_chunks_is_narrow_and_python_free(spark, sf_dir):
     """The 1->N chunk expansion must be a single narrow projection chain:
     no shuffle (Exchange), no Python eval -- sequence+slice stay JVM-side."""
