@@ -262,6 +262,35 @@ GROUP BY c_mktsegment
 """
 
 
+def join_shuffled_hash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join under an explicit SHUFFLE_HASH hint: when neither
+    side broadcasts but one side's partitions fit in memory, a shuffled
+    hash join skips BOTH sort passes a SortMergeJoin pays -- on a 100 TB
+    fact-fact join the sorts are often the dominant cost. Spark only
+    picks SHJ on its own under narrow conditions (one side much smaller
+    per stats), so the hint is how a pipeline author states "the build
+    side fits" -- plan-asserted ShuffledHashJoin, no SortMergeJoin.
+    Orders (1/4 of lineitem's rows here) is the build side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").hint("SHUFFLE_HASH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        )
+    )
+
+
+SQL_JOIN_SHUFFLED_HASH = f"""
+SELECT o_orderpriority, count(*) AS n_lines,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (EXISTS): customers that placed a high-value order."""
     cust = load_table(spark, sf_dir, "customer")
@@ -852,6 +881,12 @@ def register(reg: Registry) -> None:
     reg.add("filter_isin_project", filter_isin_project, SQL_ISIN, "P4 IN-list pushdown")
     reg.add("join_broadcast_agg", join_broadcast_agg, SQL_JOIN_BCAST, "J2 broadcast hash join")
     reg.add("join_semi", join_semi, SQL_SEMI, "left-semi join (EXISTS)")
+    reg.add(
+        "join_shuffled_hash_agg",
+        join_shuffled_hash_agg,
+        SQL_JOIN_SHUFFLED_HASH,
+        "SHUFFLE_HASH-hinted fact-fact join (skips both SMJ sorts)",
+    )
     reg.add("join_anti", join_anti, SQL_ANTI, "left-anti join (NOT EXISTS)")
     reg.add("agg_count_distinct", agg_count_distinct, SQL_COUNT_DISTINCT, "exact count-distinct")
     reg.add("window_rank_topn", window_rank_topn, SQL_WINDOW_RANK, "K3 window row_number")

@@ -107,17 +107,18 @@ _PRIORITY: tuple[str, ...] = (
     "simhash_neardup_pairs",
     "embedding_centroids",
     "window_funcs_suite",
-    # --- green only in r1 (not re-checked since): the 5 that still fit
-    # inside the 50-query cap after the 15 never/lost + 30 new entries ---
+    "join_shuffled_hash_agg",
+    # --- green only in r1 (not re-checked since): the 4 that still fit
+    # inside the 50-query cap after the 15 never/lost + 31 new entries ---
     "scan_project_orderby_limit",
     "filter_isin_project",
     "corpus_clean",
     "tokenize_explode",
-    "inverted_index",
     # --- positions 51+: past the driver's 50-query cap this round;
     # everything below is ever-green from r1/r2 and NOT re-verified in
     # round 3 -- promote the r1-green block to the head of the re-check
     # section next round ---
+    "inverted_index",
     "vocab",
     "doc_stats",
     "corpus_stats",

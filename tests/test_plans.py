@@ -305,6 +305,15 @@ def test_time_rollup_single_expand(spark, sf_dir):
     assert ops.count("Scan parquet") == 1, ops
 
 
+def test_shuffle_hash_hint_respected(spark, sf_dir):
+    """The SHUFFLE_HASH hint must produce a ShuffledHashJoin (no sort
+    passes), not fall back to SortMergeJoin."""
+    df = _df(spark, sf_dir, "join_shuffled_hash_agg")
+    plan = str(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_orc_roundtrip_pushes_filter(spark, sf_dir):
     """The returnflag predicate must reach the ORC reader (PushedFilters
     on the ORC scan) -- format coverage includes format pushdown."""
