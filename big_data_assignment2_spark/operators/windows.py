@@ -308,8 +308,126 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+FUNNEL_STAGES = ("click", "view", "purchase")  # must occur in this order
+FUNNEL_WINDOW_US = 3600 * 1_000_000  # each next stage within 1h of the last
+
+
+def funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered, windowed funnel: how many users clicked, then viewed
+    within an hour of the first click, then purchased within an hour of
+    that view. Ordering + attribution window are what make a funnel a
+    funnel (a purchase before any click, or a view three weeks later,
+    doesn't count) -- and what plain conditional aggregation can't
+    express in one pass: each stage's earliest qualifying time depends
+    on the previous stage's. Three per-user aggregates chained by
+    user_id joins -- every step partitions on user_id, so the chain
+    re-uses one hash partitioning end-to-end; no step shuffles the fact
+    twice. Emits depth (0..3) x user count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    users = ev.select("user_id").distinct()
+    c = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("c_us"))
+    )
+    v = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(c, "user_id")
+        .where(
+            (F.col("ts_us") >= F.col("c_us"))
+            & (F.col("ts_us") < F.col("c_us") + FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("v_us"))
+    )
+    p = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(v, "user_id")
+        .where(
+            (F.col("ts_us") >= F.col("v_us"))
+            & (F.col("ts_us") < F.col("v_us") + FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_us"))
+    )
+    depth = (
+        users.join(c.select("user_id", F.lit(1).alias("d1")), "user_id", "left")
+        .join(v.select("user_id", F.lit(1).alias("d2")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("d3")), "user_id", "left")
+        .select(
+            (
+                F.coalesce(F.col("d1"), F.lit(0))
+                + F.coalesce(F.col("d2"), F.lit(0))
+                + F.coalesce(F.col("d3"), F.lit(0))
+            ).alias("depth")
+        )
+    )
+    return depth.groupBy("depth").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+SQL_FUNNEL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events
+), c AS (
+  SELECT user_id, min(ts_us) AS c_us FROM ev
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY 1
+), v AS (
+  SELECT ev.user_id, min(ts_us) AS v_us FROM ev JOIN c USING (user_id)
+  WHERE event_type = '{FUNNEL_STAGES[1]}'
+    AND ts_us >= c_us AND ts_us < c_us + {FUNNEL_WINDOW_US} GROUP BY 1
+), p AS (
+  SELECT ev.user_id, min(ts_us) AS p_us FROM ev JOIN v USING (user_id)
+  WHERE event_type = '{FUNNEL_STAGES[2]}'
+    AND ts_us >= v_us AND ts_us < v_us + {FUNNEL_WINDOW_US} GROUP BY 1
+), depths AS (
+  SELECT (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+        + CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
+        + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS depth
+  FROM (SELECT DISTINCT user_id FROM ev) u
+  LEFT JOIN c USING (user_id) LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id)
+)
+SELECT depth, count(*) AS n_users FROM depths GROUP BY 1
+"""
+
+DAY_S = 86400
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, activity
+    counted per (cohort day, day offset). The canonical engagement
+    report. Two aggregates and one join, all partitioned on user_id /
+    then the tiny (cohort, offset) key; distinct (user, day) first so a
+    chatty user counts once per day. Day buckets are integer epoch math
+    (timezone-proof, like events_time_rollup)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.floor(F.unix_timestamp("ts") / DAY_S)).cast("long")
+    user_days = ev.select("user_id", day.alias("day")).distinct()
+    first = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        user_days.join(first, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+SQL_COHORT = f"""
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(floor(epoch(ts) / {DAY_S}) AS BIGINT) AS day FROM events
+), first AS (
+  SELECT user_id, min(day) AS cohort_day FROM user_days GROUP BY 1
+)
+SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users
+FROM user_days JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("window_tumbling", window_tumbling, SQL_TUMBLING, "5-min tumbling windows")
+    reg.add("funnel_depths", funnel_depths, SQL_FUNNEL, "ordered click->view->purchase funnel")
+    reg.add("cohort_retention", cohort_retention, SQL_COHORT, "first-seen-day cohort retention")
     reg.add(
         "window_funcs_suite",
         window_funcs_suite,

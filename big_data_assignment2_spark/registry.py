@@ -108,16 +108,18 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_centroids",
     "window_funcs_suite",
     "join_shuffled_hash_agg",
-    # --- green only in r1 (not re-checked since): the 4 that still fit
-    # inside the 50-query cap after the 15 never/lost + 31 new entries ---
+    "funnel_depths",
+    "cohort_retention",
+    # --- green only in r1 (not re-checked since): the 2 that still fit
+    # inside the 50-query cap after the 15 never/lost + 33 new entries ---
     "scan_project_orderby_limit",
     "filter_isin_project",
-    "corpus_clean",
-    "tokenize_explode",
     # --- positions 51+: past the driver's 50-query cap this round;
     # everything below is ever-green from r1/r2 and NOT re-verified in
     # round 3 -- promote the r1-green block to the head of the re-check
     # section next round ---
+    "corpus_clean",
+    "tokenize_explode",
     "inverted_index",
     "vocab",
     "doc_stats",
