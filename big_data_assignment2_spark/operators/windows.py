@@ -391,9 +391,6 @@ WITH ev AS (
 SELECT depth, count(*) AS n_users FROM depths GROUP BY 1
 """
 
-DAY_S = 86400
-
-
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen day, activity
     counted per (cohort day, day offset). The canonical engagement
@@ -402,7 +399,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     chatty user counts once per day. Day buckets are integer epoch math
     (timezone-proof, like events_time_rollup)."""
     ev = load_table(spark, sf_dir, "events")
-    day = (F.floor(F.unix_timestamp("ts") / DAY_S)).cast("long")
+    day = (F.floor(F.unix_timestamp("ts") / ROLLUP_DAY_S)).cast("long")
     user_days = ev.select("user_id", day.alias("day")).distinct()
     first = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
@@ -414,7 +411,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_COHORT = f"""
 WITH user_days AS (
-  SELECT DISTINCT user_id, CAST(floor(epoch(ts) / {DAY_S}) AS BIGINT) AS day FROM events
+  SELECT DISTINCT user_id, CAST(floor(epoch(ts) / {ROLLUP_DAY_S}) AS BIGINT) AS day FROM events
 ), first AS (
   SELECT user_id, min(day) AS cohort_day FROM user_days GROUP BY 1
 )

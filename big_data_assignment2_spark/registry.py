@@ -114,10 +114,10 @@ _PRIORITY: tuple[str, ...] = (
     # inside the 50-query cap after the 15 never/lost + 33 new entries ---
     "scan_project_orderby_limit",
     "filter_isin_project",
-    # --- positions 51+: past the driver's 50-query cap this round;
-    # everything below is ever-green from r1/r2 and NOT re-verified in
-    # round 3 -- promote the r1-green block to the head of the re-check
-    # section next round ---
+    # --- positions 51+: past the driver's 50-query cap this round.
+    # FIRST the r1-ONLY-green block (never re-checked since round 1 --
+    # promote these to the head of the re-check section next round),
+    # then the r1/r2-ever-green tail ---
     "corpus_clean",
     "tokenize_explode",
     "inverted_index",
