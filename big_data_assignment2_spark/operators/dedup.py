@@ -533,6 +533,28 @@ FROM documents d JOIN comp c ON d.doc_id = c.doc_id AND d.doc_id = c.component_i
 )
 
 
+def neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup QA report: the distribution of near-dup cluster sizes
+    (how many singletons, pairs, triples, ... the LSH+CC pipeline
+    found). THE health metric of a dedup run -- a sudden mass of large
+    clusters means the similarity threshold collapsed, a wall of
+    singletons means it's not firing. Shares the memoized converged
+    labels with ``neardup_components`` (no second propagation); two tiny
+    aggregates on top."""
+    labels = _components_labels(spark, sf_dir)
+    per_comp = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return per_comp.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
+SQL_NEARDUP_CLUSTER_SIZES = (
+    _SQL_CC_PREFIX
+    + """, comp AS (SELECT doc_id, min(comp) AS component_id FROM reach GROUP BY doc_id),
+sizes AS (SELECT component_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1
+"""
+)
+
+
 def register(reg: Registry) -> None:
     reg.add("dedup_exact", dedup_exact, SQL_DEDUP_EXACT, "exact md5 dedup groups")
     reg.add("dedup_apply", dedup_apply, SQL_DEDUP_APPLY, "deduped corpus (kept docs)")
@@ -549,6 +571,12 @@ def register(reg: Registry) -> None:
         dedup_apply_neardup,
         SQL_DEDUP_APPLY_NEARDUP,
         "near-dup-deduped corpus (component representatives kept)",
+    )
+    reg.add(
+        "neardup_cluster_sizes",
+        neardup_cluster_sizes,
+        SQL_NEARDUP_CLUSTER_SIZES,
+        "near-dup cluster-size distribution (dedup QA report)",
     )
     reg.add("simhash", simhash, SQL_SIMHASH, "64-bit SimHash sketch per doc")
     reg.add(

@@ -110,14 +110,15 @@ _PRIORITY: tuple[str, ...] = (
     "join_shuffled_hash_agg",
     "funnel_depths",
     "cohort_retention",
-    # --- green only in r1 (not re-checked since): the 2 that still fit
-    # inside the 50-query cap after the 15 never/lost + 33 new entries ---
+    "neardup_cluster_sizes",
+    # --- green only in r1 (not re-checked since): the 1 that still fits
+    # inside the 50-query cap after the 15 never/lost + 34 new entries ---
     "scan_project_orderby_limit",
-    "filter_isin_project",
     # --- positions 51+: past the driver's 50-query cap this round.
     # FIRST the r1-ONLY-green block (never re-checked since round 1 --
     # promote these to the head of the re-check section next round),
     # then the r1/r2-ever-green tail ---
+    "filter_isin_project",
     "corpus_clean",
     "tokenize_explode",
     "inverted_index",
