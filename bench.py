@@ -82,6 +82,7 @@ def main() -> None:
     from big_data_assignment2_spark.sources.doc_export import ensure_exported
 
     from big_data_assignment2_spark.sources.text_formats import (
+        write_corrupt_csv,
         write_events_json,
         write_lineitem_csv,
         write_lineitem_orc,
@@ -93,6 +94,7 @@ def main() -> None:
     _build("csv_export", lambda: write_lineitem_csv(spark, sf_dir))
     _build("json_export", lambda: write_events_json(spark, sf_dir))
     _build("orc_export", lambda: write_lineitem_orc(spark, sf_dir))
+    _build("corrupt_csv_fixture", lambda: write_corrupt_csv(spark, sf_dir))
     if any(n.startswith("reference_bm25") for n in reg.queries):
         from big_data_assignment2_spark.sources.reference_corpus import (
             warm_reference_index,

@@ -111,13 +111,13 @@ _PRIORITY: tuple[str, ...] = (
     "funnel_depths",
     "cohort_retention",
     "neardup_cluster_sizes",
-    # --- green only in r1 (not re-checked since): the 1 that still fits
-    # inside the 50-query cap after the 15 never/lost + 34 new entries ---
-    "scan_project_orderby_limit",
-    # --- positions 51+: past the driver's 50-query cap this round.
+    "csv_corrupt_records",
+    # --- positions 51+: past the driver's 50-query cap this round
+    # (15 never/lost + 35 new fill it exactly).
     # FIRST the r1-ONLY-green block (never re-checked since round 1 --
     # promote these to the head of the re-check section next round),
     # then the r1/r2-ever-green tail ---
+    "scan_project_orderby_limit",
     "filter_isin_project",
     "corpus_clean",
     "tokenize_explode",

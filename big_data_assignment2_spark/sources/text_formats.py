@@ -204,12 +204,87 @@ GROUP BY 1
 """
 
 
+_WRITTEN_CORRUPT: dict[str, str] = {}
+
+CORRUPT_MOD = 97  # rows with l_orderkey % 97 == 0 get a mangled quantity
+
+
+def write_corrupt_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Write a lineitem CSV with a deterministic slice of malformed rows
+    (quantity = 'N/A' wherever ``l_orderkey % {CORRUPT_MOD} == 0``) --
+    the fixture for the malformed-row guard. Memoized per sf_dir."""
+    if sf_dir not in _WRITTEN_CORRUPT:
+        from ..operators._util import scratch_root, scratch_slug
+
+        out = f"{scratch_root()}/lineitem_corrupt_{scratch_slug(sf_dir)}"
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                F.when(F.col("l_orderkey") % CORRUPT_MOD == 0, F.lit("N/A"))
+                .otherwise(F.col("l_quantity").cast("string"))
+                .alias("l_quantity"),
+                "l_returnflag",
+            )
+            .repartition(4)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(out)
+        )
+        _WRITTEN_CORRUPT[sf_dir] = out
+    return _WRITTEN_CORRUPT[sf_dir]
+
+
+def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The malformed-row guard (reference P6) made real at the source
+    layer: read dirty CSV in PERMISSIVE mode with an explicit
+    ``_corrupt_record`` column, then report good/bad row counts per
+    returnflag. Malformed rows survive the scan as rows (nothing is
+    silently dropped -- the 100 TB ingest contract), they're just
+    flagged; FAILFAST would kill the job on the first bad byte and
+    DROPMALFORMED would silently lose data, both wrong for audit-able
+    ingest. The oracle derives the same counts from the clean parquet
+    table and the injection rule, so the guard's accounting is
+    value-hash-verified."""
+    path = write_corrupt_csv(spark, sf_dir)
+    li = (
+        spark.read.schema(
+            "l_orderkey bigint, l_linenumber int, l_quantity double,"
+            " l_returnflag string, _corrupt_record string"
+        )
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.col("_corrupt_record")).alias("n_bad"),
+        dsum(F.coalesce(F.col("l_quantity"), F.lit(0.0))).alias("sum_good_qty"),
+    )
+
+
+SQL_CSV_CORRUPT = f"""
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(sum(CASE WHEN l_orderkey % {CORRUPT_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       {sql_dsum(f'CASE WHEN l_orderkey % {CORRUPT_MOD} = 0 THEN 0.0 ELSE l_quantity END')} AS sum_good_qty
+FROM lineitem GROUP BY 1
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "csv_roundtrip",
         csv_roundtrip,
         SQL_CSV_ROUNDTRIP,
         "CSV sink + explicit-schema source round-trip",
+    )
+    reg.add(
+        "csv_corrupt_records",
+        csv_corrupt_records,
+        SQL_CSV_CORRUPT,
+        "PERMISSIVE corrupt-record accounting (malformed-row guard)",
     )
     reg.add(
         "json_roundtrip",
