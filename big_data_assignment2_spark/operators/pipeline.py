@@ -484,6 +484,46 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dataset_split: cumulative per-mille thresholds for train/val/test
+SPLIT_TRAIN_PERMILLE = 800
+SPLIT_VAL_PERMILLE = 900  # val = [800, 900), test = [900, 1000)
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment: the split label
+    is a pure function of doc_id (md5 bucket against cumulative
+    thresholds), so the same document lands in the same split across
+    reruns, engines, and incremental corpus growth -- the property that
+    prevents eval contamination when the corpus is rebuilt. Never
+    ``randomSplit``: its assignment depends on partitioning and seed
+    plumbing, and re-shuffles every run. Narrow: one projection, zero
+    shuffle, at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 1000
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PERMILLE, "train")
+        .when(bucket < SPLIT_VAL_PERMILLE, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", "lang", "source", split.alias("split"))
+
+
+_SQL_SPLIT_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000"
+)
+
+SQL_DATASET_SPLIT = f"""
+SELECT doc_id, lang, source,
+       CASE WHEN {_SQL_SPLIT_BUCKET} < {SPLIT_TRAIN_PERMILLE} THEN 'train'
+            WHEN {_SQL_SPLIT_BUCKET} < {SPLIT_VAL_PERMILLE} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole corpus pipeline in ONE composed query -- what a user
     actually runs to turn raw documents into a training manifest:
@@ -634,6 +674,12 @@ def register(reg: Registry) -> None:
         approx_distinct_users,
         None,  # HLL estimates are sketch-specific; error bounded in tests
         "HLL++ approx distinct users per event type (mergeable sketch)",
+    )
+    reg.add(
+        "dataset_split",
+        dataset_split,
+        SQL_DATASET_SPLIT,
+        "deterministic hash-based train/val/test split",
     )
     reg.add(
         "pipeline_end_to_end",

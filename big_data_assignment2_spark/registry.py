@@ -112,8 +112,10 @@ _PRIORITY: tuple[str, ...] = (
     "cohort_retention",
     "neardup_cluster_sizes",
     "csv_corrupt_records",
+    "dataset_split",
     # --- positions 51+: past the driver's 50-query cap this round
-    # (15 never/lost + 35 new fill it exactly).
+    # (15 never/lost + 36 new overfill it by one; dataset_split rolls
+    # to the next round's window).
     # FIRST the r1-ONLY-green block (never re-checked since round 1 --
     # promote these to the head of the re-check section next round),
     # then the r1/r2-ever-green tail ---
