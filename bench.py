@@ -77,7 +77,10 @@ def main() -> None:
         fn()
         builds[label] = round(time.perf_counter() - t0, 3)
 
-    from big_data_assignment2_spark.operators.search import ensure_persisted_index
+    from big_data_assignment2_spark.operators.search import (
+        ensure_incremental_index,
+        ensure_persisted_index,
+    )
     from big_data_assignment2_spark.operators.similarity import ensure_ann_index
     from big_data_assignment2_spark.sources.doc_export import ensure_exported
 
@@ -89,6 +92,7 @@ def main() -> None:
     )
 
     _build("bm25_index", lambda: ensure_persisted_index(spark, sf_dir))
+    _build("bm25_incr_index", lambda: ensure_incremental_index(spark, sf_dir))
     _build("ann_index", lambda: ensure_ann_index(spark, sf_dir))
     _build("doc_export", lambda: ensure_exported(spark, sf_dir))
     _build("csv_export", lambda: write_lineitem_csv(spark, sf_dir))

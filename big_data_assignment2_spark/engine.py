@@ -97,6 +97,62 @@ def build_index(
     meta.write.mode("overwrite").parquet(f"{index_dir}/meta")
 
 
+def append_to_index(new_docs: DataFrame, index_dir: str) -> None:
+    """Incremental index maintenance: add *new_docs* WITHOUT reindexing
+    the existing corpus (the reference can only rebuild from scratch --
+    its MapReduce+Cassandra pipeline has no append path).
+
+    What appends vs what rewrites is the whole design:
+
+    - **postings** (the corpus-sized table) are strictly append-only --
+      the new docs' postings land as extra files inside the existing
+      ``term_bucket=`` directories (same layout invariant, read from the
+      index's own meta), so the append costs one tokenize pass over ONLY
+      the new documents;
+    - **doc_stats** (row per doc) appends the new rows;
+    - **vocab** (df per term) and **meta** (N, avg_dl) are derived
+      GLOBAL statistics -- appending changes every BM25 idf, so they are
+      recomputed from the persisted tables and rewritten. They are
+      term-cardinality- and 3-row-sized: at 100 TB this rewrite is noise
+      next to re-tokenizing the corpus, which is exactly what this path
+      avoids.
+
+    Search needs no changes: it reads the same four tables and sees the
+    merged corpus -- verified by the oracle computing BM25 over the full
+    corpus in one shot (``bm25_search_incremental``)."""
+    spark = new_docs.sparkSession
+    meta = spark.read.parquet(f"{index_dir}/meta")
+    row = meta.where(F.col("key") == "n_buckets").select("value").collect()
+    n_buckets = int(row[0]["value"]) if row else N_TERM_BUCKETS
+    inverted_new = index_build.inverted_from_docs(new_docs)
+    (
+        inverted_new.withColumn("term_bucket", term_bucket_col("term", n_buckets))
+        .repartition("term_bucket")
+        .write.mode("append")
+        .partitionBy("term_bucket")
+        .parquet(f"{index_dir}/inverted_index")
+    )
+    index_build.doc_stats_from_docs(new_docs).write.mode("append").parquet(
+        f"{index_dir}/doc_stats"
+    )
+    # derived global stats: recompute from persisted state, rewrite
+    persisted = spark.read.parquet(f"{index_dir}/inverted_index")
+    index_build.vocab_from_inverted(persisted).write.mode("overwrite").parquet(
+        f"{index_dir}/vocab"
+    )
+    stats = index_build.corpus_stats_agg(spark.read.parquet(f"{index_dir}/doc_stats"))
+    new_meta = stats.select(
+        F.explode(
+            F.create_map(
+                F.lit("total_docs"), F.col("total_docs").cast("string"),
+                F.lit("avg_dl"), F.col("avg_dl").cast("string"),
+                F.lit("n_buckets"), F.lit(str(n_buckets)),
+            )
+        ).alias("key", "value")
+    )
+    new_meta.write.mode("overwrite").parquet(f"{index_dir}/meta")
+
+
 def load_index(spark: SparkSession, index_dir: str) -> IndexTables:
     """S2: the four index tables back as DataFrames."""
     return IndexTables(

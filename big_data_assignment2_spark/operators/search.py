@@ -176,8 +176,52 @@ def bm25_search_persisted(
     return engine.search(spark, ensure_persisted_index(spark, sf_dir), query, k)
 
 
+_BUILT_INCR: dict[str, str] = {}
+
+
+def bm25_search_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = DEFAULT_QUERY,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Incremental index maintenance, end-to-end verified: build the
+    persisted index on HALF the corpus (even doc_ids), ``append_to_index``
+    the other half, then search -- the result must equal BM25 over the
+    full corpus in one shot (the oracle), which holds only if the append
+    path updates every global statistic (N, avg_dl, per-term df) that
+    BM25's idf depends on. The reference has no append path at all (full
+    MapReduce rebuild); this is the capability that makes the index
+    operable on a growing corpus."""
+    from .. import engine
+
+    return engine.search(spark, ensure_incremental_index(spark, sf_dir), query, k)
+
+
+def ensure_incremental_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-then-append index dir for *sf_dir*, once per process (the
+    build half of ``bm25_search_incremental``, split out so bench.py can
+    time build and query independently)."""
+    from .. import engine
+    from ._util import scratch_root, scratch_slug
+
+    if sf_dir not in _BUILT_INCR:
+        index_dir = f"{scratch_root()}/index_incr_{scratch_slug(sf_dir)}"
+        docs = index_build.documents_with_title(spark, sf_dir)
+        engine.build_index(docs.where(F.col("doc_id") % 2 == 0), index_dir)
+        engine.append_to_index(docs.where(F.col("doc_id") % 2 == 1), index_dir)
+        _BUILT_INCR[sf_dir] = index_dir
+    return _BUILT_INCR[sf_dir]
+
+
 def register(reg: Registry) -> None:
     reg.add("bm25_search", bm25_search, sql_bm25(), "flagship BM25 top-10")
+    reg.add(
+        "bm25_search_incremental",
+        bm25_search_incremental,
+        sql_bm25(),
+        "BM25 after incremental append (half built, half appended)",
+    )
     reg.add(
         "bm25_search_persisted",
         bm25_search_persisted,
