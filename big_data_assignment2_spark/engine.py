@@ -153,6 +153,62 @@ def append_to_index(new_docs: DataFrame, index_dir: str) -> None:
     new_meta.write.mode("overwrite").parquet(f"{index_dir}/meta")
 
 
+def delete_from_index(doc_ids: DataFrame, index_dir: str) -> None:
+    """Tombstone deletes: the other half of incremental maintenance.
+
+    The corpus-sized tables (postings, doc_stats) are NOT rewritten --
+    deleting by rewrite would re-shuffle the whole index for any delete
+    batch. Instead the doc ids append to a ``tombstones`` table that
+    search anti-joins (broadcast -- tombstone sets are tiny relative to
+    an index worth keeping), and the derived global statistics are
+    corrected immediately: per-term df recomputed from the live postings
+    view (one postings scan, no tokenize) and N / avg_dl from the live
+    doc_stats view. Stats correctness is NOT deferred to compaction --
+    BM25 idf must reflect the live corpus or every score drifts
+    (verified: post-delete search hash-equals a from-scratch index of
+    the surviving docs). A background compaction that rewrites buckets
+    and clears tombstones is the eventual-space story; it changes no
+    query result, so it is out of scope here."""
+    spark = doc_ids.sparkSession
+    meta = spark.read.parquet(f"{index_dir}/meta")
+    row = meta.where(F.col("key") == "n_buckets").select("value").collect()
+    n_buckets = int(row[0]["value"]) if row else N_TERM_BUCKETS
+    (
+        doc_ids.select(F.col("doc_id").cast("string").alias("doc_id"))
+        .write.mode("append")
+        .parquet(f"{index_dir}/tombstones")
+    )
+    tomb = spark.read.parquet(f"{index_dir}/tombstones")
+    live_postings = spark.read.parquet(f"{index_dir}/inverted_index").join(
+        F.broadcast(tomb), "doc_id", "left_anti"
+    )
+    index_build.vocab_from_inverted(live_postings).write.mode("overwrite").parquet(
+        f"{index_dir}/vocab"
+    )
+    live_stats = spark.read.parquet(f"{index_dir}/doc_stats").join(
+        F.broadcast(tomb), "doc_id", "left_anti"
+    )
+    stats = index_build.corpus_stats_agg(live_stats)
+    new_meta = stats.select(
+        F.explode(
+            F.create_map(
+                F.lit("total_docs"), F.col("total_docs").cast("string"),
+                F.lit("avg_dl"), F.col("avg_dl").cast("string"),
+                F.lit("n_buckets"), F.lit(str(n_buckets)),
+            )
+        ).alias("key", "value")
+    )
+    new_meta.write.mode("overwrite").parquet(f"{index_dir}/meta")
+
+
+def _tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The tombstone table if any deletes happened, else None."""
+    try:
+        return spark.read.parquet(f"{index_dir}/tombstones")
+    except Exception:  # noqa: BLE001 - no tombstone dir -> never deleted
+        return None
+
+
 def load_index(spark: SparkSession, index_dir: str) -> IndexTables:
     """S2: the four index tables back as DataFrames."""
     return IndexTables(
@@ -186,6 +242,13 @@ def search(
     postings = idx.inverted_index.where(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
     ).drop("term_bucket")
+    # tombstone mask AFTER bucket+term pruning: the anti join runs over
+    # only the query's postings, broadcast against the (tiny) delete set.
+    # vocab/meta were corrected at delete time, so masking the postings
+    # is the only search-side change deletes need.
+    tomb = _tombstones(spark, index_dir)
+    if tomb is not None:
+        postings = postings.join(F.broadcast(tomb), "doc_id", "left_anti")
     # meta strings -> numbers, as query.py:37-38 does with float();
     # stays a 1-row DataFrame that broadcasts into the scoring join.
     stats = idx.meta.agg(

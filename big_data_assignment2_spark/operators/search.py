@@ -214,6 +214,38 @@ def ensure_incremental_index(spark: SparkSession, sf_dir: str) -> str:
     return _BUILT_INCR[sf_dir]
 
 
+_BUILT_DELETED: dict[str, str] = {}
+DELETE_MOD = 7  # docs with doc_id % 7 == 0 get deleted
+
+
+def bm25_search_after_delete(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = DEFAULT_QUERY,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Tombstone deletes, end-to-end verified: build the full persisted
+    index, ``delete_from_index`` a deterministic slice, search -- the
+    result must hash-equal BM25 over a corpus that never contained those
+    docs (the oracle). That only holds if the delete path corrected every
+    global statistic (N, avg_dl, per-term df) AND search masks the
+    tombstoned postings; a stale df or an unmasked posting shifts a
+    score or leaks a deleted doc into the top-k."""
+    from .. import engine
+    from ._util import scratch_root, scratch_slug
+
+    if sf_dir not in _BUILT_DELETED:
+        index_dir = f"{scratch_root()}/index_del_{scratch_slug(sf_dir)}"
+        docs = index_build.documents_with_title(spark, sf_dir)
+        engine.build_index(docs, index_dir)
+        engine.delete_from_index(
+            docs.where(F.col("doc_id").cast("long") % DELETE_MOD == 0).select("doc_id"),
+            index_dir,
+        )
+        _BUILT_DELETED[sf_dir] = index_dir
+    return engine.search(spark, _BUILT_DELETED[sf_dir], query, k)
+
+
 def register(reg: Registry) -> None:
     reg.add("bm25_search", bm25_search, sql_bm25(), "flagship BM25 top-10")
     reg.add(
@@ -221,6 +253,18 @@ def register(reg: Registry) -> None:
         bm25_search_incremental,
         sql_bm25(),
         "BM25 after incremental append (half built, half appended)",
+    )
+    reg.add(
+        "bm25_search_after_delete",
+        bm25_search_after_delete,
+        sql_bm25(
+            docs_cte=index_build.sql_docs_cte_over(
+                "SELECT CAST(doc_id AS VARCHAR) AS doc_id,"
+                " 'doc_' || CAST(doc_id AS VARCHAR) AS title, text"
+                f" FROM documents WHERE doc_id % {DELETE_MOD} <> 0"
+            )
+        ),
+        "BM25 after tombstone deletes (stats corrected, postings masked)",
     )
     reg.add(
         "bm25_search_persisted",
