@@ -106,7 +106,10 @@ def bm25_search(
 
 
 def sql_bm25(
-    query: str = DEFAULT_QUERY, k: int = DEFAULT_K, docs_cte: str | None = None
+    query: str = DEFAULT_QUERY,
+    k: int = DEFAULT_K,
+    docs_cte: str | None = None,
+    extra_where: str = "",
 ) -> str:
     terms = tokenize_query(query)
     in_list = ", ".join(f"'{t}'" for t in terms)
@@ -127,7 +130,7 @@ scored AS (
   JOIN vocab v USING (term)
   JOIN doc_stats s ON i.doc_id = s.doc_id
   CROSS JOIN stats st
-  WHERE i.term IN ({in_list})
+  WHERE i.term IN ({in_list}){extra_where}
 ),
 ranked AS (
   SELECT doc_id, max(title) AS title, round(sum(partial), 6) AS score
@@ -214,6 +217,43 @@ def ensure_incremental_index(spark: SparkSession, sf_dir: str) -> str:
     return _BUILT_INCR[sf_dir]
 
 
+FILTER_LANG = "en"
+
+
+def bm25_search_filtered(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = DEFAULT_QUERY,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Faceted search: BM25 restricted to documents matching a metadata
+    predicate (here ``lang = '{FILTER_LANG}'``). Standard post-filter
+    semantics -- idf/avg_dl stay corpus-global (the query's notion of
+    term rarity shouldn't change with the facet), the facet only
+    restricts the CANDIDATES. The allowed-doc set semi-joins the
+    postings as a broadcast (a facet is metadata-sized); at 100 TB one
+    would persist common facet columns into doc_stats so the filter
+    rides the existing scoring join instead -- same plan shape either
+    way, no extra shuffle."""
+    from ..sources.catalog import load_table
+
+    allowed = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("lang") == FILTER_LANG)
+        .select(F.col("doc_id").cast("string").alias("doc_id"))
+    )
+    inverted = index_build.inverted_index(spark, sf_dir).join(
+        F.broadcast(allowed), "doc_id", "left_semi"
+    )
+    return bm25_rank(
+        inverted,
+        index_build.vocab(spark, sf_dir),
+        index_build.doc_stats(spark, sf_dir),
+        query,
+        k,
+    )
+
+
 _BUILT_DELETED: dict[str, str] = {}
 DELETE_MOD = 7  # docs with doc_id % 7 == 0 get deleted
 
@@ -253,6 +293,15 @@ def register(reg: Registry) -> None:
         bm25_search_incremental,
         sql_bm25(),
         "BM25 after incremental append (half built, half appended)",
+    )
+    reg.add(
+        "bm25_search_filtered",
+        bm25_search_filtered,
+        sql_bm25(
+            extra_where="\n    AND i.doc_id IN (SELECT CAST(doc_id AS VARCHAR)"
+            f" FROM documents WHERE lang = '{FILTER_LANG}')"
+        ),
+        "faceted BM25: metadata-filtered candidates, corpus-global stats",
     )
     reg.add(
         "bm25_search_after_delete",

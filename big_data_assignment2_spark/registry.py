@@ -115,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "dataset_split",
     "bm25_search_incremental",
     "bm25_search_after_delete",
+    "bm25_search_filtered",
     # --- positions 51+: past the driver's 50-query cap this round
     # (15 never/lost + 36 new overfill it by one; dataset_split rolls
     # to the next round's window).
