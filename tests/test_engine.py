@@ -73,3 +73,29 @@ def test_python_bucket_matches_spark(spark):
     rows = df.select("term", engine.term_bucket_col("term", 64).alias("b")).collect()
     for r in rows:
         assert r["b"] == zlib.crc32(r["term"].encode()) % 64
+
+
+def test_append_then_delete_composes(spark, sf_dir, tmp_path):
+    """The maintenance ops must COMPOSE: build on one slice, append a
+    second, delete a third -- the searchable state must equal a
+    from-scratch index of exactly the surviving documents (same top-k,
+    same scores). Registry queries cover append and delete separately;
+    this covers the lifecycle a real index lives through."""
+    d_lifecycle = str(tmp_path / "lifecycle")
+    d_fresh = str(tmp_path / "fresh")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    even = docs.where(F.col("doc_id").cast("long") % 2 == 0)
+    odd = docs.where(F.col("doc_id").cast("long") % 2 == 1)
+    doomed = docs.where(F.col("doc_id").cast("long") % 5 == 0).select("doc_id")
+
+    engine.build_index(even, d_lifecycle, n_buckets=8)
+    engine.append_to_index(odd, d_lifecycle)
+    engine.delete_from_index(doomed, d_lifecycle)
+
+    survivors = docs.where(F.col("doc_id").cast("long") % 5 != 0)
+    engine.build_index(survivors, d_fresh, n_buckets=8)
+
+    got = engine.search(spark, d_lifecycle, "spark query window merge").collect()
+    want = engine.search(spark, d_fresh, "spark query window merge").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0
