@@ -59,9 +59,26 @@ def term_bucket_py(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
 def build_index(
     docs: DataFrame, index_dir: str, n_buckets: int = N_TERM_BUCKETS
 ) -> None:
-    """Materialize the four index tables under *index_dir* (replaces the
+    """Materialize the index tables under *index_dir* (replaces the
     reference's MapReduce -> getmerge -> Cassandra-batch pipeline, S6/S7,
-    with direct parquet writes)."""
+    with direct parquet writes).
+
+    Besides the reference's four tables this also writes a ``forward``
+    table -- the postings re-keyed by a ``doc_bucket`` partition column
+    (``crc32(doc_id) % n_buckets``). It exists purely for maintenance:
+    ``delete_from_index`` needs "which terms did these docs contain?" to
+    subtract per-term df deltas, and the term-bucketed postings cannot
+    prune by doc. The forward table answers that with a scan of only the
+    deleted docs' bucket directories -- the classic docvalues/forward-index
+    space-for-maintenance trade, ~doubling index footprint but turning
+    delete cost from a full postings scan into a ``|delete batch| /
+    n_buckets`` fraction of one."""
+    # a build is a fresh index: clear any tombstones a previous index at
+    # this path accumulated (delete is idempotent per id, so a stale
+    # tombstone would silently swallow the first re-delete of that id)
+    spark = docs.sparkSession
+    fs, tomb_path = _fs_and_path(spark, f"{index_dir}/tombstones")
+    fs.delete(tomb_path, True)
     inverted = index_build.inverted_from_docs(docs)
     (
         inverted.withColumn("term_bucket", term_bucket_col("term", n_buckets))
@@ -72,12 +89,19 @@ def build_index(
         .partitionBy("term_bucket")
         .parquet(f"{index_dir}/inverted_index")
     )
-    # vocab/doc_stats re-read the persisted postings rather than recomputing
-    # the tokenize shuffle a second time.
-    spark = docs.sparkSession
+    # vocab/doc_stats/forward re-read the persisted postings rather than
+    # recomputing the tokenize shuffle a second time.
     persisted = spark.read.parquet(f"{index_dir}/inverted_index")
     index_build.vocab_from_inverted(persisted).write.mode("overwrite").parquet(
         f"{index_dir}/vocab"
+    )
+    (
+        persisted.select("doc_id", "term")
+        .withColumn("doc_bucket", term_bucket_col("doc_id", n_buckets))
+        .repartition("doc_bucket")
+        .write.mode("overwrite")
+        .partitionBy("doc_bucket")
+        .parquet(f"{index_dir}/forward")
     )
     ds = index_build.doc_stats_from_docs(docs)
     ds.write.mode("overwrite").parquet(f"{index_dir}/doc_stats")
@@ -97,34 +121,116 @@ def build_index(
     meta.write.mode("overwrite").parquet(f"{index_dir}/meta")
 
 
+def _fs_and_path(spark: SparkSession, path: str):
+    """Hadoop FileSystem + Path for *path* (works for local and HDFS/object
+    stores alike -- the maintenance ops must not assume a local disk)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _fs_and_path(spark, path)
+    return fs.exists(jpath)
+
+
+def _replace_dir(spark: SparkSession, src: str, dst: str) -> None:
+    """Swap a fully-written *src* directory into place at *dst*.
+
+    Write-to-temp-then-swap is how every rewrite of a table we are also
+    reading from happens here: Spark reads lazily, so ``mode("overwrite")``
+    onto a path in the plan's lineage would delete the input mid-job.
+    Materialize to ``<table>.tmp`` first (the write action completes before
+    the swap), then delete + rename -- both metadata ops."""
+    fs, dst_path = _fs_and_path(spark, dst)
+    _, src_path = _fs_and_path(spark, src)
+    if fs.exists(dst_path):
+        fs.delete(dst_path, True)
+    if not fs.rename(src_path, dst_path):
+        raise IOError(f"failed to move {src} into place at {dst}")
+
+
+def _read_n_buckets(spark: SparkSession, index_dir: str) -> int:
+    row = (
+        spark.read.parquet(f"{index_dir}/meta")
+        .where(F.col("key") == "n_buckets")
+        .select("value")
+        .collect()
+    )
+    return int(row[0]["value"]) if row else N_TERM_BUCKETS
+
+
+def _write_meta_from_live_stats(
+    spark: SparkSession, index_dir: str, n_buckets: int
+) -> None:
+    """Rewrite meta (N, avg_dl) from the LIVE doc_stats view -- persisted
+    rows minus tombstones. Exact (decimal-sum average over a row-per-doc
+    table), and always tombstone-aware so append-after-delete cannot
+    resurrect deleted docs into the BM25 idf statistics."""
+    live = spark.read.parquet(f"{index_dir}/doc_stats")
+    tomb = _tombstones(spark, index_dir)
+    if tomb is not None:
+        live = live.join(F.broadcast(tomb), "doc_id", "left_anti")
+    stats = index_build.corpus_stats_agg(live)
+    meta = stats.select(
+        F.explode(
+            F.create_map(
+                F.lit("total_docs"), F.col("total_docs").cast("string"),
+                F.lit("avg_dl"), F.col("avg_dl").cast("string"),
+                F.lit("n_buckets"), F.lit(str(n_buckets)),
+            )
+        ).alias("key", "value")
+    )
+    meta.write.mode("overwrite").parquet(f"{index_dir}/meta")
+
+
 def append_to_index(new_docs: DataFrame, index_dir: str) -> None:
     """Incremental index maintenance: add *new_docs* WITHOUT reindexing
     the existing corpus (the reference can only rebuild from scratch --
     its MapReduce+Cassandra pipeline has no append path).
 
-    What appends vs what rewrites is the whole design:
+    Cost model -- nothing here scans the existing postings:
 
-    - **postings** (the corpus-sized table) are strictly append-only --
-      the new docs' postings land as extra files inside the existing
-      ``term_bucket=`` directories (same layout invariant, read from the
-      index's own meta), so the append costs one tokenize pass over ONLY
-      the new documents;
+    - **postings / forward** (the corpus-sized tables) are strictly
+      append-only -- the new docs' rows land as extra files inside the
+      existing ``term_bucket=`` / ``doc_bucket=`` directories (layout
+      read from the index's own meta), so the append costs one tokenize
+      pass over ONLY the new documents;
     - **doc_stats** (row per doc) appends the new rows;
-    - **vocab** (df per term) and **meta** (N, avg_dl) are derived
-      GLOBAL statistics -- appending changes every BM25 idf, so they are
-      recomputed from the persisted tables and rewritten. They are
-      term-cardinality- and 3-row-sized: at 100 TB this rewrite is noise
-      next to re-tokenizing the corpus, which is exactly what this path
-      avoids.
+    - **vocab** (df per term) merges a DELTA: per-term df of the new
+      docs, full-outer-summed into the persisted vocab. Integer adds --
+      exact -- and term-cardinality-sized work instead of the full
+      postings scan a recompute would cost;
+    - **meta** (N, avg_dl) recomputes from the live doc_stats view
+      (row-per-doc -- cheap), tombstone-aware.
+
+    Appending a doc_id that currently sits in the tombstone table is
+    rejected: its old postings still exist on disk, so un-tombstoning it
+    would resurrect those alongside the new rows (double postings), while
+    keeping the tombstone would silently mask the new document. Run
+    :func:`compact_index` first -- compaction purges the dead postings
+    and clears the tombstones, after which the id is genuinely free.
 
     Search needs no changes: it reads the same four tables and sees the
     merged corpus -- verified by the oracle computing BM25 over the full
     corpus in one shot (``bm25_search_incremental``)."""
     spark = new_docs.sparkSession
-    meta = spark.read.parquet(f"{index_dir}/meta")
-    row = meta.where(F.col("key") == "n_buckets").select("value").collect()
-    n_buckets = int(row[0]["value"]) if row else N_TERM_BUCKETS
-    inverted_new = index_build.inverted_from_docs(new_docs)
+    n_buckets = _read_n_buckets(spark, index_dir)
+    tomb = _tombstones(spark, index_dir)
+    if tomb is not None:
+        clash = (
+            new_docs.select(F.col("doc_id").cast("string").alias("doc_id"))
+            .join(F.broadcast(tomb), "doc_id", "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"doc_id {clash[0]['doc_id']!r} is tombstoned; appending it "
+                "would resurrect its dead postings -- compact_index() first"
+            )
+    # one tokenize pass over only the new docs, materialized once and
+    # reused by the postings append, the forward append, and the df delta
+    inverted_new = index_build.inverted_from_docs(new_docs).localCheckpoint(eager=True)
     (
         inverted_new.withColumn("term_bucket", term_bucket_col("term", n_buckets))
         .repartition("term_bucket")
@@ -132,81 +238,165 @@ def append_to_index(new_docs: DataFrame, index_dir: str) -> None:
         .partitionBy("term_bucket")
         .parquet(f"{index_dir}/inverted_index")
     )
+    (
+        inverted_new.select("doc_id", "term")
+        .withColumn("doc_bucket", term_bucket_col("doc_id", n_buckets))
+        .repartition("doc_bucket")
+        .write.mode("append")
+        .partitionBy("doc_bucket")
+        .parquet(f"{index_dir}/forward")
+    )
     index_build.doc_stats_from_docs(new_docs).write.mode("append").parquet(
         f"{index_dir}/doc_stats"
     )
-    # derived global stats: recompute from persisted state, rewrite
-    persisted = spark.read.parquet(f"{index_dir}/inverted_index")
-    index_build.vocab_from_inverted(persisted).write.mode("overwrite").parquet(
-        f"{index_dir}/vocab"
+    # vocab: delta merge (exact integer adds), written to .tmp then swapped
+    # because the merge reads the vocab it replaces
+    delta = index_build.vocab_from_inverted(inverted_new).withColumnRenamed(
+        "doc_freq", "delta_df"
     )
-    stats = index_build.corpus_stats_agg(spark.read.parquet(f"{index_dir}/doc_stats"))
-    new_meta = stats.select(
-        F.explode(
-            F.create_map(
-                F.lit("total_docs"), F.col("total_docs").cast("string"),
-                F.lit("avg_dl"), F.col("avg_dl").cast("string"),
-                F.lit("n_buckets"), F.lit(str(n_buckets)),
-            )
-        ).alias("key", "value")
+    merged = (
+        spark.read.parquet(f"{index_dir}/vocab")
+        .join(delta, "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("doc_freq"), F.lit(0))
+                + F.coalesce(F.col("delta_df"), F.lit(0))
+            ).alias("doc_freq"),
+        )
     )
-    new_meta.write.mode("overwrite").parquet(f"{index_dir}/meta")
+    merged.write.mode("overwrite").parquet(f"{index_dir}/vocab.tmp")
+    _replace_dir(spark, f"{index_dir}/vocab.tmp", f"{index_dir}/vocab")
+    _write_meta_from_live_stats(spark, index_dir, n_buckets)
 
 
 def delete_from_index(doc_ids: DataFrame, index_dir: str) -> None:
     """Tombstone deletes: the other half of incremental maintenance.
 
-    The corpus-sized tables (postings, doc_stats) are NOT rewritten --
-    deleting by rewrite would re-shuffle the whole index for any delete
-    batch. Instead the doc ids append to a ``tombstones`` table that
-    search anti-joins (broadcast -- tombstone sets are tiny relative to
-    an index worth keeping), and the derived global statistics are
-    corrected immediately: per-term df recomputed from the live postings
-    view (one postings scan, no tokenize) and N / avg_dl from the live
-    doc_stats view. Stats correctness is NOT deferred to compaction --
-    BM25 idf must reflect the live corpus or every score drifts
-    (verified: post-delete search hash-equals a from-scratch index of
-    the surviving docs). A background compaction that rewrites buckets
-    and clears tombstones is the eventual-space story; it changes no
-    query result, so it is out of scope here."""
+    The corpus-sized tables (postings, forward, doc_stats) are NOT
+    rewritten -- deleting by rewrite would re-shuffle the whole index for
+    any delete batch. Instead the doc ids append to a ``tombstones``
+    table that search anti-joins (broadcast -- tombstone sets are tiny
+    relative to an index worth keeping), and the derived global
+    statistics are corrected immediately and INCREMENTALLY:
+
+    - per-term df subtracts a delta computed from the ``forward`` table
+      pruned to the deleted docs' ``doc_bucket=`` directories -- a
+      ``|batch| / n_buckets`` fraction of one postings-sized scan, not
+      the full scan a recompute would cost;
+    - N / avg_dl recompute from the live doc_stats view (row-per-doc).
+
+    Stats correctness is NOT deferred to compaction -- BM25 idf must
+    reflect the live corpus or every score drifts (verified: post-delete
+    search hash-equals a from-scratch index of the surviving docs).
+    Already-tombstoned ids in the batch are ignored (idempotent), so the
+    df delta can never be subtracted twice. :func:`compact_index` is the
+    space-reclamation half."""
     spark = doc_ids.sparkSession
-    meta = spark.read.parquet(f"{index_dir}/meta")
-    row = meta.where(F.col("key") == "n_buckets").select("value").collect()
-    n_buckets = int(row[0]["value"]) if row else N_TERM_BUCKETS
+    n_buckets = _read_n_buckets(spark, index_dir)
+    ids = doc_ids.select(F.col("doc_id").cast("string").alias("doc_id")).distinct()
+    prior = _tombstones(spark, index_dir)
+    if prior is not None:
+        ids = ids.join(F.broadcast(prior), "doc_id", "left_anti")
+    # materialize BEFORE appending to the tombstone table the anti-join
+    # read from (lazy read + append into own lineage otherwise)
+    ids = ids.localCheckpoint(eager=True)
+    if ids.isEmpty():
+        return
+    ids.write.mode("append").parquet(f"{index_dir}/tombstones")
+    # df delta from the forward table, directory-pruned to the deleted
+    # docs' buckets (<= |batch| distinct buckets, collected driver-side)
+    buckets = sorted(
+        r["b"]
+        for r in ids.select(
+            term_bucket_col("doc_id", n_buckets).alias("b")
+        ).distinct().collect()
+    )
+    delta = (
+        spark.read.parquet(f"{index_dir}/forward")
+        .where(F.col("doc_bucket").isin(buckets))
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("delta_df"))
+    )
+    merged = (
+        spark.read.parquet(f"{index_dir}/vocab")
+        .join(delta, "term", "left")
+        .select(
+            "term",
+            (F.col("doc_freq") - F.coalesce(F.col("delta_df"), F.lit(0))).alias(
+                "doc_freq"
+            ),
+        )
+        .where(F.col("doc_freq") > 0)
+    )
+    merged.write.mode("overwrite").parquet(f"{index_dir}/vocab.tmp")
+    _replace_dir(spark, f"{index_dir}/vocab.tmp", f"{index_dir}/vocab")
+    _write_meta_from_live_stats(spark, index_dir, n_buckets)
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> None:
+    """Space reclamation for tombstone deletes: rewrite the corpus-sized
+    tables minus the tombstoned docs, then clear the tombstone table.
+
+    Result-invariant by construction -- vocab and meta were already
+    corrected at delete time, so compaction only swaps "mask dead
+    postings at search time" for "dead postings gone from disk"
+    (verified by ``bm25_search_after_compact`` hash-equaling the
+    after-delete oracle). Run it when the tombstone set or dead-posting
+    fraction crosses a threshold; at 100 TB with a steady delete stream
+    this bounds both the broadcast anti-join set search pays per query
+    and the dead bytes every scan reads past. Also the enabler for
+    re-adding a previously deleted doc_id (see :func:`append_to_index`).
+
+    Each table is rewritten to ``<table>.tmp`` and swapped in, preserving
+    the bucket-partitioned layouts (one writer task per bucket)."""
+    tomb = _tombstones(spark, index_dir)
+    if tomb is None:
+        return
+    inv = f"{index_dir}/inverted_index"
     (
-        doc_ids.select(F.col("doc_id").cast("string").alias("doc_id"))
-        .write.mode("append")
-        .parquet(f"{index_dir}/tombstones")
+        spark.read.parquet(inv)
+        .join(F.broadcast(tomb), "doc_id", "left_anti")
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(f"{inv}.tmp")
     )
-    tomb = spark.read.parquet(f"{index_dir}/tombstones")
-    live_postings = spark.read.parquet(f"{index_dir}/inverted_index").join(
-        F.broadcast(tomb), "doc_id", "left_anti"
+    _replace_dir(spark, f"{inv}.tmp", inv)
+    fwd = f"{index_dir}/forward"
+    (
+        spark.read.parquet(fwd)
+        .join(F.broadcast(tomb), "doc_id", "left_anti")
+        .repartition("doc_bucket")
+        .write.mode("overwrite")
+        .partitionBy("doc_bucket")
+        .parquet(f"{fwd}.tmp")
     )
-    index_build.vocab_from_inverted(live_postings).write.mode("overwrite").parquet(
-        f"{index_dir}/vocab"
+    _replace_dir(spark, f"{fwd}.tmp", fwd)
+    ds = f"{index_dir}/doc_stats"
+    (
+        spark.read.parquet(ds)
+        .join(F.broadcast(tomb), "doc_id", "left_anti")
+        .write.mode("overwrite")
+        .parquet(f"{ds}.tmp")
     )
-    live_stats = spark.read.parquet(f"{index_dir}/doc_stats").join(
-        F.broadcast(tomb), "doc_id", "left_anti"
-    )
-    stats = index_build.corpus_stats_agg(live_stats)
-    new_meta = stats.select(
-        F.explode(
-            F.create_map(
-                F.lit("total_docs"), F.col("total_docs").cast("string"),
-                F.lit("avg_dl"), F.col("avg_dl").cast("string"),
-                F.lit("n_buckets"), F.lit(str(n_buckets)),
-            )
-        ).alias("key", "value")
-    )
-    new_meta.write.mode("overwrite").parquet(f"{index_dir}/meta")
+    _replace_dir(spark, f"{ds}.tmp", ds)
+    fs, tomb_path = _fs_and_path(spark, f"{index_dir}/tombstones")
+    fs.delete(tomb_path, True)
 
 
 def _tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
-    """The tombstone table if any deletes happened, else None."""
-    try:
-        return spark.read.parquet(f"{index_dir}/tombstones")
-    except Exception:  # noqa: BLE001 - no tombstone dir -> never deleted
+    """The tombstone table if any deletes happened, else None.
+
+    Existence is tested explicitly -- a real read failure of an existing
+    tombstone table must PROPAGATE, not be swallowed into "no deletes"
+    (which would silently serve deleted documents against
+    delete-corrected vocab/meta)."""
+    path = f"{index_dir}/tombstones"
+    if not _path_exists(spark, path):
         return None
+    return spark.read.parquet(path)
 
 
 def load_index(spark: SparkSession, index_dir: str) -> IndexTables:

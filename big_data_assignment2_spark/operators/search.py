@@ -255,7 +255,46 @@ def bm25_search_filtered(
 
 
 _BUILT_DELETED: dict[str, str] = {}
+_BUILT_COMPACTED: dict[str, str] = {}
 DELETE_MOD = 7  # docs with doc_id % 7 == 0 get deleted
+
+
+def ensure_deleted_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-then-delete index dir for *sf_dir*, once per process."""
+    from .. import engine
+    from ._util import scratch_root, scratch_slug
+
+    if sf_dir not in _BUILT_DELETED:
+        index_dir = f"{scratch_root()}/index_del_{scratch_slug(sf_dir)}"
+        docs = index_build.documents_with_title(spark, sf_dir)
+        engine.build_index(docs, index_dir)
+        engine.delete_from_index(
+            docs.where(F.col("doc_id").cast("long") % DELETE_MOD == 0).select("doc_id"),
+            index_dir,
+        )
+        _BUILT_DELETED[sf_dir] = index_dir
+    return _BUILT_DELETED[sf_dir]
+
+
+def ensure_compacted_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-then-delete-then-COMPACT index dir for *sf_dir*, once per
+    process. A separate dir from :func:`ensure_deleted_index` -- compaction
+    mutates the index in place, and the after-delete query must keep
+    exercising the tombstone-masking search path."""
+    from .. import engine
+    from ._util import scratch_root, scratch_slug
+
+    if sf_dir not in _BUILT_COMPACTED:
+        index_dir = f"{scratch_root()}/index_cpt_{scratch_slug(sf_dir)}"
+        docs = index_build.documents_with_title(spark, sf_dir)
+        engine.build_index(docs, index_dir)
+        engine.delete_from_index(
+            docs.where(F.col("doc_id").cast("long") % DELETE_MOD == 0).select("doc_id"),
+            index_dir,
+        )
+        engine.compact_index(spark, index_dir)
+        _BUILT_COMPACTED[sf_dir] = index_dir
+    return _BUILT_COMPACTED[sf_dir]
 
 
 def bm25_search_after_delete(
@@ -272,18 +311,26 @@ def bm25_search_after_delete(
     tombstoned postings; a stale df or an unmasked posting shifts a
     score or leaks a deleted doc into the top-k."""
     from .. import engine
-    from ._util import scratch_root, scratch_slug
 
-    if sf_dir not in _BUILT_DELETED:
-        index_dir = f"{scratch_root()}/index_del_{scratch_slug(sf_dir)}"
-        docs = index_build.documents_with_title(spark, sf_dir)
-        engine.build_index(docs, index_dir)
-        engine.delete_from_index(
-            docs.where(F.col("doc_id").cast("long") % DELETE_MOD == 0).select("doc_id"),
-            index_dir,
-        )
-        _BUILT_DELETED[sf_dir] = index_dir
-    return engine.search(spark, _BUILT_DELETED[sf_dir], query, k)
+    return engine.search(spark, ensure_deleted_index(spark, sf_dir), query, k)
+
+
+def bm25_search_after_compact(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = DEFAULT_QUERY,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Compaction, end-to-end verified: same build + delete slice as
+    ``bm25_search_after_delete``, then ``compact_index`` rewrites the
+    bucket partitions minus the tombstones and clears the tombstone
+    table. Same oracle as after-delete -- a green row IS the proof that
+    compaction is result-invariant (space reclamation only), while the
+    search it times runs tombstone-free: no broadcast anti-join, no dead
+    postings read past."""
+    from .. import engine
+
+    return engine.search(spark, ensure_compacted_index(spark, sf_dir), query, k)
 
 
 def register(reg: Registry) -> None:
@@ -314,6 +361,18 @@ def register(reg: Registry) -> None:
             )
         ),
         "BM25 after tombstone deletes (stats corrected, postings masked)",
+    )
+    reg.add(
+        "bm25_search_after_compact",
+        bm25_search_after_compact,
+        sql_bm25(
+            docs_cte=index_build.sql_docs_cte_over(
+                "SELECT CAST(doc_id AS VARCHAR) AS doc_id,"
+                " 'doc_' || CAST(doc_id AS VARCHAR) AS title, text"
+                f" FROM documents WHERE doc_id % {DELETE_MOD} <> 0"
+            )
+        ),
+        "BM25 after tombstone compaction (result-invariant space reclamation)",
     )
     reg.add(
         "bm25_search_persisted",

@@ -99,3 +99,99 @@ def test_append_then_delete_composes(spark, sf_dir, tmp_path):
     want = engine.search(spark, d_fresh, "spark query window merge").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(got) > 0
+
+
+def test_delete_then_append_composes(spark, sf_dir, tmp_path):
+    """The OTHER maintenance order: build, delete, THEN append. The append
+    path must not resurrect deleted docs into vocab/N/avg_dl (it merges a
+    df delta into the delete-corrected vocab and recomputes meta from the
+    tombstone-masked doc_stats view) -- a full-postings recompute here
+    would silently re-count the tombstoned docs and drift every idf."""
+    d_lifecycle = str(tmp_path / "lifecycle")
+    d_fresh = str(tmp_path / "fresh")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    even = docs.where(F.col("doc_id").cast("long") % 2 == 0)
+    odd = docs.where(F.col("doc_id").cast("long") % 2 == 1)
+    # a subset of the docs present at delete time (multiples of 10 are even)
+    doomed = docs.where(F.col("doc_id").cast("long") % 10 == 0).select("doc_id")
+
+    engine.build_index(even, d_lifecycle, n_buckets=8)
+    engine.delete_from_index(doomed, d_lifecycle)
+    engine.append_to_index(odd, d_lifecycle)
+
+    survivors = docs.where(F.col("doc_id").cast("long") % 10 != 0)
+    engine.build_index(survivors, d_fresh, n_buckets=8)
+
+    got = engine.search(spark, d_lifecycle, "spark query window merge").collect()
+    want = engine.search(spark, d_fresh, "spark query window merge").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0
+
+
+def test_compact_is_result_invariant(spark, sf_dir, tmp_path):
+    """Compaction reclaims space only: search results before/after must be
+    identical, the tombstone table must be gone afterwards, and a
+    previously-deleted doc_id becomes appendable again (its dead postings
+    were purged)."""
+    d = str(tmp_path / "cpt")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    doomed = docs.where(F.col("doc_id").cast("long") % 5 == 0)
+    engine.build_index(docs, d, n_buckets=8)
+    engine.delete_from_index(doomed.select("doc_id"), d)
+    before = engine.search(spark, d, "spark query window merge").collect()
+
+    engine.compact_index(spark, d)
+
+    assert not engine._path_exists(spark, f"{d}/tombstones")
+    after = engine.search(spark, d, "spark query window merge").collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+    assert len(after) > 0
+    # no dead postings left on disk
+    live_ids = engine.load_index(spark, d).inverted_index.select("doc_id").distinct()
+    dead = live_ids.join(F.broadcast(doomed.select("doc_id")), "doc_id", "left_semi")
+    assert dead.count() == 0
+    # the freed ids are appendable again: full round-trip back to the
+    # original corpus
+    engine.append_to_index(doomed, d)
+    d_full = str(tmp_path / "full")
+    engine.build_index(docs, d_full, n_buckets=8)
+    got = engine.search(spark, d, "spark query window merge").collect()
+    want = engine.search(spark, d_full, "spark query window merge").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_append_tombstoned_id_rejected(spark, sf_dir, tmp_path):
+    """Appending a doc_id that sits in the tombstone table must raise:
+    un-tombstoning would resurrect its dead postings, keeping the
+    tombstone would mask the new document -- both silently wrong."""
+    d = str(tmp_path / "clash")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    engine.build_index(docs, d, n_buckets=8)
+    victim = docs.orderBy("doc_id").limit(1)
+    engine.delete_from_index(victim.select("doc_id"), d)
+    with pytest.raises(ValueError, match="tombstoned"):
+        engine.append_to_index(victim, d)
+
+
+def test_append_scans_no_corpus_sized_table(spark, sf_dir, tmp_path, monkeypatch):
+    """The append cost model: ONE tokenize pass over the new docs plus
+    metadata-sized reads (meta, vocab, doc_stats). The persisted postings
+    and forward tables -- the corpus-sized ones -- must never be read, or
+    append degrades to O(index) per batch."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    d = str(tmp_path / "io")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    engine.build_index(docs.where(F.col("doc_id").cast("long") % 2 == 0), d, n_buckets=8)
+
+    read_paths: list[str] = []
+    orig = DataFrameReader.parquet
+
+    def spy(self, *paths, **kwargs):
+        read_paths.extend(str(p) for p in paths)
+        return orig(self, *paths, **kwargs)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+    engine.append_to_index(docs.where(F.col("doc_id").cast("long") % 2 == 1), d)
+    corpus_sized = [p for p in read_paths if "inverted_index" in p or "forward" in p]
+    assert corpus_sized == [], corpus_sized
