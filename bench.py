@@ -83,6 +83,7 @@ def main() -> None:
         ensure_incremental_index,
         ensure_persisted_index,
     )
+    from big_data_assignment2_spark.operators.multimodal import ensure_image_fixture
     from big_data_assignment2_spark.operators.similarity import ensure_ann_index
     from big_data_assignment2_spark.sources.doc_export import ensure_exported
 
@@ -98,6 +99,7 @@ def main() -> None:
     _build("bm25_deleted_index", lambda: ensure_deleted_index(spark, sf_dir))
     _build("bm25_compacted_index", lambda: ensure_compacted_index(spark, sf_dir))
     _build("ann_index", lambda: ensure_ann_index(spark, sf_dir))
+    _build("image_fixture", lambda: ensure_image_fixture(spark, sf_dir))
     _build("doc_export", lambda: ensure_exported(spark, sf_dir))
     _build("csv_export", lambda: write_lineitem_csv(spark, sf_dir))
     _build("json_export", lambda: write_events_json(spark, sf_dir))

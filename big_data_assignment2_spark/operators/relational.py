@@ -605,6 +605,70 @@ def percentiles_by_flag_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_PCT_ACCURACY = 10_000  # production-ish: the sketch genuinely compresses
+APPROX_PCT_TOL = 2.0 / APPROX_PCT_ACCURACY  # 2x the 1/accuracy GK bound
+
+
+def percentiles_approx_rank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-proof verification of :func:`percentiles_by_flag_approx`:
+    instead of comparing sketch OUTPUT values to exact quantiles (which
+    only match while the GK sketch stays uncompressed, i.e. groups under
+    ~accuracy/2 rows), verify the property the sketch actually GUARANTEES
+    at every scale -- the returned value's rank lies within +-tol*n of the
+    target rank (tol = 2/accuracy, doubling the nominal 1/accuracy bound
+    to absorb floor/ceil definitional slop).
+
+    A value v occupies ranks [count(x < v) + 1, count(x <= v)], so the
+    check is an interval overlap against [(p - tol)*n, (p + tol)*n]. The
+    booleans are TRUE by construction at any data size, making the oracle
+    a constant table -- hash-green at sf0.001 and at 100 TB alike. Plan:
+    one sketch aggregate (mergeable, map-side combined), the <=3-row
+    result broadcast back onto the scan, one conditional-count aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        *[
+            F.percentile_approx("l_extendedprice", p, APPROX_PCT_ACCURACY).alias(a)
+            for p, a in ((0.5, "v50"), (0.9, "v90"), (0.99, "v99"))
+        ]
+    )
+    joined = li.join(F.broadcast(approx), "l_returnflag")
+    counted = joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            c
+            for p in ("50", "90", "99")
+            for c in (
+                F.count(F.when(F.col("l_extendedprice") < F.col(f"v{p}"), 1)).alias(
+                    f"lt{p}"
+                ),
+                F.count(F.when(F.col("l_extendedprice") <= F.col(f"v{p}"), 1)).alias(
+                    f"le{p}"
+                ),
+            )
+        ],
+    )
+
+    def ok(p: float, tag: str):
+        lo = (F.lit(p) - F.lit(APPROX_PCT_TOL)) * F.col("n")
+        hi = (F.lit(p) + F.lit(APPROX_PCT_TOL)) * F.col("n")
+        return (F.col(f"le{tag}") >= lo) & ((F.col(f"lt{tag}") + 1) <= hi)
+
+    return counted.select(
+        "l_returnflag",
+        ok(0.5, "50").alias("p50_ok"),
+        ok(0.9, "90").alias("p90_ok"),
+        ok(0.99, "99").alias("p99_ok"),
+    )
+
+
+SQL_PCT_RANK_CHECK = """
+SELECT l_returnflag, true AS p50_ok, true AS p90_ok, true AS p99_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def intersect_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: customers who placed high-value orders INTERSECT /
     EXCEPT those with 'F' (finished) orders. Both set ops plan as one
@@ -897,11 +961,23 @@ def register(reg: Registry) -> None:
     reg.add("q18_large_orders", q18_large_orders, SQL_Q18, "having-before-join Q18 shape")
     reg.add("grouping_sets_agg", grouping_sets_agg, SQL_GROUPING_SETS, "explicit grouping sets + gid")
     reg.add("percentiles_by_flag", percentiles_by_flag, SQL_PERCENTILES, "exact discrete quantiles")
+    # rows-only BY DESIGN: the sketch's values equal the exact-quantile SQL
+    # only while each group stays under ~accuracy/2 rows (sf < ~0.17) -- a
+    # value oracle would spuriously fail on bigger runs. The value check is
+    # percentiles_approx_rank_check (scale-proof, hash-green) plus the
+    # error-bound property test.
     reg.add(
         "percentiles_by_flag_approx",
         percentiles_by_flag_approx,
-        SQL_PERCENTILES,
-        "mergeable-sketch quantiles (the 100 TB path; exact at oracle scale)",
+        None,
+        "mergeable-sketch quantiles (the 100 TB path; values rows-only, "
+        "verified by percentiles_approx_rank_check)",
+    )
+    reg.add(
+        "percentiles_approx_rank_check",
+        percentiles_approx_rank_check,
+        SQL_PCT_RANK_CHECK,
+        "GK-sketch rank-error bound verified per group, scale-proof oracle",
     )
     reg.add("intersect_except_keys", intersect_except_keys, SQL_INTERSECT_EXCEPT, "INTERSECT / EXCEPT set ops")
     reg.add("q7_volume_shipping", q7_volume_shipping, SQL_Q7, "bi-nation volume by year, dual nation roles")
