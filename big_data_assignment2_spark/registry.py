@@ -59,69 +59,20 @@ class Registry:
 # operators, then flagships, then the long-green relational tail. Names not
 # present (e.g. reference_* when the fixture corpus is absent) are skipped.
 _PRIORITY: tuple[str, ...] = (
-    # --- never driver-green (events-loader casualties in r1+r2) ---
-    "streaming_tumbling",
-    "streaming_sessionize",
-    "streaming_dedup",
-    "streaming_static_join",
-    "streaming_stream_join",
-    "events_json_sum",
-    "window_moving_avg",
-    "window_lag_delta",
-    "grouped_median_udaf",
-    "partitioned_sink_roundtrip",
-    # --- green in r1, lost in r2 to the same loader bug: re-verify ---
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "asof_join_events",
-    "pivot_event_counts",
-    # --- new in round 3 ---
-    "percentiles_by_flag_approx",
-    "minhash_cols_fast",
-    "ann_recall_eval",
-    "repetition_stats",
-    "corpus_stats_by_source",
-    "range_join_events",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_late_shipments",
-    "q13_customer_distribution",
-    "q16_part_supplier_counts",
-    "q17_small_qty_revenue",
-    "q20_promotable_suppliers",
-    "q21_waiting_suppliers",
-    "doc_pack_greedy",
-    "blocklist_scan",
-    "sample_balanced_lang",
-    "approx_distinct_users",
-    "csv_roundtrip",
-    "events_time_rollup",
-    "events_value_histogram",
-    "json_roundtrip",
-    "orc_roundtrip",
-    "streaming_foreach_batch",
-    "pipeline_end_to_end",
-    "simhash_neardup_pairs",
-    "embedding_centroids",
-    "window_funcs_suite",
-    "join_shuffled_hash_agg",
-    "funnel_depths",
-    "cohort_retention",
-    "neardup_cluster_sizes",
-    "csv_corrupt_records",
-    "dataset_split",
+    # ========== round-4 window: exactly 50 names to the cap ==========
+    # --- 1-4: registered in r3 but rolled past the 50-query cap --
+    # their FIRST driver rows ---
     "bm25_search_incremental",
     "bm25_search_after_delete",
     "bm25_search_filtered",
-    # --- positions 51+: past the driver's 50-query cap this round
-    # (15 never/lost + 36 new overfill it by one; dataset_split rolls
-    # to the next round's window).
-    # FIRST the r1-ONLY-green block (never re-checked since round 1 --
-    # promote these to the head of the re-check section next round),
-    # then the r1/r2-ever-green tail ---
+    "dataset_split",
+    # --- 5-9: new or semantics-changed in round 4 ---
+    "bm25_search_after_compact",   # new: compaction result-invariance
+    "minhash_lsh_pairs_fast",      # new: xxhash64 path, hash-match oracle
+    "percentiles_approx_rank_check",  # new: scale-proof sketch bound
+    "percentiles_by_flag_approx",  # changed: now rows-only by design
+    "multimodal_features",         # changed: real BMP decode
+    # --- 10-43: the r1-ONLY-green block, never re-checked since r1 ---
     "scan_project_orderby_limit",
     "filter_isin_project",
     "corpus_clean",
@@ -156,18 +107,20 @@ _PRIORITY: tuple[str, ...] = (
     "union_all_agg",
     "agg_count_distinct",
     "distinct_projection",
-    # --- r2-green: rotate toward the tail of the 50-query cap ---
+    # --- 44-50: head of the r2-green rotation ---
     "join_salted_agg",
     "bigrams_udtf",
     "multimodal_meta",
-    "multimodal_features",
     "multimodal_frame_sample",
-    "reference_bm25_big_data",
-    "reference_bm25_ml_model",
-    "reference_bm25_distributed_db",
     "dedup_apply",
     "ann_topk_persisted",
     "embedding_neardup_lsh",
+    # ========== positions 51+: past the cap this round ==========
+    # r2-green remainder (re-check in round 5), then the r3-green block
+    # (freshest evidence, last in line), then long-green flagships.
+    "reference_bm25_big_data",
+    "reference_bm25_ml_model",
+    "reference_bm25_distributed_db",
     "doc_file_export",
     "neardup_components",
     "dedup_apply_neardup",
@@ -192,6 +145,56 @@ _PRIORITY: tuple[str, ...] = (
     "ann_topk_ivf",
     "embedding_neardup_pairs",
     "cube_agg",
+    "minhash_cols_fast",
+    # r3-green block
+    "streaming_tumbling",
+    "streaming_sessionize",
+    "streaming_dedup",
+    "streaming_static_join",
+    "streaming_stream_join",
+    "events_json_sum",
+    "window_moving_avg",
+    "window_lag_delta",
+    "grouped_median_udaf",
+    "partitioned_sink_roundtrip",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "asof_join_events",
+    "pivot_event_counts",
+    "ann_recall_eval",
+    "repetition_stats",
+    "corpus_stats_by_source",
+    "range_join_events",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q16_part_supplier_counts",
+    "q17_small_qty_revenue",
+    "q20_promotable_suppliers",
+    "q21_waiting_suppliers",
+    "doc_pack_greedy",
+    "blocklist_scan",
+    "sample_balanced_lang",
+    "approx_distinct_users",
+    "csv_roundtrip",
+    "events_time_rollup",
+    "events_value_histogram",
+    "json_roundtrip",
+    "orc_roundtrip",
+    "streaming_foreach_batch",
+    "pipeline_end_to_end",
+    "simhash_neardup_pairs",
+    "embedding_centroids",
+    "window_funcs_suite",
+    "join_shuffled_hash_agg",
+    "funnel_depths",
+    "cohort_retention",
+    "neardup_cluster_sizes",
+    "csv_corrupt_records",
 )
 
 

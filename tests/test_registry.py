@@ -14,8 +14,11 @@ REG = build_registry()
 
 # the only operators allowed to ship without a DuckDB oracle, and why
 ROWS_ONLY_ALLOWED = {
-    "minhash_cols_fast",  # DuckDB has no xxhash64
+    "minhash_cols_fast",  # DuckDB has no xxhash64; value-verified via minhash_lsh_pairs_fast
     "approx_distinct_users",  # HLL estimates are sketch-implementation-specific
+    # GK-sketch values equal exact quantiles only below ~sf0.17; the
+    # scale-proof value check is percentiles_approx_rank_check
+    "percentiles_by_flag_approx",
 }
 
 
