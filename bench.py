@@ -118,23 +118,127 @@ def main() -> None:
         _force(q.fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Scale check: replicate the base tables 10x (keys offset per replica)
+    # and re-run a scan/shuffle-representative subset -- one data point
+    # that per-query cost grows ~linearly with data size on this plan set.
+    scale_check: dict = {}
+    if os.environ.get("SPARK_GRAFT_SCALE_CHECK", "1") != "0":
+        factor = 10
+        t0 = time.perf_counter()
+        scaled_dir = _build_scaled_dir(spark, sf_dir, factor)
+        gen_sec = round(time.perf_counter() - t0, 3)
+        picks = (
+            "q1_pricing_summary",
+            "q6_forecast_revenue",
+            "events_time_rollup",
+            "token_counts",
+            "dedup_exact",
+            "bm25_search",
+            "ann_topk_bruteforce",
+        )
+        per_q: dict[str, dict] = {}
+        for name in picks:
+            t0 = time.perf_counter()
+            _force(reg.queries[name].fn(spark, scaled_dir))
+            scaled_t = round(time.perf_counter() - t0, 3)
+            base_t = timings[name]
+            per_q[name] = {
+                "base": base_t,
+                "scaled": scaled_t,
+                "ratio": round(scaled_t / base_t, 2) if base_t > 0 else None,
+            }
+        ratios = sorted(v["ratio"] for v in per_q.values() if v["ratio"])
+        scale_check = {
+            "factor": factor,
+            "base_sf": sf,
+            "gen_sec": gen_sec,
+            "median_ratio": ratios[len(ratios) // 2] if ratios else None,
+            "queries": per_q,
+        }
+
     build_total = round(sum(builds.values()), 3)
     query_total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total wall-clock, all registered queries + one-time builds, noop sink",
-                "value": round(build_total + query_total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "builds": builds,
-                "build_total": build_total,
-                "query_total": query_total,
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "total wall-clock, all registered queries + one-time builds, noop sink",
+        "value": round(build_total + query_total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "builds": builds,
+        "build_total": build_total,
+        "query_total": query_total,
+        "n_queries": len(timings),
+        "scale_check": scale_check,
+        "sf": sf,
+    }
+    # Complete record first (whole-stdout consumers), and to a repo file
+    # (the per-round capture only keeps a ~2000-char stdout tail, which
+    # truncated the full map in round 3).
+    print(json.dumps(full), flush=True)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    # LAST line: a compact summary guaranteed to fit a 2000-char tail --
+    # totals + as many slowest-query timings as fit + a detail pointer.
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "build_total": build_total,
+        "query_total": query_total,
+        "scale_check": {
+            k: scale_check.get(k) for k in ("factor", "median_ratio", "gen_sec")
+        }
+        if scale_check
+        else {},
+        "detail": "BENCH_DETAIL.json",
+        "queries_omitted": 0,
+        "queries": {},
+    }
+    budget = 1800
+    for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+        trial = dict(compact)
+        trial["queries"] = {**compact["queries"], name: t}
+        trial["queries_omitted"] = len(timings) - len(trial["queries"])
+        if len(json.dumps(trial)) > budget:
+            break
+        compact = trial
+    print(json.dumps(compact), flush=True)
     spark.stop()
+
+
+def _build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
+    """Replicate the tables the scale-check queries touch *factor* times
+    into a scratch sf-dir layout, offsetting key columns per replica so
+    cardinalities scale with the data (replica 0 keeps original ids, so
+    fixed reference rows like the ANN query vector survive)."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment2_spark.operators._util import scratch_root, scratch_slug
+
+    out = f"{scratch_root()}/scale{factor}x_{scratch_slug(sf_dir)}"
+    reps = F.broadcast(
+        spark.range(factor).select(F.col("id").cast("long").alias("rep"))
+    )
+    offset = 1_000_000_000
+    plans = {
+        "lineitem": ("l_orderkey",),
+        "documents": ("doc_id",),
+        "events": ("event_id", "user_id"),
+        "embeddings": ("vec_id",),
+    }
+    from big_data_assignment2_spark.sources.catalog import load_table
+
+    for tbl, keys in plans.items():
+        # the engine's own loader (events needs the type-adaptive ts read;
+        # writing its plain-TIMESTAMP output round-trips through the same
+        # loader cleanly)
+        df = load_table(spark, sf_dir, tbl).crossJoin(reps)
+        for k in keys:
+            df = df.withColumn(k, F.col(k) + F.col("rep") * offset)
+        df.drop("rep").write.mode("overwrite").parquet(f"{out}/{tbl}.parquet")
+    return out
 
 
 if __name__ == "__main__":

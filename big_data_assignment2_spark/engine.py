@@ -304,21 +304,7 @@ def delete_from_index(doc_ids: DataFrame, index_dir: str) -> None:
     if ids.isEmpty():
         return
     ids.write.mode("append").parquet(f"{index_dir}/tombstones")
-    # df delta from the forward table, directory-pruned to the deleted
-    # docs' buckets (<= |batch| distinct buckets, collected driver-side)
-    buckets = sorted(
-        r["b"]
-        for r in ids.select(
-            term_bucket_col("doc_id", n_buckets).alias("b")
-        ).distinct().collect()
-    )
-    delta = (
-        spark.read.parquet(f"{index_dir}/forward")
-        .where(F.col("doc_bucket").isin(buckets))
-        .join(F.broadcast(ids), "doc_id", "left_semi")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("delta_df"))
-    )
+    delta = _df_delta_for_ids(spark, index_dir, ids, n_buckets)
     merged = (
         spark.read.parquet(f"{index_dir}/vocab")
         .join(delta, "term", "left")
@@ -333,6 +319,29 @@ def delete_from_index(doc_ids: DataFrame, index_dir: str) -> None:
     merged.write.mode("overwrite").parquet(f"{index_dir}/vocab.tmp")
     _replace_dir(spark, f"{index_dir}/vocab.tmp", f"{index_dir}/vocab")
     _write_meta_from_live_stats(spark, index_dir, n_buckets)
+
+
+def _df_delta_for_ids(
+    spark: SparkSession, index_dir: str, ids: DataFrame, n_buckets: int
+) -> DataFrame:
+    """Per-term df of the given doc ids, from the forward table
+    directory-pruned to the ids' ``doc_bucket=`` partitions (<= |batch|
+    distinct buckets, collected driver-side -- the bucket list is what
+    turns the delta into a fraction of one postings scan; pruning is
+    plan-asserted in tests/test_engine.py)."""
+    buckets = sorted(
+        r["b"]
+        for r in ids.select(
+            term_bucket_col("doc_id", n_buckets).alias("b")
+        ).distinct().collect()
+    )
+    return (
+        spark.read.parquet(f"{index_dir}/forward")
+        .where(F.col("doc_bucket").isin(buckets))
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("delta_df"))
+    )
 
 
 def compact_index(spark: SparkSession, index_dir: str) -> None:

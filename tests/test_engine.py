@@ -195,3 +195,29 @@ def test_append_scans_no_corpus_sized_table(spark, sf_dir, tmp_path, monkeypatch
     engine.append_to_index(docs.where(F.col("doc_id").cast("long") % 2 == 1), d)
     corpus_sized = [p for p in read_paths if "inverted_index" in p or "forward" in p]
     assert corpus_sized == [], corpus_sized
+
+
+def test_delete_delta_prunes_forward_partitions(spark, sf_dir, tmp_path):
+    """The delete df-delta must reach the forward table as a
+    PartitionFilters entry on doc_bucket -- directory pruning is what
+    makes delete cost |batch|/n_buckets of a postings scan instead of
+    all of it."""
+    from big_data_assignment2_spark.plans.audit import explain_formatted
+
+    d = str(tmp_path / "prune")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    engine.build_index(docs, d, n_buckets=8)
+    ids = docs.orderBy("doc_id").limit(3).select("doc_id").localCheckpoint()
+    delta = engine._df_delta_for_ids(spark, d, ids, 8)
+    plan = explain_formatted(delta)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any("doc_bucket" in l for l in pf), plan
+    # and the delta itself is correct: per-term df of exactly those docs
+    want = {
+        (r["term"], r["doc_freq"])
+        for r in index_build.vocab_from_inverted(
+            index_build.inverted_from_docs(docs.join(ids, "doc_id", "semi"))
+        ).collect()
+    }
+    got = {(r["term"], r["delta_df"]) for r in delta.collect()}
+    assert got == want
