@@ -616,12 +616,16 @@ def percentiles_approx_rank_check(spark: SparkSession, sf_dir: str) -> DataFrame
     ~accuracy/2 rows), verify the property the sketch actually GUARANTEES
     at every scale -- the returned value's rank lies within +-tol*n of the
     target rank (tol = 2/accuracy, doubling the nominal 1/accuracy bound
-    to absorb floor/ceil definitional slop).
+    for slack).
 
     A value v occupies ranks [count(x < v) + 1, count(x <= v)], so the
-    check is an interval overlap against [(p - tol)*n, (p + tol)*n]. The
-    booleans are TRUE by construction at any data size, making the oracle
-    a constant table -- hash-green at sf0.001 and at 100 TB alike. Plan:
+    check is an interval overlap against [(p - tol)*n - 1, (p + tol)*n + 1]
+    -- the +-1 is the exact-definition allowance: the percentile of an
+    n-row group is the value at rank ceil(p*n), up to one whole rank past
+    p*n, which EXCEEDS the relative bound whenever tol*n < 1 (tiny test
+    groups). The booleans are TRUE by construction at any data size,
+    making the oracle a constant table -- hash-green at sf0.001 and at
+    100 TB alike. Plan:
     one sketch aggregate (mergeable, map-side combined), the <=3-row
     result broadcast back onto the scan, one conditional-count aggregate."""
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -651,8 +655,8 @@ def percentiles_approx_rank_check(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     def ok(p: float, tag: str):
-        lo = (F.lit(p) - F.lit(APPROX_PCT_TOL)) * F.col("n")
-        hi = (F.lit(p) + F.lit(APPROX_PCT_TOL)) * F.col("n")
+        lo = (F.lit(p) - F.lit(APPROX_PCT_TOL)) * F.col("n") - 1
+        hi = (F.lit(p) + F.lit(APPROX_PCT_TOL)) * F.col("n") + 1
         return (F.col(f"le{tag}") >= lo) & ((F.col(f"lt{tag}") + 1) <= hi)
 
     return counted.select(

@@ -75,10 +75,77 @@ GROUP BY user_id
 """
 
 
+RANGE_FILES = 8  # range-cluster lineitem into 8 shipdate-ordered files
+
+
+_RANGE_WRITTEN: dict[str, str] = {}
+
+
+def write_lineitem_range_clustered(spark: SparkSession, sf_dir: str) -> str:
+    """Range-clustered layout: ``repartitionByRange`` on ``l_shipdate`` +
+    ``sortWithinPartitions`` before the write, so each output file covers
+    a DISJOINT shipdate interval (asserted from the parquet footers in
+    tests/test_bucketing.py). The complement of hive partitioning for
+    high-cardinality ordering keys: no directory explosion, and any
+    shipdate range predicate prunes to the few files whose min/max
+    overlap it via plain parquet statistics -- at 100 TB, time-range
+    scans touch days, not the table. (Boundaries come from Spark's range
+    sampling; results never depend on where they land.)"""
+    if sf_dir not in _RANGE_WRITTEN:
+        from ..operators._util import scratch_root, scratch_slug
+
+        out = f"{scratch_root()}/lineitem_by_shipdate_{scratch_slug(sf_dir)}"
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .repartitionByRange(RANGE_FILES, F.col("l_shipdate"))
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        _RANGE_WRITTEN[sf_dir] = out
+    return _RANGE_WRITTEN[sf_dir]
+
+
+RANGE_LO, RANGE_HI = "1995-01-01", "1996-01-01"
+
+
+def range_clustered_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the range-clustered layout: write once per
+    process, read back with a shipdate range predicate (NTZ literal
+    comparisons so the filter reaches the scan and prunes via file/row-
+    group min-max stats), aggregate. Oracle = the same aggregate over the
+    ORIGINAL table, value-hash-verifying the layout loses nothing."""
+    from ..operators._util import ntz_lit
+
+    path = write_lineitem_range_clustered(spark, sf_dir)
+    li = spark.read.parquet(path).where(
+        (F.col("l_shipdate") >= ntz_lit(RANGE_LO))
+        & (F.col("l_shipdate") < ntz_lit(RANGE_HI))
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+SQL_RANGE_ROUNDTRIP = f"""
+SELECT l_returnflag, count(*) AS n_rows, {sql_dsum('l_extendedprice', 2)} AS sum_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{RANGE_LO}' AND l_shipdate < TIMESTAMP '{RANGE_HI}'
+GROUP BY l_returnflag
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "partitioned_sink_roundtrip",
         partitioned_sink_roundtrip,
         SQL_PARTITIONED_ROUNDTRIP,
         "hive-partitioned write + partition-pruned read-back",
+    )
+    reg.add(
+        "range_clustered_roundtrip",
+        range_clustered_roundtrip,
+        SQL_RANGE_ROUNDTRIP,
+        "repartitionByRange clustered write + stats-pruned range read-back",
     )

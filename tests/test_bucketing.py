@@ -71,3 +71,46 @@ def test_bucketed_equals_unbucketed(spark, sf_dir, warehouse):
         .collect()
     }
     assert got == want
+
+
+def test_range_clustered_files_are_disjoint(spark, sf_dir):
+    """The range-clustered lineitem layout must actually cluster: every
+    output file covers a shipdate interval disjoint from the others
+    (parquet footer min/max), which is what lets a range predicate prune
+    to the overlapping files. Also asserts the read-back predicate
+    reaches the scan as PushedFilters."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from big_data_assignment2_spark.plans.audit import explain_formatted
+    from big_data_assignment2_spark.sources.partitioned_sink import (
+        range_clustered_roundtrip,
+        write_lineitem_range_clustered,
+    )
+
+    path = write_lineitem_range_clustered(spark, sf_dir)
+    spans = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "l_shipdate"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            spans.append((min(mins), max(maxs)))
+    assert len(spans) > 1, "expected multiple range-clustered files"
+    spans.sort()
+    for (_, prev_max), (next_min, _) in zip(spans, spans[1:]):
+        # range partition boundaries assign equal keys to one side, so
+        # consecutive files may only touch at a boundary, never overlap
+        assert prev_max <= next_min, spans
+
+    plan = explain_formatted(range_clustered_roundtrip(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan

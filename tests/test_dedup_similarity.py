@@ -146,8 +146,12 @@ def test_multimodal_features_deterministic(spark, sf_dir):
     a = {r["doc_id"]: (r["f0"], r["f1"], r["f2"], r["f3"]) for r in multimodal_features(spark, sf_dir).collect()}
     b = {r["doc_id"]: (r["f0"], r["f1"], r["f2"], r["f3"]) for r in multimodal_features(spark, sf_dir).collect()}
     assert a == b
-    assert all(0.0 <= f < 1.0 for v in a.values() for f in v)
-    assert all(len(v) == 4 and all(0 <= x <= 1 for x in v) for v in a.values())
+    # f0..f2 are normalized channel means in [0,1]; f3 is the position-
+    # weighted checksum, bounded by (w*h + 1) / 2 <= 64.5 for the fixture
+    for v in a.values():
+        assert len(v) == 4
+        assert all(0.0 <= x <= 1.0 for x in v[:3])
+        assert 0.0 <= v[3] <= 65.0
 
 
 def test_streaming_equals_batch(spark, sf_dir):
