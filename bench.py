@@ -100,6 +100,11 @@ def main() -> None:
     _build("bm25_compacted_index", lambda: ensure_compacted_index(spark, sf_dir))
     _build("ann_index", lambda: ensure_ann_index(spark, sf_dir))
     _build("image_fixture", lambda: ensure_image_fixture(spark, sf_dir))
+    from big_data_assignment2_spark.sources.partitioned_sink import (
+        write_lineitem_range_clustered,
+    )
+
+    _build("range_clustered", lambda: write_lineitem_range_clustered(spark, sf_dir))
     _build("doc_export", lambda: ensure_exported(spark, sf_dir))
     _build("csv_export", lambda: write_lineitem_csv(spark, sf_dir))
     _build("json_export", lambda: write_events_json(spark, sf_dir))

@@ -255,22 +255,28 @@ def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall allows."""
     sh = _doc_shingles(spark, sf_dir)
     sigs = sh.groupBy("doc_id").agg(*minhash_cols_fast("shingle", N_MINHASH_FAST))
+    # band key = (seed index, raw 64-bit min) as two INT columns -- a
+    # string concat key would re-serialize every row for the join
     banded = sigs.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.concat_ws("#", F.lit(j), F.col(f"mh{j}"))
+                    F.struct(
+                        F.lit(j).alias("j"), F.col(f"mh{j}").alias("v")
+                    )
                     for j in range(N_MINHASH_FAST)
                 ]
             )
-        ).alias("band"),
-    )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.j").alias("band_j"), F.col("b.v").alias("band_v"))
     cand = (
         banded.alias("x")
         .join(
             banded.alias("y"),
-            (F.col("x.band") == F.col("y.band")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+            (F.col("x.band_j") == F.col("y.band_j"))
+            & (F.col("x.band_v") == F.col("y.band_v"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()

@@ -47,36 +47,50 @@ def streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = f"{scratch_root()}/stream_ingest_{uuid.uuid4().hex[:8]}"
     index_dir = f"{root}/index"
     docs = index_build.documents_with_title(spark, sf_dir)
-    engine.build_index(docs.where(F.col("doc_id").cast("long") % 2 == 0), index_dir)
 
-    stage = f"{root}/incoming"
-    odd = docs.where(F.col("doc_id").cast("long") % 2 == 1)
-    odd.repartition(INGEST_FILES).write.parquet(stage)
-
-    schema = spark.read.parquet(stage).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage)
-    )
-
-    def _append(batch_df: DataFrame, batch_id: int) -> None:
-        engine.append_to_index(batch_df, index_dir)
-
-    q = (
-        stream.writeStream.foreachBatch(_append)
-        .option("checkpointLocation", f"{root}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # Each micro-batch append runs several SMALL Spark jobs (postings/
+    # forward/doc_stats writes, vocab merge, meta rewrite) over one
+    # batch's worth of docs -- at the default 32 shuffle partitions the
+    # fixed per-task overhead dominates every one of them. Pin the
+    # shuffle width down for the ingestion the way _run_to_table pins
+    # state partitions, and restore the caller's value; a production
+    # deployment sizes it to batch volume instead.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        finished = q.awaitTermination(300)
+        engine.build_index(
+            docs.where(F.col("doc_id").cast("long") % 2 == 0), index_dir
+        )
+        stage = f"{root}/incoming"
+        odd = docs.where(F.col("doc_id").cast("long") % 2 == 1)
+        odd.repartition(INGEST_FILES).write.parquet(stage)
+
+        schema = spark.read.parquet(stage).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+
+        def _append(batch_df: DataFrame, batch_id: int) -> None:
+            engine.append_to_index(batch_df, index_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(_append)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(300)
+        finally:
+            q.stop()
+        if not finished:
+            # a torn append leaves the index stats inconsistent with its
+            # postings -- fail loudly, never search a half-ingested index
+            raise RuntimeError("streaming_index_append did not finish within 300s")
     finally:
-        q.stop()
-    if not finished:
-        # a torn append leaves the index stats inconsistent with its
-        # postings -- fail loudly, never search a half-ingested index
-        raise RuntimeError("streaming_index_append did not finish within 300s")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return engine.search(spark, index_dir, DEFAULT_QUERY)
 
 
