@@ -52,6 +52,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       the same instants DuckDB's naive read produces, independent of the
       session timezone, and (unlike an expression rewrite) the bare
       column keeps full predicate pushdown to the parquet scan.
+    * legacy INT96 file (Impala/Hive era): reads as plain TIMESTAMP too
+      (julian-day + nanos encodes an instant directly, no timezone in
+      the format), so it flows through the same non-long branch --
+      covered by the ``int96`` fixtures in tests/test_events_loader.py.
 
     Either way ``ts`` comes out as TIMESTAMP (an instant equal to the
     file's wall-clock value read as UTC), which is what every downstream

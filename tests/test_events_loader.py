@@ -34,11 +34,21 @@ def variant_dirs(sf_dir, tmp_path_factory):
         d = tmp_path_factory.mktemp(f"events_{unit}")
         pq.write_table(tbl, str(d / "events.parquet"))
         dirs[unit] = str(d)
+    # the fourth physical variant in the wild: legacy INT96 (Impala/Hive
+    # era; Spark's own default output until 3.x). Stored as julian-day +
+    # nanos-of-day -- an instant, no timezone in the encoding.
+    d = tmp_path_factory.mktemp("events_int96")
+    pq.write_table(
+        src.set_column(i, "ts", src.column("ts").cast(pa.timestamp("ns"))),
+        str(d / "events.parquet"),
+        use_deprecated_int96_timestamps=True,
+    )
+    dirs["int96"] = str(d)
     raw_us = src.column("ts").cast(pa.int64()).to_pylist()
     return dirs, raw_us
 
 
-@pytest.mark.parametrize("unit", ["us", "ms", "ns"])
+@pytest.mark.parametrize("unit", ["us", "ms", "ns", "int96"])
 def test_load_events_type_adaptive(spark, variant_dirs, unit):
     from big_data_assignment2_spark.sources.catalog import load_events
 
@@ -49,7 +59,7 @@ def test_load_events_type_adaptive(spark, variant_dirs, unit):
     assert sorted(got) == sorted(raw_us)
 
 
-@pytest.mark.parametrize("unit", ["us", "ms", "ns"])
+@pytest.mark.parametrize("unit", ["us", "ms", "ns", "int96"])
 def test_events_stream_type_adaptive(spark, variant_dirs, unit):
     import uuid
 
