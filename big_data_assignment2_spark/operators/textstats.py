@@ -224,9 +224,55 @@ FROM tok GROUP BY doc_id
 """
 
 
+VOCAB_TOP_K = 10
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget planning metric: what fraction of all token
+    occurrences the top-K most frequent terms cover. THE question when
+    sizing a fixed vocabulary (or judging how head-heavy a corpus is):
+    coverage(K) near 1 means a K-entry vocab sees almost every token.
+
+    Selection is deterministic under frequency ties (order by count desc,
+    then term), so both engines pick the identical top-K set. Plan: one
+    tokenize + groupBy(term) shuffle (map-side combined), a K-row
+    TakeOrdered, and two scalar aggregates -- the term-cardinality table
+    is the only shuffled data, so this runs at any corpus size for which
+    the vocabulary itself is tractable (always, in practice)."""
+    tok = tokenize(documents_with_title(spark, sf_dir))
+    freqs = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    top = freqs.orderBy(F.desc("freq"), F.asc("term")).limit(VOCAB_TOP_K)
+    totals = freqs.agg(
+        F.sum("freq").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    topk = top.agg(F.sum("freq").alias("topk_tokens"))
+    return totals.crossJoin(F.broadcast(topk)).select(
+        "total_tokens",
+        "n_terms",
+        "topk_tokens",
+        F.round(F.col("topk_tokens") / F.col("total_tokens"), 6).alias("coverage"),
+    )
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH tok AS (
+  SELECT unnest({SQL_TOKENS.format(col='text')}) AS term FROM documents
+),
+freqs AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
+top AS (SELECT * FROM freqs ORDER BY freq DESC, term ASC LIMIT {VOCAB_TOP_K})
+SELECT CAST((SELECT sum(freq) FROM freqs) AS BIGINT) AS total_tokens,
+       (SELECT count(*) FROM freqs) AS n_terms,
+       CAST((SELECT sum(freq) FROM top) AS BIGINT) AS topk_tokens,
+       round(CAST((SELECT sum(freq) FROM top) AS DOUBLE)
+             / (SELECT sum(freq) FROM freqs), 6) AS coverage
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("text_quality", text_quality, _sql_text_quality(), "quality features per doc")
     reg.add("lang_id", lang_id, _sql_lang_id(), "marker-token language ID")
     reg.add("token_counts", token_counts, SQL_TOKEN_COUNTS, "3 tokenizer counts per doc")
     reg.add("doc_fingerprint", doc_fingerprint, _sql_doc_fingerprint(), "min-md5-shingle fingerprint")
     reg.add("doc_term_list", doc_term_list, SQL_DOC_TERM_LIST, "deterministic collect_list")
+    reg.add("vocab_coverage", vocab_coverage, SQL_VOCAB_COVERAGE, "top-K vocab token coverage")
