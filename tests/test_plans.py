@@ -81,6 +81,9 @@ def test_persisted_search_prunes_buckets(spark, sf_dir, tmp_path):
         "q14_promo_revenue",
         "join_broadcast_agg",
         "bm25_search",
+        "minhash_lsh_pairs_fast",
+        "vocab_coverage",
+        "range_clustered_roundtrip",
     ],
 )
 def test_no_cartesian_anywhere(spark, sf_dir, name):
