@@ -128,7 +128,45 @@ FROM toks
 """
 
 
+def token_hist_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the Arrow-NATIVE UDF surface, completing the
+    Python-boundary set (pandas_udf / applyInPandas / mapInPandas /
+    applyInPandasWithState / UDTF / GROUPED_AGG / mapInArrow). Unlike the
+    pandas variants there is no Arrow<->pandas conversion at all -- the
+    closure receives ``pyarrow.RecordBatch`` and computes with pyarrow's
+    C++ kernels (here ``count_substring_regex``), the cheapest possible
+    Python boundary for kernel-expressible work at 100 TB.
+
+    Counts non-whitespace runs per document (``\\S+`` -- RE2 on both
+    sides: pyarrow here, DuckDB in the oracle), then a plain Column
+    histogram over the counts. Narrow until the one histogram shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def count_batches(batches):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        for batch in batches:
+            n = _pc.count_substring_regex(batch.column("text"), pattern=r"\S+")
+            yield _pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), _pc.cast(n, _pa.int64())],
+                ["doc_id", "n_tokens"],
+            )
+
+    counted = docs.mapInArrow(count_batches, schema="doc_id long, n_tokens long")
+    return counted.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_TOKEN_HIST = """
+SELECT CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
 def register(reg: Registry) -> None:
+    reg.add("token_hist_arrow", token_hist_arrow, SQL_TOKEN_HIST,
+            "mapInArrow token-count histogram (Arrow-native kernels)")
     reg.add("grouped_median_udaf", grouped_median_udaf, SQL_GROUPED_MEDIAN,
             "GROUPED_AGG pandas UDAF (exact median)")
     reg.add("bigrams_udtf", bigrams_udtf, SQL_BIGRAMS,
