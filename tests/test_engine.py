@@ -197,6 +197,38 @@ def test_append_scans_no_corpus_sized_table(spark, sf_dir, tmp_path, monkeypatch
     assert corpus_sized == [], corpus_sized
 
 
+def test_maintenance_soak_cycles(spark, sf_dir, tmp_path):
+    """Soak the maintenance path: three append/delete cycles with a
+    compaction in the middle, then verify the searchable state equals a
+    from-scratch index of exactly the surviving documents. Single
+    lifecycle steps are covered above; this pins that the invariants
+    COMPOSE over many cycles (vocab df-deltas are exact integer merges,
+    so no drift is possible -- this test is what proves that claim)."""
+    d = str(tmp_path / "soak")
+    d_fresh = str(tmp_path / "soak_fresh")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+
+    engine.build_index(docs.where(did % 3 == 0), d, n_buckets=8)
+    engine.append_to_index(docs.where(did % 3 == 1), d)
+    engine.delete_from_index(docs.where(did % 6 == 0).select("doc_id"), d)
+    engine.append_to_index(docs.where(did % 3 == 2), d)
+    engine.compact_index(spark, d)
+    engine.delete_from_index(docs.where(did % 7 == 1).select("doc_id"), d)
+    # doc_id % 6 == 0 ids were purged by the compaction, so they are
+    # re-addable -- except the ones the %7 delete just tombstoned, which
+    # the append-clash guard would (correctly) reject
+    engine.append_to_index(docs.where((did % 6 == 0) & (did % 7 != 1)), d)
+
+    # survivors: everything except (doc_id % 7 == 1), whose delete came
+    # after the compaction and is still tombstone-masked
+    engine.build_index(docs.where(did % 7 != 1), d_fresh, n_buckets=8)
+    got = engine.search(spark, d, "spark query window merge").collect()
+    want = engine.search(spark, d_fresh, "spark query window merge").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0
+
+
 def test_delete_delta_prunes_forward_partitions(spark, sf_dir, tmp_path):
     """The delete df-delta must reach the forward table as a
     PartitionFilters entry on doc_bucket -- directory pruning is what
