@@ -44,11 +44,19 @@ def variant_dirs(sf_dir, tmp_path_factory):
         use_deprecated_int96_timestamps=True,
     )
     dirs["int96"] = str(d)
+    # tz-aware micros (isAdjustedToUTC=true): already an instant; must
+    # come out as the same unix_micros as the naive-read-as-UTC variants
+    d = tmp_path_factory.mktemp("events_tz")
+    pq.write_table(
+        src.set_column(i, "ts", src.column("ts").cast(pa.timestamp("us", tz="UTC"))),
+        str(d / "events.parquet"),
+    )
+    dirs["tz"] = str(d)
     raw_us = src.column("ts").cast(pa.int64()).to_pylist()
     return dirs, raw_us
 
 
-@pytest.mark.parametrize("unit", ["us", "ms", "ns", "int96"])
+@pytest.mark.parametrize("unit", ["us", "ms", "ns", "int96", "tz"])
 def test_load_events_type_adaptive(spark, variant_dirs, unit):
     from big_data_assignment2_spark.sources.catalog import load_events
 
@@ -59,7 +67,7 @@ def test_load_events_type_adaptive(spark, variant_dirs, unit):
     assert sorted(got) == sorted(raw_us)
 
 
-@pytest.mark.parametrize("unit", ["us", "ms", "ns", "int96"])
+@pytest.mark.parametrize("unit", ["us", "ms", "ns", "int96", "tz"])
 def test_events_stream_type_adaptive(spark, variant_dirs, unit):
     import uuid
 
