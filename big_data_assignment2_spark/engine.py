@@ -329,6 +329,11 @@ def _df_delta_for_ids(
     distinct buckets, collected driver-side -- the bucket list is what
     turns the delta into a fraction of one postings scan; pruning is
     plan-asserted in tests/test_engine.py)."""
+    if not _path_exists(spark, f"{index_dir}/forward"):
+        raise ValueError(
+            f"{index_dir} has no forward table (built by an older layout?) "
+            "-- rebuild with build_index() before using delete_from_index"
+        )
     buckets = sorted(
         r["b"]
         for r in ids.select(

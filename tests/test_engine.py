@@ -253,3 +253,15 @@ def test_delete_delta_prunes_forward_partitions(spark, sf_dir, tmp_path):
     }
     got = {(r["term"], r["delta_df"]) for r in delta.collect()}
     assert got == want
+
+
+def test_delete_requires_forward_table(spark, sf_dir, tmp_path):
+    """Deleting from an index that predates the forward-table layout must
+    fail with a clear rebuild message, not an opaque path error."""
+    d = str(tmp_path / "old_layout")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    engine.build_index(docs, d, n_buckets=8)
+    fs, fwd = engine._fs_and_path(spark, f"{d}/forward")
+    fs.delete(fwd, True)  # simulate a pre-forward index
+    with pytest.raises(ValueError, match="forward table"):
+        engine.delete_from_index(docs.limit(1).select("doc_id"), d)
