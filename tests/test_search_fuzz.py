@@ -43,6 +43,29 @@ def test_bm25_random_queries_match_oracle(spark, sf_dir):
         con.close()
 
 
+def test_bm25_persisted_random_queries_match_oracle(spark, sf_dir, tmp_path):
+    """Same fuzz against the PERSISTED index: random term sets must
+    survive the crc32 bucket pruning (a pruning bug silently drops
+    postings, which the value hash catches)."""
+    from big_data_assignment2_spark import engine
+
+    d = str(tmp_path / "fuzz_index")
+    engine.build_index(index_build.documents_with_title(spark, sf_dir), d, n_buckets=8)
+    vocab = sorted(
+        r["term"] for r in index_build.vocab(spark, sf_dir).select("term").collect()
+    )
+    rng = random.Random(7)
+    con = duck_connection(sf_dir)
+    try:
+        for _ in range(4):
+            terms = rng.sample(vocab, min(rng.randint(1, 4), len(vocab))) + ["zzz"]
+            q = " ".join(terms)
+            diff = compare(engine.search(spark, d, q), con, search_ops.sql_bm25(q))
+            assert diff is None, (q, diff)
+    finally:
+        con.close()
+
+
 def test_bm25_no_valid_terms_returns_empty(spark, sf_dir):
     """A query normalizing to zero terms (all punctuation/whitespace)
     returns an empty top-k, not an error -- the CLI edge a real user
