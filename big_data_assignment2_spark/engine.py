@@ -413,6 +413,46 @@ def _tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
     return spark.read.parquet(path)
 
 
+def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Operability report for a persisted index: the numbers that decide
+    WHEN to run :func:`compact_index` -- live vs tombstoned docs, total
+    vs dead postings (rows still on disk that belong to deleted docs and
+    every scan reads past), and the dead fraction. One postings count +
+    one broadcast-semi-join count; no tokenize, no full rewrite.
+
+    Returns one row: ``live_docs, n_tombstones, total_postings,
+    dead_postings, dead_fraction, n_term_buckets``."""
+    idx = load_index(spark, index_dir)
+    tomb = _tombstones(spark, index_dir)
+    n_buckets = _read_n_buckets(spark, index_dir)
+    total_postings = idx.inverted_index.count()
+    total_docs = idx.doc_stats.count()
+    if tomb is None:
+        n_tomb, dead = 0, 0
+    else:
+        n_tomb = tomb.select("doc_id").distinct().count()
+        dead = idx.inverted_index.join(
+            F.broadcast(tomb), "doc_id", "left_semi"
+        ).count()
+    base = spark.createDataFrame(
+        [(total_docs - n_tomb, n_tomb, total_postings, dead, n_buckets)],
+        "live_docs long, n_tombstones long, total_postings long, "
+        "dead_postings long, n_term_buckets int",
+    )
+    # fraction rounded in Column space (HALF_UP, same as the SQL oracle's
+    # round) -- python's banker's rounding could tie-break differently
+    return base.select(
+        "live_docs",
+        "n_tombstones",
+        "total_postings",
+        "dead_postings",
+        F.round(F.col("dead_postings") / F.col("total_postings"), 6).alias(
+            "dead_fraction"
+        ),
+        "n_term_buckets",
+    )
+
+
 def load_index(spark: SparkSession, index_dir: str) -> IndexTables:
     """S2: the four index tables back as DataFrames."""
     return IndexTables(

@@ -333,8 +333,49 @@ def bm25_search_after_compact(
     return engine.search(spark, ensure_compacted_index(spark, sf_dir), query, k)
 
 
+def index_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index operability report over the deterministic build+delete
+    fixture (full corpus built, ``doc_id % {DELETE_MOD} == 0`` deleted):
+    live/tombstoned docs, total/dead postings, dead fraction -- the
+    numbers that decide when to run ``compact_index``. Every value is a
+    pure function of the corpus, so the report has a full SQL oracle
+    (the index-shaped CTE counts the same distinct (term, doc) pairs)."""
+    from .. import engine
+
+    return engine.index_stats(spark, ensure_deleted_index(spark, sf_dir))
+
+
+def _sql_index_stats() -> str:
+    return (
+        index_build.SQL_DOCS_CTE
+        + f""",
+deleted AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents
+            WHERE doc_id % {DELETE_MOD} = 0),
+tot AS (SELECT count(*) AS total_postings FROM inverted),
+dead AS (SELECT count(*) AS dead_postings FROM inverted
+         WHERE doc_id IN (SELECT doc_id FROM deleted)),
+docs_n AS (SELECT count(*) AS n_docs FROM documents),
+del_n AS (SELECT count(*) AS n_tombstones FROM deleted)
+SELECT CAST(docs_n.n_docs - del_n.n_tombstones AS BIGINT) AS live_docs,
+       CAST(del_n.n_tombstones AS BIGINT) AS n_tombstones,
+       CAST(tot.total_postings AS BIGINT) AS total_postings,
+       CAST(dead.dead_postings AS BIGINT) AS dead_postings,
+       round(CAST(dead.dead_postings AS DOUBLE) / tot.total_postings, 6)
+           AS dead_fraction,
+       CAST(64 AS INTEGER) AS n_term_buckets
+FROM tot, dead, docs_n, del_n
+"""
+    )
+
+
 def register(reg: Registry) -> None:
     reg.add("bm25_search", bm25_search, sql_bm25(), "flagship BM25 top-10")
+    reg.add(
+        "index_stats_report",
+        index_stats_report,
+        _sql_index_stats(),
+        "index operability report: live docs, tombstones, dead-posting fraction",
+    )
     reg.add(
         "bm25_search_incremental",
         bm25_search_incremental,
