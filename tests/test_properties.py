@@ -81,3 +81,26 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     assert approx.keys() == exact.keys()
     for et, est in approx.items():
         assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_bmp_codec_roundtrip_property(w, h, seed):
+    """decode(encode(x)) == x for ARBITRARY shapes and pixel values --
+    every row-padding remainder, degenerate 1-pixel rows/columns, and
+    random content (the fixed-grid test in test_multimodal.py covers the
+    golden bytes; this covers the space)."""
+    import numpy as np
+
+    from big_data_assignment2_spark.functions.imaging import bmp_codec
+
+    encode_bmp, decode_bmp = bmp_codec()
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_bmp(encode_bmp(arr))
+    assert out.shape == (h, w, 3)
+    assert (out == arr).all()

@@ -78,3 +78,31 @@ def test_oracle_sql_parses_in_duckdb(name):
         con.execute(f"CREATE TABLE {t} ({cols})")
     con.execute(REG.oracles()[name])  # empty tables: must parse + run
     con.close()
+
+
+def test_bench_scaled_dir_replicates_faithfully(spark, sf_dir, monkeypatch, tmp_path):
+    """The bench's 10x scale-check harness must replicate faithfully:
+    factor x rows, keys still distinct (offsets can't collide), schema
+    unchanged -- otherwise the scale ratios measure a broken corpus."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path))
+    out = bench._build_scaled_dir(spark, sf_dir, 3)
+    from big_data_assignment2_spark.sources.catalog import load_table
+
+    for tbl, key in (
+        ("lineitem", None),
+        ("documents", "doc_id"),
+        ("events", "event_id"),
+        ("embeddings", "vec_id"),
+    ):
+        src = load_table(spark, sf_dir, tbl)
+        rep = load_table(spark, out, tbl)
+        assert rep.count() == 3 * src.count(), tbl
+        assert rep.schema == src.schema, tbl
+        if key:
+            assert rep.select(key).distinct().count() == 3 * src.count(), tbl
