@@ -469,6 +469,7 @@ def search(
     query: str,
     k: int = 10,
     n_buckets: int | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k over the **persisted** index (reference ``query.py``
     lifecycle, SURVEY.md section 3.2): bucket-pruned postings scan, broadcast
@@ -476,7 +477,15 @@ def search(
 
     ``n_buckets`` defaults to the value persisted in the index's meta
     table at build time (passing a different one would prune to the wrong
-    directories and silently return no hits)."""
+    directories and silently return no hits).
+
+    ``allowed`` (optional, a ``doc_id`` frame) restricts the CANDIDATES
+    to a metadata facet via a broadcast semi join applied after bucket +
+    term pruning -- standard faceted-search semantics: idf/avg_dl stay
+    corpus-global (the query's notion of term rarity must not change
+    with the facet). A facet set is metadata-sized, hence broadcast; at
+    100 TB one would persist hot facet columns into doc_stats instead
+    (same plan shape, no extra shuffle)."""
     idx = load_index(spark, index_dir)
     if n_buckets is None:
         row = idx.meta.where(F.col("key") == "n_buckets").select("value").collect()
@@ -493,6 +502,10 @@ def search(
     tomb = _tombstones(spark, index_dir)
     if tomb is not None:
         postings = postings.join(F.broadcast(tomb), "doc_id", "left_anti")
+    if allowed is not None:
+        postings = postings.join(
+            F.broadcast(allowed.select("doc_id")), "doc_id", "left_semi"
+        )
     # meta strings -> numbers, as query.py:37-38 does with float();
     # stays a 1-row DataFrame that broadcasts into the scoring join.
     stats = idx.meta.agg(

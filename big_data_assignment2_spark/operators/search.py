@@ -368,8 +368,42 @@ FROM tot, dead, docs_n, del_n
     )
 
 
+def bm25_search_filtered_persisted(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = DEFAULT_QUERY,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Faceted search over the PERSISTED index: the metadata facet
+    (``lang = '{FILTER_LANG}'``) semi-joins the bucket-pruned postings as
+    a broadcast while idf/avg_dl stay corpus-global -- the persisted twin
+    of ``bm25_search_filtered``, sharing its oracle. This is the shape a
+    deployed faceted search runs: index on disk, facet from the metadata
+    table, one job."""
+    from .. import engine
+    from ..sources.catalog import load_table
+
+    allowed = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("lang") == FILTER_LANG)
+        .select(F.col("doc_id").cast("string").alias("doc_id"))
+    )
+    return engine.search(
+        spark, ensure_persisted_index(spark, sf_dir), query, k, allowed=allowed
+    )
+
+
 def register(reg: Registry) -> None:
     reg.add("bm25_search", bm25_search, sql_bm25(), "flagship BM25 top-10")
+    reg.add(
+        "bm25_search_filtered_persisted",
+        bm25_search_filtered_persisted,
+        sql_bm25(
+            extra_where="\n    AND i.doc_id IN (SELECT CAST(doc_id AS VARCHAR)"
+            f" FROM documents WHERE lang = '{FILTER_LANG}')"
+        ),
+        "faceted BM25 over the persisted index (broadcast facet after pruning)",
+    )
     reg.add(
         "index_stats_report",
         index_stats_report,

@@ -66,18 +66,19 @@ _PRIORITY: tuple[str, ...] = (
     "bm25_search_after_delete",
     "bm25_search_filtered",
     "dataset_split",
-    # --- 5-14: new or semantics-changed in round 4 ---
+    # --- 5-15: new or semantics-changed in round 4 ---
     "bm25_search_after_compact",   # new: compaction result-invariance
     "streaming_index_append",      # new: foreachBatch index ingestion
     "range_clustered_roundtrip",   # new: repartitionByRange file clustering
     "vocab_coverage",              # new: top-K token coverage metric
     "token_hist_arrow",            # new: mapInArrow surface
     "index_stats_report",          # new: compaction-trigger operability report
+    "bm25_search_filtered_persisted",  # new: faceted search on the persisted index
     "minhash_lsh_pairs_fast",      # new: xxhash64 path, hash-match oracle
     "percentiles_approx_rank_check",  # new: scale-proof sketch bound
     "percentiles_by_flag_approx",  # changed: now rows-only by design
     "multimodal_features",         # changed: real BMP decode
-    # --- 15-48: the r1-ONLY-green block, never re-checked since r1 ---
+    # --- 16-49: the r1-ONLY-green block, never re-checked since r1 ---
     "scan_project_orderby_limit",
     "filter_isin_project",
     "corpus_clean",
@@ -112,10 +113,10 @@ _PRIORITY: tuple[str, ...] = (
     "union_all_agg",
     "agg_count_distinct",
     "distinct_projection",
-    # --- 49-50: head of the r2-green rotation ---
+    # --- 50: head of the r2-green rotation ---
     "join_salted_agg",
-    "bigrams_udtf",
     # ========== positions 51+: past the cap this round ==========
+    "bigrams_udtf",
     "multimodal_meta",
     "multimodal_frame_sample",
     "dedup_apply",
