@@ -268,3 +268,61 @@ def test_neardup_components_closure(spark, sf_dir):
     for d in comp:
         if d not in paired:
             assert comp[d] == d
+
+
+def test_dedup_family_on_synthetic_neardups(spark, tmp_path):
+    """The whole dedup family vs its oracles on a CONSTRUCTED corpus --
+    exact duplicates, strong near-dups (1-2 token edits of 40-token
+    docs), and unrelated docs -- instead of whatever the driver fixtures
+    happen to contain. Guards the operators' generalization: shingle
+    caps, banding, and verification must agree with SQL on a corpus
+    whose duplicate structure is known by construction."""
+    import random
+
+    import duckdb
+
+    from big_data_assignment2_spark.registry import build_registry
+    from tests._compare import compare
+
+    rng = random.Random(123)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    doc_id = 0
+    texts = []
+    for _ in range(20):
+        base = " ".join(rng.choice(vocab) for _ in range(40))
+        texts.append(base)
+        # one strong near-dup: replace two tokens
+        toks = base.split()
+        for _ in range(2):
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        texts.append(" ".join(toks))
+    texts += texts[:5]  # five exact duplicates
+    for t in texts:
+        rows.append((doc_id, t, "en", "syn7", len(t)))
+        doc_id += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    reg = build_registry()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    try:
+        for name in (
+            "dedup_exact",
+            "ngram_jaccard_pairs",
+            "minhash_lsh_pairs",
+            "minhash_lsh_pairs_fast",
+            "simhash_neardup_pairs",
+        ):
+            q = reg.queries[name]
+            diff = compare(q.fn(spark, str(tmp_path)), con, q.oracle)
+            assert diff is None, f"{name}: {diff}"
+            # sanity: the constructed corpus must actually light up the op
+            assert q.fn(spark, str(tmp_path)).count() > 0, name
+    finally:
+        con.close()

@@ -106,3 +106,50 @@ def test_load_events_restores_confs(spark, variant_dirs):
         spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", None)
         in (None, "true")
     )
+
+
+def test_window_tumbling_across_dst_boundary(spark, tmp_path):
+    """Event-time windows must bucket by INSTANT, not session wall clock:
+    events straddling the US spring-forward transition (2024-03-10,
+    07:00Z) under an America/New_York session must land in the same
+    5-minute epoch buckets the tz-naive DuckDB oracle computes. A
+    wall-clock implementation would shift every post-transition bucket
+    by an hour."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_assignment2_spark.operators.windows import (
+        SQL_TUMBLING,
+        window_tumbling,
+    )
+    from tests._compare import compare
+
+    base = 1710054000_000000  # 2024-03-10 07:00:00Z in micros (EST -> EDT)
+    rows = [(i, base + (i - 6) * 150_000_000, i, "click", float(i), "{}")
+            for i in range(13)]  # every 2.5 min from -15 min to +15 min
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet'"
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        diff = compare(window_tumbling(spark, str(tmp_path)), con, SQL_TUMBLING)
+        assert diff is None, diff
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+        con.close()
