@@ -71,7 +71,8 @@ WHERE n_tokens >= {MIN_TOKENS}
 def _hash_pct(col) -> F.Column:
     """Deterministic [0, 100) bucket from the md5 of a key column -- the
     first 8 hex chars as an integer, mod 100. Bit-identical in DuckDB
-    (same ``'0x' || substr(md5(..))`` trick as the multimodal stub)."""
+    (same ``'0x' || substr(md5(..))`` trick as the multimodal frame
+    fingerprints)."""
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
         "long"
     ) % 100
