@@ -508,13 +508,17 @@ def search(
         )
     # meta strings -> numbers, as query.py:37-38 does with float();
     # stays a 1-row DataFrame that broadcasts into the scoring join.
+    # cast INSIDE the max: exactly one non-null value exists per key, so
+    # numeric max == the value, and a numeric aggregation buffer keeps
+    # even this 3-row aggregate a HashAggregate (string buffers are not
+    # UnsafeRow-mutable and demote to SortAggregate)
     stats = idx.meta.agg(
-        F.max(F.when(F.col("key") == "total_docs", F.col("value")))
-        .cast("long")
-        .alias("n_docs"),
-        F.max(F.when(F.col("key") == "avg_dl", F.col("value")))
-        .cast("double")
-        .alias("avg_dl"),
+        F.max(
+            F.when(F.col("key") == "total_docs", F.col("value").cast("long"))
+        ).alias("n_docs"),
+        F.max(
+            F.when(F.col("key") == "avg_dl", F.col("value").cast("double"))
+        ).alias("avg_dl"),
     )
     return search_ops.bm25_rank_with_stats(
         postings, idx.vocab, idx.doc_stats, stats, query, k

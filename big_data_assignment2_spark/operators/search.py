@@ -63,11 +63,10 @@ def bm25_rank_with_stats(
     vocab_q = vocab.where(F.col("term").isin(terms))
     scored = (
         postings.join(F.broadcast(vocab_q), "term")
-        .join(doc_stats, "doc_id")
+        .join(doc_stats.select("doc_id", "length"), "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
-            "title",
             bm25.score(
                 F.col("tf"),
                 F.col("length"),
@@ -77,14 +76,24 @@ def bm25_rank_with_stats(
             ).alias("partial"),
         )
     )
+    # The per-doc sum aggregates ONLY (doc_id, double): a string in the
+    # aggregation buffer (the old max(title)) is not UnsafeRow-mutable and
+    # silently demoted the whole corpus-sized aggregate to SortAggregate
+    # (sort per partition); numeric-only buffers keep it a two-phase
+    # HashAggregate. Titles attach AFTER the top-k, a k-row broadcast
+    # join -- which also matches the reference more closely than the old
+    # max(title) (titles are functionally dependent on doc_id).
     ranked = (
         scored.groupBy("doc_id")
-        .agg(F.max("title").alias("title"), F.round(F.sum("partial"), 6).alias("score"))
+        .agg(F.round(F.sum("partial"), 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+    titled = F.broadcast(ranked).join(
+        doc_stats.select("doc_id", "title"), "doc_id"
+    )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return ranked.withColumn("rank", F.row_number().over(w)).select(
+    return titled.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "title", "score"
     )
 
