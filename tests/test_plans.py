@@ -342,3 +342,26 @@ def test_doc_chunks_is_narrow_and_python_free(spark, sf_dir):
 
     df = doc_chunks(spark, sf_dir)
     assert not audit(df, forbids=("Exchange", "ArrowEvalPython", "BatchEvalPython"))
+
+
+def test_registry_wide_no_demoted_aggregates(spark, sf_dir):
+    """Sweep EVERY registered non-streaming query's physical plan for the
+    two silent scale-killers: CartesianProduct (a join that lost its
+    keys) and SortAggregate (a var-width value sneaked into an
+    aggregation buffer, demoting hash aggregation to a per-partition
+    sort -- how the BM25 max(title) regression hid). Streaming queries
+    execute fully on plan construction and are covered by their own
+    tests; reference_* need the fixture corpus warm."""
+    from big_data_assignment2_spark.plans.audit import explain_formatted
+    from big_data_assignment2_spark.registry import build_registry
+
+    reg = build_registry()
+    offenders = {}
+    for name, q in reg.queries.items():
+        if name.startswith(("streaming_", "reference_")):
+            continue
+        plan = explain_formatted(q.fn(spark, sf_dir))
+        bad = [w for w in ("SortAggregate", "CartesianProduct") if w in plan]
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, offenders
