@@ -105,6 +105,13 @@ def main() -> None:
     )
 
     _build("range_clustered", lambda: write_lineitem_range_clustered(spark, sf_dir))
+    from big_data_assignment2_spark.operators.merge import merged_orders_path
+    from big_data_assignment2_spark.sources.partitioned_sink import (
+        write_lineitem_zordered,
+    )
+
+    _build("merge_base_and_merge", lambda: merged_orders_path(spark, sf_dir))
+    _build("zorder_clustered", lambda: write_lineitem_zordered(spark, sf_dir))
     _build("doc_export", lambda: ensure_exported(spark, sf_dir))
     _build("csv_export", lambda: write_lineitem_csv(spark, sf_dir))
     _build("json_export", lambda: write_events_json(spark, sf_dir))

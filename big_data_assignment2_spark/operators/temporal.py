@@ -183,8 +183,73 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: per user, collapse the
+    event stream into validity intervals over the tracked attribute
+    (``event_type`` stands in for a dimension attribute), with version
+    numbers and an ``is_current`` flag -- the standard dimension-history
+    build of a warehouse load.
+
+    Shape: ONE shuffle. Change-point detection (``lag``), run filtering,
+    interval close (``lead``) and versioning (``row_number``) all ride the
+    same ``user_id`` hash partitioning -- the filter between the two
+    window passes preserves distribution and order, so Catalyst plans a
+    single Exchange (plan-asserted in tests/test_plans.py). Ties are
+    impossible: the ordering key is (ts, event_id) and event_id is
+    unique, so run boundaries are total-order deterministic in both
+    engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    runs = ev.withColumn(
+        "is_start",
+        F.coalesce(F.lag("event_type").over(w) != F.col("event_type"), F.lit(True)),
+    ).where(F.col("is_start"))
+    w_runs = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return runs.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w_runs).alias("valid_to_us"),
+        F.row_number().over(w_runs).alias("version"),
+        F.lead("ts_us").over(w_runs).isNull().alias("is_current"),
+    )
+
+
+SQL_SCD2 = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id
+  FROM events
+),
+runs AS (
+  SELECT * FROM (
+    SELECT user_id, event_type, ts_us, event_id,
+           COALESCE(LAG(event_type) OVER w <> event_type, TRUE) AS is_start
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+  ) WHERE is_start
+)
+SELECT user_id, event_type, ts_us AS valid_from_us,
+       LEAD(ts_us) OVER w AS valid_to_us,
+       CAST(ROW_NUMBER() OVER w AS INT) AS version,
+       LEAD(ts_us) OVER w IS NULL AS is_current
+FROM runs
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("asof_join_events", asof_join_events, SQL_ASOF, "as-of backward join via window")
+    reg.add(
+        "scd2_history",
+        scd2_history,
+        SQL_SCD2,
+        "SCD type-2 validity intervals from an event stream, one shuffle",
+    )
     reg.add(
         "range_join_events",
         range_join_events,

@@ -78,6 +78,10 @@ _PRIORITY: tuple[str, ...] = (
     "percentiles_approx_rank_check",  # new: scale-proof sketch bound
     "percentiles_by_flag_approx",  # changed: now rows-only by design
     "multimodal_features",         # changed: real BMP decode
+    # --- new this round, second wave: first driver rows ---
+    "merge_upsert_roundtrip",      # new: MERGE via dynamic partition overwrite
+    "scd2_history",                # new: SCD type-2 interval build
+    "zorder_clustered_roundtrip",  # new: Morton-curve 2-D clustering
     # --- 16-49: the r1-ONLY-green block, never re-checked since r1 ---
     "scan_project_orderby_limit",
     "filter_isin_project",
@@ -110,12 +114,13 @@ _PRIORITY: tuple[str, ...] = (
     "grouping_sets_agg",
     "intersect_except_keys",
     "correlated_above_avg",
-    "union_all_agg",
-    "agg_count_distinct",
-    "distinct_projection",
     # --- 50: head of the r2-green rotation ---
     "join_salted_agg",
     # ========== positions 51+: past the cap this round ==========
+    # r1-green re-checks displaced by the second-wave new queries above
+    "union_all_agg",
+    "agg_count_distinct",
+    "distinct_projection",
     "bigrams_udtf",
     "multimodal_meta",
     "multimodal_frame_sample",
@@ -209,6 +214,7 @@ def build_registry() -> Registry:
     from .operators import (
         dedup,
         index_build,
+        merge,
         multimodal,
         pipeline,
         relational,
@@ -228,6 +234,7 @@ def build_registry() -> Registry:
     for mod in (
         relational,
         index_build,
+        merge,
         search,
         textstats,
         dedup,

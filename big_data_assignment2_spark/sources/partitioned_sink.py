@@ -136,6 +136,122 @@ GROUP BY l_returnflag
 """
 
 
+ZORDER_FILES = 32
+ZBITS = 16
+
+_ZORDER_WRITTEN: dict[str, str] = {}
+
+
+def _zvalue(sx, sy):
+    """Interleave the low ZBITS bits of two normalized long columns:
+    z = ...y1 x1 y0 x0. Pure bitwise Column arithmetic (whole-stage
+    codegen; no UDF)."""
+    z = F.lit(0).cast("long")
+    for i in range(ZBITS):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(sx, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(sy, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return z
+
+
+def write_lineitem_zordered(spark: SparkSession, sf_dir: str) -> str:
+    """Z-order (Morton-curve) clustered layout on ``(l_partkey,
+    l_suppkey)``: both keys are min-max scaled to 16 bits, bit-interleaved
+    into a single z-value, and the table is range-clustered on that value
+    (``repartitionByRange`` + ``sortWithinPartitions`` -- same write shape
+    as the 1-D shipdate clustering above).
+
+    Why it matters at 100 TB: 1-D clustering gives min/max pruning on ONE
+    column; sorting on partkey leaves every file spanning the full suppkey
+    range. The Morton curve bounds BOTH coordinates within each z-range,
+    so every file covers a small (partkey x suppkey) box and a 2-D box
+    predicate prunes on plain parquet min/max stats in both dimensions --
+    the OPTIMIZE ZORDER BY pattern of the lakehouse engines, in ~15 lines
+    of Column algebra. tests/test_bucketing.py asserts per-file boxes are
+    genuinely 2-D-local (both spans bounded), which 1-D clustering cannot
+    produce. The z-value is layout-only -- results never depend on it."""
+    if sf_dir not in _ZORDER_WRITTEN:
+        from ..operators._util import scratch_root, scratch_slug
+
+        out = f"{scratch_root()}/lineitem_zorder_{scratch_slug(sf_dir)}"
+        li = load_table(spark, sf_dir, "lineitem")
+        b = li.agg(
+            F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+        ).collect()[0]
+        pmin, pmax, smin, smax = (int(v) for v in b)
+        scale = (1 << ZBITS) - 1
+        sx = (
+            (F.col("l_partkey") - pmin) * scale / F.lit(max(pmax - pmin, 1))
+        ).cast("long")
+        sy = (
+            (F.col("l_suppkey") - smin) * scale / F.lit(max(smax - smin, 1))
+        ).cast("long")
+        (
+            li.withColumn("_z", _zvalue(sx, sy))
+            .repartitionByRange(ZORDER_FILES, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        _ZORDER_WRITTEN[sf_dir] = out
+    return _ZORDER_WRITTEN[sf_dir]
+
+
+def _zorder_box(spark: SparkSession, sf_dir: str) -> tuple[int, int, int, int]:
+    """The registered 2-D box predicate: the [1/4, 1/2) sub-range of each
+    key's span, integer arithmetic so both engines draw identical
+    boundaries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).collect()[0]
+    pmin, pmax, smin, smax = (int(v) for v in b)
+    return (
+        pmin + (pmax - pmin) // 4,
+        pmin + (pmax - pmin) // 2,
+        smin + (smax - smin) // 4,
+        smin + (smax - smin) // 2,
+    )
+
+
+def zorder_clustered_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the z-ordered layout: 2-D box filter (pushed to
+    the scan, pruning via file/row-group min/max on BOTH columns) +
+    aggregate. Oracle = the same box over the ORIGINAL table."""
+    path = write_lineitem_zordered(spark, sf_dir)
+    plo, phi, slo, shi = _zorder_box(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .where(
+            (F.col("l_partkey") >= plo)
+            & (F.col("l_partkey") < phi)
+            & (F.col("l_suppkey") >= slo)
+            & (F.col("l_suppkey") < shi)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+SQL_ZORDER_ROUNDTRIP = f"""
+WITH b AS (
+  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         min(l_suppkey) AS smin, max(l_suppkey) AS smax
+  FROM lineitem
+)
+SELECT l_returnflag, count(*) AS n_rows, {sql_dsum('l_extendedprice', 2)} AS sum_price
+FROM lineitem, b
+WHERE l_partkey >= pmin + (pmax - pmin) // 4 AND l_partkey < pmin + (pmax - pmin) // 2
+  AND l_suppkey >= smin + (smax - smin) // 4 AND l_suppkey < smin + (smax - smin) // 2
+GROUP BY l_returnflag
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "partitioned_sink_roundtrip",
@@ -148,4 +264,10 @@ def register(reg: Registry) -> None:
         range_clustered_roundtrip,
         SQL_RANGE_ROUNDTRIP,
         "repartitionByRange clustered write + stats-pruned range read-back",
+    )
+    reg.add(
+        "zorder_clustered_roundtrip",
+        zorder_clustered_roundtrip,
+        SQL_ZORDER_ROUNDTRIP,
+        "Morton-curve (Z-order) 2-D clustering + box-predicate pruned read-back",
     )

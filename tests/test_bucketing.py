@@ -114,3 +114,63 @@ def test_range_clustered_files_are_disjoint(spark, sf_dir):
     plan = explain_formatted(range_clustered_roundtrip(spark, sf_dir))
     assert "PushedFilters" in plan
     assert "l_shipdate" in plan
+
+
+def test_zorder_files_are_2d_local(spark, sf_dir):
+    """Morton-curve clustering must bound BOTH key ranges within each
+    file -- the property 1-D clustering cannot give (sorting on partkey
+    leaves every file spanning the full suppkey range). Asserted from
+    the parquet footers: the median per-file span in EACH dimension is
+    well under the global span, and the registered 2-D box predicate
+    prunes to a strict subset of the files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from big_data_assignment2_spark.sources.partitioned_sink import (
+        _zorder_box,
+        write_lineitem_zordered,
+        zorder_clustered_roundtrip,
+    )
+
+    path = write_lineitem_zordered(spark, sf_dir)
+
+    def _boxes(col_a: str, col_b: str) -> list[tuple[int, int, int, int]]:
+        boxes = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            stats: dict[str, list[int]] = {col_a: [], col_b: []}
+            for rg in range(md.num_row_groups):
+                for i in range(md.num_columns):
+                    c = md.row_group(rg).column(i)
+                    if c.path_in_schema in stats:
+                        stats[c.path_in_schema] += [c.statistics.min, c.statistics.max]
+            if stats[col_a]:
+                boxes.append(
+                    (
+                        min(stats[col_a]),
+                        max(stats[col_a]),
+                        min(stats[col_b]),
+                        max(stats[col_b]),
+                    )
+                )
+        return boxes
+
+    boxes = _boxes("l_partkey", "l_suppkey")
+    assert len(boxes) > 4, "expected many z-clustered files"
+    p_glob = (min(b[0] for b in boxes), max(b[1] for b in boxes))
+    s_glob = (min(b[2] for b in boxes), max(b[3] for b in boxes))
+    p_spans = sorted(b[1] - b[0] for b in boxes)
+    s_spans = sorted(b[3] - b[2] for b in boxes)
+    # median file covers a strict sub-range in BOTH dimensions
+    assert p_spans[len(p_spans) // 2] <= (p_glob[1] - p_glob[0]) * 0.6, p_spans
+    assert s_spans[len(s_spans) // 2] <= (s_glob[1] - s_glob[0]) * 0.6, s_spans
+
+    plo, phi, slo, shi = _zorder_box(spark, sf_dir)
+    hit = [
+        b for b in boxes if not (b[1] < plo or b[0] >= phi or b[3] < slo or b[2] >= shi)
+    ]
+    assert len(hit) < len(boxes), "2-D box predicate pruned nothing"
+
+    plan = explain_formatted(zorder_clustered_roundtrip(spark, sf_dir))
+    assert "PushedFilters" in plan and "l_partkey" in plan and "l_suppkey" in plan

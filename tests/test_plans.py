@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from big_data_assignment2_spark.plans.audit import audit, operators, pushed_filters
+from big_data_assignment2_spark.plans.audit import audit, explain_formatted, operators, pushed_filters
 from big_data_assignment2_spark.registry import build_registry
 
 REG = build_registry()
@@ -365,3 +365,18 @@ def test_registry_wide_no_demoted_aggregates(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert offenders == {}, offenders
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """Both window passes of the SCD2 build (change-point lag, interval
+    lead/row_number) plus the run filter must ride ONE user_id shuffle --
+    the filter preserves distribution and sort order, so a second
+    Exchange would be a regression."""
+    from big_data_assignment2_spark.operators.temporal import scd2_history
+
+    df = scd2_history(spark, sf_dir)
+    plan = explain_formatted(df)
+    ops = operators(df)
+    assert sum(1 for o in ops if o.startswith("Exchange")) == 1, plan
+    assert "SinglePartition" not in plan, plan
+    assert sum(1 for o in ops if o == "Sort") == 1, plan
