@@ -82,6 +82,8 @@ _PRIORITY: tuple[str, ...] = (
     "merge_upsert_roundtrip",      # new: MERGE via dynamic partition overwrite
     "scd2_history",                # new: SCD type-2 interval build
     "zorder_clustered_roundtrip",  # new: Morton-curve 2-D clustering
+    "pagerank_3iter",              # new: fixed-point iterative graph kernel
+    "streaming_late_data",         # new: watermark late-drop accounting
     # --- 16-49: the r1-ONLY-green block, never re-checked since r1 ---
     "scan_project_orderby_limit",
     "filter_isin_project",
@@ -110,8 +112,6 @@ _PRIORITY: tuple[str, ...] = (
     "q14_promo_revenue",
     "join_anti",
     "join_semi",
-    "rollup_agg",
-    "grouping_sets_agg",
     "intersect_except_keys",
     "correlated_above_avg",
     # --- 50: head of the r2-green rotation ---
@@ -121,6 +121,8 @@ _PRIORITY: tuple[str, ...] = (
     "union_all_agg",
     "agg_count_distinct",
     "distinct_projection",
+    "rollup_agg",
+    "grouping_sets_agg",
     "bigrams_udtf",
     "multimodal_meta",
     "multimodal_frame_sample",
@@ -213,6 +215,7 @@ def build_registry() -> Registry:
     """Assemble the full registry from all operator modules."""
     from .operators import (
         dedup,
+        graph,
         index_build,
         merge,
         multimodal,
@@ -235,6 +238,7 @@ def build_registry() -> Registry:
         relational,
         index_build,
         merge,
+        graph,
         search,
         textstats,
         dedup,

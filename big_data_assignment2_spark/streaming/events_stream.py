@@ -304,7 +304,14 @@ def _run_to_table(
         # a stopped-mid-batch memory sink holds partial results -- fail
         # loudly instead of returning a plausible subset
         raise RuntimeError(f"streaming query {name} did not finish within 120s")
+    global _LAST_PROGRESS
+    _LAST_PROGRESS = list(q.recentProgress)
     return spark.table(name)
+
+
+# per-batch progress of the most recent _run_to_table query (tests assert
+# on streaming metrics like numRowsDroppedByWatermark)
+_LAST_PROGRESS: list = []
 
 
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -470,6 +477,107 @@ FROM events GROUP BY 1
 """
 
 
+LATE_MOD, LATE_REM = 101, 13  # the deterministic "arrives late" slice
+NUDGE_MOD, NUDGE_REM = 997, 5  # tiny batch that lets the watermark take effect
+LATE_DELAY_S = 7200  # watermark delay
+LATE_TUMBLE_S = TUMBLE_S
+
+
+def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data DROP semantics, oracle-verified.
+
+    Events are staged as three single-file micro-batches (file source,
+    ``maxFilesPerTrigger=1``, mtime-ordered): (0) everything except a
+    deterministic ~1% "late" slice, (1) a tiny nudge batch, (2) the late
+    slice. Spark's watermark advances one batch behind the data
+    (batch N runs under the watermark computed from batches < N), which
+    is exactly why the nudge batch exists: it gives the watermark a batch
+    to take effect before the stragglers arrive, the way fresh traffic
+    keeps advancing the watermark past stragglers in a live pipeline.
+
+    Semantics pinned empirically (and encoded in the oracle): a late row
+    is DROPPED iff its window end (ms) <= the active watermark
+    (max event-time seen in prior batches, ms-floored, minus the delay);
+    append mode emits exactly the windows the final watermark passed.
+    With windows <= the delay horizon never emitted, the observable
+    output is: non-late rows, finalized windows only -- and the run's
+    ``numRowsDroppedByWatermark`` metric must equal the late-slice size,
+    which ``tests/test_streaming_batches.py`` asserts.
+
+    At 100 TB the same mechanics bound state: windows older than the
+    delay horizon are emitted + evicted, stragglers past the horizon are
+    dropped by the same rule, and state holds only the horizon's worth of
+    windows regardless of stream age."""
+    import glob
+    import os
+    import shutil
+
+    from ..operators._util import scratch_root
+
+    ev = _events_stream(spark, sf_dir)
+    late_c = F.col("event_id") % LATE_MOD == LATE_REM
+    nudge_c = (F.col("event_id") % NUDGE_MOD == NUDGE_REM) & ~late_c
+    root = f"{scratch_root()}/stream_late_{uuid.uuid4().hex[:8]}"
+    # Stage the three batches; the file source orders by (mtime, path),
+    # both set explicitly. Driver-side staging stands in for the
+    # kafka/file-drop arrival order of a live deployment.
+    batches = (
+        ("a_main", ~late_c & ~nudge_c),
+        ("b_nudge", nudge_c),
+        ("c_late", late_c),
+    )
+    drop = f"{root}/drop"
+    os.makedirs(drop)
+    from ..sources.catalog import _read_events_raw
+
+    raw = _read_events_raw(spark, f"{sf_dir}/events.parquet")
+    for i, (nm, cond) in enumerate(batches):
+        raw.where(cond).coalesce(1).write.mode("overwrite").parquet(f"{root}/in_{nm}")
+        src = glob.glob(f"{root}/in_{nm}/*.parquet")[0]
+        dst = f"{drop}/{nm}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    schema = raw.schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(drop)
+    )
+    from pyspark.sql.types import LongType
+
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = tumbling_agg(
+        stream.withWatermark("ts", f"{LATE_DELAY_S} seconds")
+    )
+    return _run_to_table(spark, agg, "stream_late", output_mode="append")
+
+
+SQL_STREAM_LATE = f"""
+WITH wm AS (
+  -- watermark once all on-time batches are in: ms-floored max event time
+  -- minus the delay (late-slice rows never advance it; they arrive last)
+  SELECT max(CAST(epoch_us(ts) AS BIGINT)) // 1000 - {LATE_DELAY_S} * 1000 AS ms
+  FROM events WHERE NOT (event_id % {LATE_MOD} = {LATE_REM})
+),
+contrib AS (
+  -- late rows are dropped: every late row's window end <= wm (and the
+  -- handful inside the horizon land in windows append mode never emits)
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 1000000 // {LATE_TUMBLE_S} * {LATE_TUMBLE_S}
+           AS window_start_epoch,
+         event_type, value
+  FROM events WHERE NOT (event_id % {LATE_MOD} = {LATE_REM})
+)
+SELECT window_start_epoch, event_type,
+       count(*) AS n_events, {sql_dsum('value', 6)} AS sum_value
+FROM contrib, wm
+WHERE (window_start_epoch + {LATE_TUMBLE_S}) * 1000 <= wm.ms
+GROUP BY window_start_epoch, event_type
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "streaming_tumbling",
@@ -506,4 +614,10 @@ def register(reg: Registry) -> None:
         streaming_stream_join,
         SQL_STREAM_STREAM_JOIN,
         "stream-stream interval join with watermark state eviction",
+    )
+    reg.add(
+        "streaming_late_data",
+        streaming_late_data,
+        SQL_STREAM_LATE,
+        "watermark late-row drop + append-mode finalization, 3 micro-batches",
     )

@@ -117,3 +117,46 @@ def test_sessionize_timeout_boundary(spark, tmp_path):
         for r in con.execute(es.SQL_STREAM_SESSIONS).fetchall()
     }
     assert oracle == {(base_us, 1, 1), (base_us + 700, 2, 1)}
+
+
+def test_late_rows_are_dropped_by_watermark(spark, sf_dir):
+    """The late-data demo must show GENUINE watermark drops: the run's
+    numRowsDroppedByWatermark across batches equals the late-slice size
+    (every late row's window end is <= the active watermark at this
+    corpus's time spread), and at least 3 micro-batches ran (main,
+    nudge, late)."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment2_spark.sources.catalog import load_events
+    from big_data_assignment2_spark.streaming import events_stream as es
+
+    out = es.streaming_late_data(spark, sf_dir)
+    n_out = out.count()
+    assert n_out > 0
+    progress = es._LAST_PROGRESS
+    assert len(progress) >= 3, [p["batchId"] for p in progress]
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark") or 0)
+        for p in progress
+        if p["stateOperators"]
+    )
+    ev = load_events(spark, sf_dir).select(
+        F.unix_micros("ts").alias("us"), "event_id"
+    )
+    late = ev.where(F.col("event_id") % es.LATE_MOD == es.LATE_REM)
+    wm_ms = (
+        ev.where(~(F.col("event_id") % es.LATE_MOD == es.LATE_REM))
+        .agg(F.max("us"))
+        .collect()[0][0]
+        // 1000
+        - es.LATE_DELAY_S * 1000
+    )
+    # the drop rule pinned empirically: window end (ms) <= watermark (ms);
+    # late rows inside the horizon stay in state (kept, never emitted)
+    t = es.LATE_TUMBLE_S
+    expect_dropped = late.where(
+        ((F.col("us") / 1_000_000).cast("long") / t).cast("long") * t * 1000 + t * 1000
+        <= wm_ms
+    ).count()
+    assert expect_dropped > 0
+    assert dropped == expect_dropped, (dropped, expect_dropped)
