@@ -659,3 +659,111 @@ def register(reg: Registry) -> None:
         SQL_NGRAM_JACCARD,
         "xxhash64 LSH pairs, exact-verified: hash-green oracle for the fast path",
     )
+    reg.add(
+        "prefix_hamming_pairs",
+        prefix_hamming_pairs,
+        SQL_PREFIX_HAMMING,
+        "PassJoin segment banding + exact Hamming verify (fuzzy string join)",
+    )
+
+
+# --- PassJoin-style fuzzy string join: segment banding + Hamming verify ---
+
+PREF_LEN = 40  # compare fixed-length document prefixes
+HAM_MAX = 6  # near-dup iff <= 6 character substitutions
+HAM_CHUNKS = HAM_MAX + 1  # pigeonhole: ham <= K forces >= 1 equal chunk
+
+
+def _prefix_chunk_bounds() -> list[tuple[int, int]]:
+    """(start, length) per chunk, 1-indexed, covering PREF_LEN exactly."""
+    base, extra = divmod(PREF_LEN, HAM_CHUNKS)
+    bounds, start = [], 1
+    for i in range(HAM_CHUNKS):
+        ln = base + (1 if i < extra else 0)
+        bounds.append((start, ln))
+        start += ln
+    return bounds
+
+
+def prefix_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-duplicate prefixes: document pairs whose first
+    ``PREF_LEN`` characters differ in at most ``HAM_MAX`` positions.
+
+    The scale shape is the PassJoin segment-banding family (Li et al.,
+    VLDB'11), specialized to Hamming distance where it is exactly
+    lossless: split each prefix into ``HAM_MAX + 1`` position-aligned
+    chunks -- if two prefixes differ in <= HAM_MAX positions, pigeonhole
+    forces at least one chunk to be IDENTICAL, so candidates come from
+    equi-joins on (chunk_index, chunk_text) and the join cost is bucket
+    occupancy, not all-pairs. Survivors are verified with an exact
+    character-wise Hamming computed via ``zip_with`` + ``aggregate``
+    higher-order functions -- JVM-side, no Python. The same
+    band-then-verify discipline as the MinHash/SimHash operators, applied
+    to raw strings (the fuzzy-match building block of entity resolution
+    and OCR-noise dedup).
+
+    Oracle: DuckDB's native ``hamming()`` over the brute-force pair space
+    -- the composition is checked against a first-class implementation.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= PREF_LEN)
+        .select("doc_id", F.substring("text", 1, PREF_LEN).alias("s"))
+    )
+    chunks = docs.select(
+        "doc_id",
+        "s",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.substring("s", start, ln).alias("ck"),
+                    )
+                    for i, (start, ln) in enumerate(_prefix_chunk_bounds())
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "s", F.col("c.ci").alias("ci"), F.col("c.ck").alias("ck"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
+        )
+        .distinct()  # a pair can agree on several chunks
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.split(F.col("sa"), ""),
+            F.split(F.col("sb"), ""),
+            lambda x, y: F.when(x == y, F.lit(0)).otherwise(F.lit(1)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("ham", ham)
+        .where(F.col("ham") <= HAM_MAX)
+        .select("doc_a", "doc_b", F.col("ham").cast("int").alias("ham"))
+    )
+
+
+SQL_PREFIX_HAMMING = f"""
+WITH t AS (
+  SELECT doc_id, substr(text, 1, {PREF_LEN}) AS s
+  FROM documents WHERE length(text) >= {PREF_LEN}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(hamming(a.s, b.s) AS INT) AS ham
+FROM t a JOIN t b ON a.doc_id < b.doc_id AND hamming(a.s, b.s) <= {HAM_MAX}
+"""

@@ -380,3 +380,24 @@ def test_scd2_single_exchange(spark, sf_dir):
     assert sum(1 for o in ops if o.startswith("Exchange")) == 1, plan
     assert "SinglePartition" not in plan, plan
     assert sum(1 for o in ops if o == "Sort") == 1, plan
+
+
+def test_prefix_hamming_band_join_is_equi(spark, sf_dir):
+    """PassJoin banding must plan as an EQUI self-join on the
+    (chunk_index, chunk_text) key -- a nested-loop/cartesian plan would
+    mean the inequality-only pair predicate leaked into the join and the
+    operator is all-pairs again. The Hamming verify must stay JVM-side
+    (higher-order functions, no Python eval)."""
+    from big_data_assignment2_spark.operators.dedup import prefix_hamming_pairs
+
+    df = prefix_hamming_pairs(spark, sf_dir)
+    assert not audit(
+        df,
+        forbids=(
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "ArrowEvalPython",
+            "BatchEvalPython",
+        ),
+    )
+    assert any("Join" in o for o in operators(df))
