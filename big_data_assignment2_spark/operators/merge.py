@@ -188,10 +188,81 @@ FROM merged GROUP BY 1, 2
 """
 
 
+# --- incremental materialized-view refresh (algebraic aggregate merge) ---
+
+MV_CUTOFF = "1997-01-01"  # base aggregate covers orders before this date
+
+
+def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance for an ALGEBRAIC aggregate: the
+    per-(status, order-month) revenue view is maintained by aggregating
+    ONLY the delta (orders on/after the cutoff) and merging its partials
+    into the base aggregate with a group-wise sum -- count and
+    decimal-sum are mergeable, so ``merge(agg(base), agg(delta)) ==
+    agg(base UNION delta)`` exactly, which is what the oracle (a flat
+    full recompute) verifies.
+
+    At 100 TB this is THE refresh pattern: the view updates at
+    delta-scan cost plus a |groups|-sized merge, never a base-table
+    rescan. It composes with the streaming surface (foreachBatch feeding
+    deltas) and is the aggregate twin of ``merge_into``'s row-level
+    copy-on-write. Non-algebraic aggregates (exact median, distinct
+    counts without sketches) cannot be maintained this way -- the HLL
+    sketch in ``approx_distinct_users`` is the mergeable substitute.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_totalprice",
+        "o_orderdate",
+    )
+    cutoff = F.lit(MV_CUTOFF).cast("timestamp_ntz")
+
+    def agg_view(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus", "month").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev"),
+        )
+
+    base = agg_view(o.where(F.col("o_orderdate") < cutoff))
+    delta = agg_view(o.where(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus", "month")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("_rev").alias("_rev"),
+        )
+    )
+    return merged.select(
+        "o_orderstatus",
+        "month",
+        "n_orders",
+        F.col("_rev").cast("double").alias("revenue"),
+        (F.col("_rev").cast("double") / F.col("n_orders")).alias("avg_price"),
+    )
+
+
+SQL_MATVIEW = f"""
+SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS month,
+       count(*) AS n_orders,
+       {sql_dsum('o_totalprice', 2)} AS revenue,
+       {sql_dsum('o_totalprice', 2)} / count(*) AS avg_price
+FROM orders
+GROUP BY 1, 2
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "merge_upsert_roundtrip",
         merge_upsert_roundtrip,
         SQL_MERGE_ROUNDTRIP,
         "MERGE (upsert+delete) via bucket-pruned dynamic partition overwrite",
+    )
+    reg.add(
+        "matview_incremental_refresh",
+        matview_incremental_refresh,
+        SQL_MATVIEW,
+        "materialized-view refresh by mergeable-partial aggregate merge",
     )

@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "pagerank_3iter",              # new: fixed-point iterative graph kernel
     "streaming_late_data",         # new: watermark late-drop accounting
     "prefix_hamming_pairs",        # new: PassJoin fuzzy string join
+    "matview_incremental_refresh", # new: mergeable-partial MV refresh
     # --- 16-49: the r1-ONLY-green block, never re-checked since r1 ---
     "scan_project_orderby_limit",
     "filter_isin_project",
@@ -113,11 +114,11 @@ _PRIORITY: tuple[str, ...] = (
     "q14_promo_revenue",
     "join_anti",
     "join_semi",
-    "intersect_except_keys",
     # --- 50: head of the r2-green rotation ---
     "join_salted_agg",
     # ========== positions 51+: past the cap this round ==========
     # r1-green re-checks displaced by the second-wave new queries above
+    "intersect_except_keys",
     "correlated_above_avg",
     "union_all_agg",
     "agg_count_distinct",

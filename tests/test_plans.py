@@ -401,3 +401,16 @@ def test_prefix_hamming_band_join_is_equi(spark, sf_dir):
         ),
     )
     assert any("Join" in o for o in operators(df))
+
+
+def test_matview_refresh_scans_are_date_pruned(spark, sf_dir):
+    """Base and delta sides of the MV refresh must each push their
+    o_orderdate bound to the scan (at scale the base side is a stored
+    aggregate; here both sides derive from orders and the pushdown is
+    what bounds each side's read)."""
+    from big_data_assignment2_spark.operators.merge import matview_incremental_refresh
+
+    df = matview_incremental_refresh(spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("LessThan(o_orderdate" in p for p in pushed), pushed
+    assert any("GreaterThanOrEqual(o_orderdate" in p for p in pushed), pushed
