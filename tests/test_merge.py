@@ -135,3 +135,54 @@ def test_registered_merge_buckets_consistent(spark, sf_dir):
     )
     assert bad == 0
     assert df.count() > 0
+
+
+def test_merge_composes_over_random_change_sets(spark, sf_dir, tmp_path):
+    """Soak the merge path: three successive merges with seeded
+    pseudo-random update/delete/insert sets (derived from key hashes, so
+    deterministic), then verify the final table equals a Python-side
+    reconstruction applying the same change log in order. Pins that
+    upsert-replace, delete, re-insert-after-delete, and
+    update-of-inserted-key all compose."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "soak")
+    merge.write_base(orders, path)
+    cols = orders.columns
+    rows = {r["o_orderkey"]: tuple(r) for r in orders.collect()}
+    ki = cols.index("o_orderkey")
+    pi = cols.index("o_totalprice")
+
+    def mk_changes(round_no: int):
+        """Deterministic per-round ops over the CURRENT expected state."""
+        ops = []
+        for k in sorted(rows):
+            h = (k * 2654435761 + round_no * 97) % 10
+            if h == 0:
+                t = list(rows[k]); t[pi] = round(t[pi] + 1 + round_no, 2)
+                ops.append(("U", tuple(t)))
+            elif h == 1:
+                ops.append(("D", rows[k]))
+        # re-insert one previously deleted key if any, plus a fresh key
+        fresh_k = max(rows) + 1_000_000 + round_no
+        t = list(next(iter(rows.values()))); t[ki] = fresh_k
+        ops.append(("I", tuple(t)))
+        return ops
+
+    for rnd in range(3):
+        ops = mk_changes(rnd)
+        change_rows = [(op, *row) for op, row in ops]
+        changes = spark.createDataFrame(
+            change_rows, schema=["op", *cols]
+        ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
+        merge.merge_into(spark, path, changes)
+        for op, row in ops:
+            k = row[ki]
+            if op == "D":
+                rows.pop(k, None)
+            else:
+                rows[k] = row
+
+    got = {r["o_orderkey"]: tuple(r) for r in spark.read.parquet(path).drop("bucket").select(*cols).collect()}
+    assert set(got) == set(rows)
+    for k in rows:
+        assert got[k] == rows[k], (k, got[k], rows[k])
