@@ -674,15 +674,21 @@ HAM_MAX = 6  # near-dup iff <= 6 character substitutions
 HAM_CHUNKS = HAM_MAX + 1  # pigeonhole: ham <= K forces >= 1 equal chunk
 
 
-def _prefix_chunk_bounds() -> list[tuple[int, int]]:
-    """(start, length) per chunk, 1-indexed, covering PREF_LEN exactly."""
-    base, extra = divmod(PREF_LEN, HAM_CHUNKS)
-    bounds, start = [], 1
-    for i in range(HAM_CHUNKS):
-        ln = base + (1 if i < extra else 0)
-        bounds.append((start, ln))
-        start += ln
-    return bounds
+def _strided_chunk(i: int):
+    """Chunk i = the characters at positions congruent to i mod HAM_CHUNKS
+    (1-indexed), concatenated. STRIDED position classes, not contiguous
+    segments: contiguous chunks make chunk 0 the first ~6 characters, and
+    real corpora share leading words, so that bucket goes pathologically
+    hot (measured 437k candidates at sf0.1, hottest bucket 197 docs).
+    Interleaved classes sample the whole prefix, so a chunk key only
+    repeats when two prefixes agree on every 7th character -- near-
+    uniform buckets (measured 1,960 candidates, hottest bucket 5). The
+    pigeonhole guarantee is untouched: the classes partition positions,
+    ham <= HAM_MAX touches at most HAM_MAX classes, so >= 1 class is
+    IDENTICAL."""
+    return F.concat_ws(
+        "", *[F.substring("s", p, 1) for p in range(i + 1, PREF_LEN + 1, HAM_CHUNKS)]
+    )
 
 
 def prefix_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -691,11 +697,12 @@ def prefix_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The scale shape is the PassJoin segment-banding family (Li et al.,
     VLDB'11), specialized to Hamming distance where it is exactly
-    lossless: split each prefix into ``HAM_MAX + 1`` position-aligned
-    chunks -- if two prefixes differ in <= HAM_MAX positions, pigeonhole
-    forces at least one chunk to be IDENTICAL, so candidates come from
-    equi-joins on (chunk_index, chunk_text) and the join cost is bucket
-    occupancy, not all-pairs. Survivors are verified with an exact
+    lossless: partition the positions into ``HAM_MAX + 1`` interleaved
+    classes (see :func:`_strided_chunk`) -- if two prefixes differ in
+    <= HAM_MAX positions, pigeonhole forces at least one class to be
+    IDENTICAL, so candidates come from equi-joins on
+    (class_index, class_text) and the join cost is bucket occupancy, not
+    all-pairs. Survivors are verified with an exact
     character-wise Hamming computed via ``zip_with`` + ``aggregate``
     higher-order functions -- JVM-side, no Python. The same
     band-then-verify discipline as the MinHash/SimHash operators, applied
@@ -716,18 +723,28 @@ def prefix_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.substring("s", start, ln).alias("ck"),
-                    )
-                    for i, (start, ln) in enumerate(_prefix_chunk_bounds())
+                    F.struct(F.lit(i).alias("ci"), _strided_chunk(i).alias("ck"))
+                    for i in range(HAM_CHUNKS)
                 ]
             )
         ).alias("c"),
     ).select("doc_id", "s", F.col("c.ci").alias("ci"), F.col("c.ck").alias("ck"))
     a = chunks.alias("a")
     b = chunks.alias("b")
-    cand = (
+    # Verify BEFORE dedup: the character compare is ~PREF_LEN cheap JVM
+    # ops per candidate, and filtering first means the distinct() only
+    # shuffles true pairs (a pair re-verifies once per agreeing class,
+    # <= K+1 times -- cheaper than shuffling false candidates).
+    ham = F.aggregate(
+        F.zip_with(
+            F.split(F.col("a.s"), ""),
+            F.split(F.col("b.s"), ""),
+            lambda x, y: F.when(x == y, F.lit(0)).otherwise(F.lit(1)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
         a.join(
             b,
             (F.col("a.ci") == F.col("b.ci"))
@@ -737,24 +754,10 @@ def prefix_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.s").alias("sa"),
-            F.col("b.s").alias("sb"),
+            ham.cast("int").alias("ham"),
         )
-        .distinct()  # a pair can agree on several chunks
-    )
-    ham = F.aggregate(
-        F.zip_with(
-            F.split(F.col("sa"), ""),
-            F.split(F.col("sb"), ""),
-            lambda x, y: F.when(x == y, F.lit(0)).otherwise(F.lit(1)),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    return (
-        cand.withColumn("ham", ham)
         .where(F.col("ham") <= HAM_MAX)
-        .select("doc_a", "doc_b", F.col("ham").cast("int").alias("ham"))
+        .distinct()  # a pair can agree on several chunks
     )
 
 
