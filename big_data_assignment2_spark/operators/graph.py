@@ -62,10 +62,13 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three fixed-point PageRank iterations; returns (node_id, rank)."""
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
-        eager=False
-    )
+    # EAGER checkpoints: the edge list is referenced twice per iteration
+    # (contribution join + degree build) -- six subtree occurrences in the
+    # final plan. Lazy checkpointing would leave the full lineage in
+    # place and recompute the distinct-edges shuffle each time;
+    # materializing once makes every iteration read a local block.
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     # symmetric edges => every node appears as a src
     ranks = deg.select(F.col("src").alias("id"), F.lit(SCALE).cast("long").alias("r"))
     for _ in range(ITERS):
