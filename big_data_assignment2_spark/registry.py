@@ -86,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_late_data",         # new: watermark late-drop accounting
     "prefix_hamming_pairs",        # new: PassJoin fuzzy string join
     "matview_incremental_refresh", # new: mergeable-partial MV refresh
+    "dpp_pruned_join",             # new: dynamic partition pruning
     # --- 16-49: the r1-ONLY-green block, never re-checked since r1 ---
     "scan_project_orderby_limit",
     "filter_isin_project",
@@ -95,7 +96,6 @@ _PRIORITY: tuple[str, ...] = (
     "vocab",
     "doc_stats",
     "corpus_stats",
-    "tsv_export",
     "doc_filenames",
     "window_rank_topn",
     "join_broadcast_agg",
@@ -118,6 +118,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_salted_agg",
     # ========== positions 51+: past the cap this round ==========
     # r1-green re-checks displaced by the second-wave new queries above
+    "tsv_export",
     "intersect_except_keys",
     "correlated_above_avg",
     "union_all_agg",

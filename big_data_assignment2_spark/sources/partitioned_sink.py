@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators._util import dsum, sql_dsum
+from ..operators._util import dsum, sql_davg, sql_dsum
 from ..registry import Registry
 from ..sources.catalog import load_table
 
@@ -252,6 +252,70 @@ GROUP BY l_returnflag
 """
 
 
+DPP_KEEP = 2  # dim filter keeps the bottom-2 event types by avg value
+
+
+def dpp_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is the event_type-
+    partitioned table, the dim side is a runtime-only selection (the
+    bottom-``DPP_KEEP`` types by average value, rank-based so exactly 2
+    of 5 partitions survive at any scale). The dim's surviving keys are
+    unknowable at plan time, so static partition pruning cannot apply --
+    instead Catalyst broadcasts the dim's build side into the fact SCAN
+    as a ``dynamicpruningexpression`` PartitionFilter, and only the
+    matching partition directories are read (plan-asserted in
+    tests/test_plans.py).
+
+    At 100 TB this is the mechanism that makes star-schema queries cheap
+    without hand-written IN-lists: a selective dimension filter prunes
+    the fact scan AT RUNTIME, turning "join then discard" into "never
+    read". The per-user aggregate after the join is the payload query;
+    its oracle recomputes the same selection statically."""
+    from pyspark.sql import Window
+
+    fact = spark.read.parquet(write_events_partitioned(spark, sf_dir))
+    ev = load_table(spark, sf_dir, "events")
+    from ..operators._util import davg
+
+    # deterministic rank key: decimal-accumulated average (a float avg
+    # sums in partition order and could flip a near-tie between engines)
+    dim = (
+        ev.groupBy("event_type")
+        .agg(davg(F.col("value"), 6).alias("_av"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.orderBy(F.col("_av").asc(), F.col("event_type").asc())
+            ),
+        )
+        .where(F.col("_rn") <= DPP_KEEP)
+        .select("event_type")
+    )
+    return (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+SQL_DPP = f"""
+WITH dim AS (
+  SELECT event_type
+  FROM (
+    SELECT event_type,
+           ROW_NUMBER() OVER (ORDER BY {sql_davg('value', 6)} ASC, event_type ASC) AS rn
+    FROM events GROUP BY event_type
+  ) WHERE rn <= {DPP_KEEP}
+)
+SELECT e.event_type, count(*) AS n_events, {sql_dsum('value', 6)} AS sum_value
+FROM events e JOIN dim USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "partitioned_sink_roundtrip",
@@ -270,4 +334,10 @@ def register(reg: Registry) -> None:
         zorder_clustered_roundtrip,
         SQL_ZORDER_ROUNDTRIP,
         "Morton-curve (Z-order) 2-D clustering + box-predicate pruned read-back",
+    )
+    reg.add(
+        "dpp_pruned_join",
+        dpp_pruned_join,
+        SQL_DPP,
+        "dynamic partition pruning: runtime dim filter prunes the fact scan",
     )

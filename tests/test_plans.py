@@ -414,3 +414,17 @@ def test_matview_refresh_scans_are_date_pruned(spark, sf_dir):
     pushed = pushed_filters(df)
     assert any("LessThan(o_orderdate" in p for p in pushed), pushed
     assert any("GreaterThanOrEqual(o_orderdate" in p for p in pushed), pushed
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """The runtime dim selection must land in the fact SCAN as a
+    dynamicpruningexpression PartitionFilter -- static pruning cannot see
+    rank-derived keys, so this is the mechanism that keeps star-schema
+    fact scans bounded by dim selectivity at 100 TB."""
+    from big_data_assignment2_spark.sources.partitioned_sink import dpp_pruned_join
+
+    df = dpp_pruned_join(spark, sf_dir)
+    plan = explain_formatted(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf, plan
+    assert any("dynamicpruning" in l for l in pf), pf
