@@ -112,6 +112,11 @@ def main() -> None:
 
     _build("merge_base_and_merge", lambda: merged_orders_path(spark, sf_dir))
     _build("zorder_clustered", lambda: write_lineitem_zordered(spark, sf_dir))
+    from big_data_assignment2_spark.sources.partitioned_sink import (
+        ensure_compacted_debris,
+    )
+
+    _build("debris_and_compaction", lambda: ensure_compacted_debris(spark, sf_dir))
     _build("doc_export", lambda: ensure_exported(spark, sf_dir))
     _build("csv_export", lambda: write_lineitem_csv(spark, sf_dir))
     _build("json_export", lambda: write_events_json(spark, sf_dir))

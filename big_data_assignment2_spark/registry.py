@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "prefix_hamming_pairs",        # new: PassJoin fuzzy string join
     "matview_incremental_refresh", # new: mergeable-partial MV refresh
     "dpp_pruned_join",             # new: dynamic partition pruning
+    "small_files_compaction",      # new: ingest-debris file compaction
     # --- 16-49: the r1-ONLY-green block, never re-checked since r1 ---
     "scan_project_orderby_limit",
     "filter_isin_project",
@@ -96,7 +97,6 @@ _PRIORITY: tuple[str, ...] = (
     "vocab",
     "doc_stats",
     "corpus_stats",
-    "doc_filenames",
     "window_rank_topn",
     "join_broadcast_agg",
     "text_quality",
@@ -119,6 +119,7 @@ _PRIORITY: tuple[str, ...] = (
     # ========== positions 51+: past the cap this round ==========
     # r1-green re-checks displaced by the second-wave new queries above
     "tsv_export",
+    "doc_filenames",
     "intersect_except_keys",
     "correlated_above_avg",
     "union_all_agg",

@@ -341,3 +341,91 @@ def register(reg: Registry) -> None:
         SQL_DPP,
         "dynamic partition pruning: runtime dim filter prunes the fact scan",
     )
+    reg.add(
+        "small_files_compaction",
+        small_files_compaction,
+        SQL_SMALL_FILES,
+        "ingest-debris compaction to byte-targeted files, content-invariant",
+    )
+
+
+# --- small-files compaction: ingest debris -> right-sized files ---
+
+DEBRIS_FILES = 64  # simulated per-micro-batch ingest fragments
+COMPACT_TARGET_BYTES = 8 * 1024 * 1024  # target bytes per output file
+
+
+def compact_table_files(spark: SparkSession, path: str, target_bytes: int) -> int:
+    """Rewrite a parquet directory into ceil(total_bytes / target_bytes)
+    files. Returns the output file count.
+
+    The small-files problem is what a streaming ingest (one file per
+    micro-batch per partition) leaves behind: at 100 TB, scan task count
+    and namenode/liststore pressure are proportional to FILE COUNT, not
+    bytes, and a table of KB-sized files can be slower to read than one
+    100x its size. Compaction is metadata-driven: the directory listing
+    (driver-side, metadata-sized -- same class as the compaction
+    trigger's own file stats) decides the output count; the data path is
+    one ``repartition(n)`` rewrite to ``<path>.tmp`` swapped in with the
+    same write-materialize-then-rename discipline as the index
+    compaction (``engine._replace_dir``)."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_out = max(1, math.ceil(total / target_bytes))
+    from ..engine import _replace_dir
+
+    (
+        spark.read.parquet(path)
+        .repartition(n_out)
+        .write.mode("overwrite")
+        .parquet(f"{path}.tmp")
+    )
+    _replace_dir(spark, f"{path}.tmp", path)
+    return n_out
+
+
+_DEBRIS_COMPACTED: dict[str, str] = {}
+
+
+def ensure_compacted_debris(spark: SparkSession, sf_dir: str) -> str:
+    """Write events as DEBRIS_FILES tiny fragments, then compact them to
+    the byte-target; memoized per process."""
+    if sf_dir not in _DEBRIS_COMPACTED:
+        from ..operators._util import scratch_root, scratch_slug
+
+        out = f"{scratch_root()}/events_debris_{scratch_slug(sf_dir)}"
+        (
+            load_table(spark, sf_dir, "events")
+            .repartition(DEBRIS_FILES)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        compact_table_files(spark, out, COMPACT_TARGET_BYTES)
+        _DEBRIS_COMPACTED[sf_dir] = out
+    return _DEBRIS_COMPACTED[sf_dir]
+
+
+SQL_SMALL_FILES = f"""
+SELECT event_type, count(*) AS n_events, {sql_dsum('value', 6)} AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def small_files_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through debris + compaction: the compacted table must
+    aggregate identically to the original (oracle = original events);
+    tests assert the file count actually collapsed."""
+    path = ensure_compacted_debris(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), 6).alias("sum_value"),
+    )

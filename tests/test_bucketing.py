@@ -174,3 +174,28 @@ def test_zorder_files_are_2d_local(spark, sf_dir):
 
     plan = explain_formatted(zorder_clustered_roundtrip(spark, sf_dir))
     assert "PushedFilters" in plan and "l_partkey" in plan and "l_suppkey" in plan
+
+
+def test_small_files_compaction_collapses_files(spark, sf_dir):
+    """Compaction must reduce the debris to ceil(bytes/target) files and
+    change nothing about the content."""
+    import glob
+    import math
+    import os
+
+    from big_data_assignment2_spark.sources.catalog import load_events
+    from big_data_assignment2_spark.sources.partitioned_sink import (
+        COMPACT_TARGET_BYTES,
+        ensure_compacted_debris,
+    )
+
+    path = ensure_compacted_debris(spark, sf_dir)
+    files = glob.glob(f"{path}/*.parquet")
+    total = sum(os.path.getsize(f) for f in files)
+    want = max(1, math.ceil(total / COMPACT_TARGET_BYTES))
+    # post-compaction listing: file count equals the byte-derived target
+    # (the pre-compaction debris count is DEBRIS_FILES=64)
+    assert len(files) == want, (len(files), want)
+    got = {tuple(r) for r in spark.read.parquet(path).collect()}
+    ref = {tuple(r) for r in load_events(spark, sf_dir).collect()}
+    assert got == ref
