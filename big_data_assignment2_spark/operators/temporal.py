@@ -242,8 +242,89 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 """
 
 
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: every event mapped to the SCD2 dimension
+    VERSION that was active at its timestamp (the fact-to-history join
+    of a warehouse, and the feature-store "as-of training join").
+
+    Spark side: because version starts are a subset of the same event
+    stream, the active version at any row is a RUNNING COUNT of run
+    starts over the same (user, ts, event_id) ordering the history build
+    uses -- one window pass, one shuffle, no join at all. The oracle
+    takes the other route: a genuine interval join of events against the
+    materialized history (tuple-range predicate per version). Two
+    independent computation paths, same result -- which is exactly what
+    makes this pair a strong check of BOTH the history build and the
+    join semantics (inclusive start, exclusive end, tuple tie-break).
+
+    At 100 TB the window form wins when fact and dimension share a
+    stream (one shuffle, no history materialization); the join form wins
+    when history is a separate table -- then it is a range join and the
+    ``range_join_events`` binning shape applies."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    is_start = F.coalesce(
+        F.lag("event_type").over(w) != F.col("event_type"), F.lit(True)
+    )
+    run = ev.withColumn("_s", is_start.cast("int"))
+    w_sum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return run.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.sum("_s").over(w_sum).cast("int").alias("version"),
+    )
+
+
+SQL_SCD2_PIT = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events
+),
+runs AS (
+  SELECT user_id, ts_us, event_id,
+         CAST(ROW_NUMBER() OVER w2 AS INT) AS version
+  FROM (
+    SELECT user_id, ts_us, event_id,
+           COALESCE(LAG(event_type) OVER w <> event_type, TRUE) AS is_start
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+  ) WHERE is_start
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+bounded AS (
+  SELECT user_id, ts_us, event_id, version,
+         LEAD(ts_us) OVER w3 AS next_ts_us,
+         LEAD(event_id) OVER w3 AS next_event_id
+  FROM runs
+  WINDOW w3 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT e.event_id, e.user_id, e.event_type, b.version
+FROM ev e JOIN bounded b
+  ON e.user_id = b.user_id
+ AND (e.ts_us, e.event_id) >= (b.ts_us, b.event_id)
+ AND (b.next_ts_us IS NULL OR (e.ts_us, e.event_id) < (b.next_ts_us, b.next_event_id))
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("asof_join_events", asof_join_events, SQL_ASOF, "as-of backward join via window")
+    reg.add(
+        "scd2_point_in_time_join",
+        scd2_point_in_time_join,
+        SQL_SCD2_PIT,
+        "fact-to-history point-in-time join (window form vs interval-join oracle)",
+    )
     reg.add(
         "scd2_history",
         scd2_history,

@@ -88,11 +88,11 @@ _PRIORITY: tuple[str, ...] = (
     "matview_incremental_refresh", # new: mergeable-partial MV refresh
     "dpp_pruned_join",             # new: dynamic partition pruning
     "small_files_compaction",      # new: ingest-debris file compaction
+    "scd2_point_in_time_join",     # new: fact-to-history PIT join
     # --- 16-49: the r1-ONLY-green block, never re-checked since r1 ---
     "scan_project_orderby_limit",
     "filter_isin_project",
     "corpus_clean",
-    "tokenize_explode",
     "inverted_index",
     "vocab",
     "doc_stats",
@@ -120,6 +120,7 @@ _PRIORITY: tuple[str, ...] = (
     # r1-green re-checks displaced by the second-wave new queries above
     "tsv_export",
     "doc_filenames",
+    "tokenize_explode",
     "intersect_except_keys",
     "correlated_above_avg",
     "union_all_agg",

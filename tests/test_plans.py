@@ -428,3 +428,14 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf, plan
     assert any("dynamicpruning" in l for l in pf), pf
+
+
+def test_scd2_pit_join_single_exchange(spark, sf_dir):
+    """The point-in-time mapping must stay a ONE-shuffle window pipeline
+    (running start-count), never materialize-and-join the history."""
+    from big_data_assignment2_spark.operators.temporal import scd2_point_in_time_join
+
+    df = scd2_point_in_time_join(spark, sf_dir)
+    ops = operators(df)
+    assert sum(1 for o in ops if o.startswith("Exchange")) == 1, ops
+    assert not any("Join" in o for o in ops), ops
