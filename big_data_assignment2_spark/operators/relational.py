@@ -938,6 +938,66 @@ GROUP BY c_nationkey
 """
 
 
+BLOOM_PRIORITY = "1-URGENT"  # the selective creation-side filter
+
+
+def runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter pruned fact-fact join: lineitem joined to a
+    selectively-filtered orders slice, planned as a sort-merge join whose
+    PROBE side is pre-filtered by a bloom filter built at runtime from
+    the filtered build side (Catalyst's InjectRuntimeFilter:
+    ``bloom_filter_agg`` subquery -> ``might_contain`` predicate pushed
+    into the fact scan stage).
+
+    This is the row-level sibling of dynamic partition pruning: when the
+    fact side is not partitioned by the join key, a selective dim filter
+    can still prune MOST fact rows before the shuffle -- at 100 TB the
+    bloom probe drops non-matching rows at scan time, shrinking the
+    dominant fact exchange by the build side's selectivity.
+
+    The at-scale conditions (creation side too big to broadcast,
+    application side scan over the size threshold) are simulated with
+    SCOPED confs: the physical plan is materialized while they are set
+    and stays attached to the returned DataFrame; the session confs are
+    restored immediately, so no other query is affected (asserted in
+    tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == BLOOM_PRIORITY
+    )
+    df = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # freeze the physical plan under the scoped confs: Spark caches
+        # the QueryExecution per Dataset, so later actions reuse it
+        df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    return df
+
+
+SQL_BLOOM_JOIN = f"""
+SELECT o_orderstatus, count(*) AS n_items, {sql_dsum('l_extendedprice', 2)} AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '{BLOOM_PRIORITY}'
+GROUP BY o_orderstatus
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("q1_pricing_summary", q1_pricing_summary, SQL_Q1, "TPC-H Q1 style groupBy+8 aggs")
     reg.add("q3_shipping_priority", q3_shipping_priority, SQL_Q3, "3-way join + agg + top-k")
@@ -989,3 +1049,9 @@ def register(reg: Registry) -> None:
     reg.add("q15_top_supplier", q15_top_supplier, SQL_Q15, "argmax supplier via scalar subquery")
     reg.add("q19_disjunctive_filter", q19_disjunctive_filter, SQL_Q19, "disjunctive predicate pushdown")
     reg.add("q22_idle_customers", q22_idle_customers, SQL_Q22, "scalar avg subquery + anti join")
+    reg.add(
+        "runtime_bloom_join",
+        runtime_bloom_join,
+        SQL_BLOOM_JOIN,
+        "runtime bloom-filter pruned sort-merge join (InjectRuntimeFilter)",
+    )

@@ -89,11 +89,11 @@ _PRIORITY: tuple[str, ...] = (
     "dpp_pruned_join",             # new: dynamic partition pruning
     "small_files_compaction",      # new: ingest-debris file compaction
     "scd2_point_in_time_join",     # new: fact-to-history PIT join
+    "runtime_bloom_join",          # new: InjectRuntimeFilter bloom pruning
     # --- 16-49: the r1-ONLY-green block, never re-checked since r1 ---
     "scan_project_orderby_limit",
     "filter_isin_project",
     "corpus_clean",
-    "inverted_index",
     "vocab",
     "doc_stats",
     "corpus_stats",
@@ -121,6 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     "tsv_export",
     "doc_filenames",
     "tokenize_explode",
+    "inverted_index",
     "intersect_except_keys",
     "correlated_above_avg",
     "union_all_agg",

@@ -439,3 +439,18 @@ def test_scd2_pit_join_single_exchange(spark, sf_dir):
     ops = operators(df)
     assert sum(1 for o in ops if o.startswith("Exchange")) == 1, ops
     assert not any("Join" in o for o in ops), ops
+
+
+def test_runtime_bloom_join_shape_and_conf_restore(spark, sf_dir):
+    """The bloom demo must carry the InjectRuntimeFilter shape
+    (bloom_filter_agg build subquery + might_contain probe on the fact
+    side) in ITS frozen plan, while leaving the session's broadcast and
+    bloom confs untouched for every other query."""
+    from big_data_assignment2_spark.operators.relational import runtime_bloom_join
+
+    before_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = runtime_bloom_join(spark, sf_dir)
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before_bc
+    plan = explain_formatted(df)
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan, plan
