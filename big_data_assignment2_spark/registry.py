@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "small_files_compaction",      # new: ingest-debris file compaction
     "scd2_point_in_time_join",     # new: fact-to-history PIT join
     "runtime_bloom_join",          # new: InjectRuntimeFilter bloom pruning
+    "python_datasource_textdir",   # new: Python Data Source API connector
     # --- 16-49: the r1-ONLY-green block, never re-checked since r1 ---
     "scan_project_orderby_limit",
     "filter_isin_project",
@@ -103,7 +104,6 @@ _PRIORITY: tuple[str, ...] = (
     "lang_id",
     "token_counts",
     "doc_fingerprint",
-    "doc_term_list",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",
@@ -122,6 +122,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_filenames",
     "tokenize_explode",
     "inverted_index",
+    "doc_term_list",
     "intersect_except_keys",
     "correlated_above_avg",
     "union_all_agg",

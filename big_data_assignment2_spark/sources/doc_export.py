@@ -135,8 +135,88 @@ FROM documents
 
 def register(reg: Registry) -> None:
     reg.add(
+        "python_datasource_textdir",
+        python_datasource_textdir,
+        SQL_DOC_FILE_EXPORT,
+        "Spark 4 Python Data Source: partition-planned text-dir connector",
+    )
+    reg.add(
         "doc_file_export",
         doc_file_export,
         SQL_DOC_FILE_EXPORT,
         "S4 per-document .txt export + read-back roundtrip",
+    )
+
+
+def python_datasource_textdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc text corpus exposed through Spark 4's **Python Data
+    Source API** -- the pluggable-connector surface (``DataSource`` /
+    ``DataSourceReader`` / ``InputPartition``): the reader lists the
+    directory once at PLANNING time (driver-side, metadata-sized), chunks
+    the file list into balanced ``InputPartition``s, and each executor
+    task opens only its own chunk -- the same manifest-driven shape as
+    ``doc_file_export``, but packaged as a first-class source any query
+    can ``spark.read.format(...)`` against. IO stays minimal in Python
+    (read bytes); hashing and length run JVM-side on the returned
+    column.
+
+    Classes are defined inside this function so cloudpickle ships them
+    by value (the registered source is pickled to executors; a
+    module-level class would pickle by reference and break under the
+    driver's runtime sys.path).
+
+    Oracle: same full per-file reconstruction as ``doc_file_export``
+    (filename, md5, length recomputed from the documents table alone).
+    """
+    import os as _os
+
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    out_dir = ensure_exported(spark, sf_dir)
+
+    class _Chunk(InputPartition):
+        def __init__(self, files: list) -> None:
+            self.files = files
+
+    class _TextDirReader(DataSourceReader):
+        def __init__(self, options: dict) -> None:
+            self.path = options["path"]
+            self.n_parts = int(options.get("numPartitions", "16"))
+
+        def partitions(self):
+            files = sorted(
+                n for n in _os.listdir(self.path) if n.endswith(".txt")
+            )
+            k = max(1, len(files) // self.n_parts + (len(files) % self.n_parts > 0))
+            return [_Chunk(files[i : i + k]) for i in range(0, len(files), k)]
+
+        def read(self, part):
+            for fn in part.files:
+                with open(_os.path.join(self.path, fn), "rb") as f:
+                    data = f.read()
+                yield (fn, data.decode("utf-8"))
+
+    class _TextDirSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "textdir"
+
+        def schema(self) -> str:
+            return "filename STRING, content STRING"
+
+        def reader(self, schema):
+            return _TextDirReader(self.options)
+
+    spark.dataSource.register(_TextDirSource)
+    raw = (
+        spark.read.format("textdir")
+        .option("path", out_dir)
+        .option("numPartitions", "16")
+        .load()
+    )
+    return raw.select(
+        F.regexp_extract("filename", r"^(\d+)_", 1).alias("doc_id"),
+        "filename",
+        F.md5(F.encode("content", "UTF-8")).alias("content_md5"),
+        F.length("content").cast("long").alias("n_chars"),
     )
