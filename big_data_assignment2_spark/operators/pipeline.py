@@ -609,6 +609,66 @@ FROM sampled
 """
 
 
+def observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``df.observe``: the quality filter's
+    input-side metrics (row and character counts BEFORE the filter) are
+    collected by the SAME job that computes the kept-side aggregate --
+    one scan, two answers.
+
+    At 100 TB this is the monitoring pattern: every production pipeline
+    wants "rows in / rows kept / volume dropped" per run, and the naive
+    form doubles the scan (one action for the metrics, one for the
+    result). ``observe`` attaches algebraic aggregates to a plan NODE,
+    accumulated as the rows stream through it -- zero extra reads, exact
+    values, works identically under streaming (per-batch metrics).
+    The returned single row carries both sides; the oracle recomputes
+    them with FILTER-clause aggregates in one statement."""
+    from pyspark.sql import Observation
+
+    obs = Observation("quality_in")
+    q = text_quality(spark, sf_dir).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double").alias("chars_in"),
+    )
+    kept = q.where(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("punct_ratio") <= MAX_PUNCT_RATIO)
+        & (F.col("quality_score") >= MIN_QUALITY)
+    )
+    kept_row = kept.agg(
+        F.count(F.lit(1)).alias("rows_kept"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double").alias("chars_kept"),
+    ).collect()[0]
+    m = obs.get  # blocks until the action above finished -> exact totals
+    return spark.createDataFrame(
+        [
+            (
+                int(m["rows_in"]),
+                float(m["chars_in"]),
+                int(kept_row["rows_kept"]),
+                float(kept_row["chars_kept"]),
+            )
+        ],
+        "rows_in BIGINT, chars_in DOUBLE, rows_kept BIGINT, chars_kept DOUBLE",
+    )
+
+
+def _sql_observe_metrics() -> str:
+    return f"""
+SELECT count(*) AS rows_in,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS chars_in,
+       count(*) FILTER (n_tokens >= {MIN_TOKENS}
+                        AND punct_ratio <= {MAX_PUNCT_RATIO}
+                        AND quality_score >= {MIN_QUALITY}) AS rows_kept,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,0)))
+            FILTER (n_tokens >= {MIN_TOKENS}
+                    AND punct_ratio <= {MAX_PUNCT_RATIO}
+                    AND quality_score >= {MIN_QUALITY}) AS DOUBLE) AS chars_kept
+FROM ({_sql_text_quality()})
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "quality_filter_apply",
@@ -621,6 +681,12 @@ def register(reg: Registry) -> None:
         sample_stratified,
         SQL_SAMPLE_STRATIFIED,
         "deterministic hash-based per-stratum sample",
+    )
+    reg.add(
+        "observe_pipeline_metrics",
+        observe_pipeline_metrics,
+        _sql_observe_metrics(),
+        "df.observe: input-side metrics + kept-side aggregate in one scan",
     )
     reg.add(
         "doc_chunks",

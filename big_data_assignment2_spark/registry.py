@@ -91,11 +91,11 @@ _PRIORITY: tuple[str, ...] = (
     "scd2_point_in_time_join",     # new: fact-to-history PIT join
     "runtime_bloom_join",          # new: InjectRuntimeFilter bloom pruning
     "python_datasource_textdir",   # new: Python Data Source API connector
+    "observe_pipeline_metrics",    # new: df.observe one-scan metrics
     # --- 16-49: the r1-ONLY-green block, never re-checked since r1 ---
     "scan_project_orderby_limit",
     "filter_isin_project",
     "corpus_clean",
-    "vocab",
     "doc_stats",
     "corpus_stats",
     "window_rank_topn",
@@ -123,6 +123,7 @@ _PRIORITY: tuple[str, ...] = (
     "tokenize_explode",
     "inverted_index",
     "doc_term_list",
+    "vocab",
     "intersect_except_keys",
     "correlated_above_avg",
     "union_all_agg",
