@@ -92,11 +92,11 @@ _PRIORITY: tuple[str, ...] = (
     "runtime_bloom_join",          # new: InjectRuntimeFilter bloom pruning
     "python_datasource_textdir",   # new: Python Data Source API connector
     "observe_pipeline_metrics",    # new: df.observe one-scan metrics
+    "streaming_checkpoint_resume", # new: checkpointed restart exactly-once
     # --- 16-49: the r1-ONLY-green block, never re-checked since r1 ---
     "scan_project_orderby_limit",
     "filter_isin_project",
     "corpus_clean",
-    "doc_stats",
     "corpus_stats",
     "window_rank_topn",
     "join_broadcast_agg",
@@ -124,6 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     "inverted_index",
     "doc_term_list",
     "vocab",
+    "doc_stats",
     "intersect_except_keys",
     "correlated_above_avg",
     "union_all_agg",

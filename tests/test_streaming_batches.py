@@ -160,3 +160,28 @@ def test_late_rows_are_dropped_by_watermark(spark, sf_dir):
     ).count()
     assert expect_dropped > 0
     assert dropped == expect_dropped, (dropped, expect_dropped)
+
+
+def test_checkpoint_resume_reads_only_new_file(spark, sf_dir):
+    """The restarted query must RESUME, not reprocess: run 2's input rows
+    equal the late file's row count exactly (offset log recovery), and
+    the sink holds exactly the distinct key set (state recovery -- run-1
+    keys are not re-emitted, nothing is lost)."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment2_spark.sources.catalog import load_events
+    from big_data_assignment2_spark.streaming import events_stream as es
+
+    out = es.streaming_checkpoint_resume(spark, sf_dir)
+    run1, run2 = es._RESUME_RUNS
+    ev = load_events(spark, sf_dir)
+    n_a = ev.where(F.col("event_id") % es.RESUME_SPLIT_MOD != 0).count()
+    n_b = ev.where(F.col("event_id") % es.RESUME_SPLIT_MOD == 0).count()
+    assert run1["input_rows"] == n_a, (run1, n_a)
+    assert run2["input_rows"] == n_b, (run2, n_b)
+    got = {tuple(r) for r in out.collect()}
+    want = {
+        tuple(r)
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    assert got == want
