@@ -93,11 +93,11 @@ _PRIORITY: tuple[str, ...] = (
     "python_datasource_textdir",   # new: Python Data Source API connector
     "observe_pipeline_metrics",    # new: df.observe one-scan metrics
     "streaming_checkpoint_resume", # new: checkpointed restart exactly-once
+    "schema_evolution_read",       # new: mergeSchema over drifted files
     # --- 16-49: the r1-ONLY-green block, never re-checked since r1 ---
     "scan_project_orderby_limit",
     "filter_isin_project",
     "corpus_clean",
-    "corpus_stats",
     "window_rank_topn",
     "join_broadcast_agg",
     "text_quality",
@@ -125,6 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_term_list",
     "vocab",
     "doc_stats",
+    "corpus_stats",
     "intersect_except_keys",
     "correlated_above_avg",
     "union_all_agg",

@@ -275,6 +275,12 @@ FROM lineitem GROUP BY 1
 
 def register(reg: Registry) -> None:
     reg.add(
+        "schema_evolution_read",
+        schema_evolution_read,
+        SQL_SCHEMA_EVOLUTION,
+        "mergeSchema read over drifted file generations (additive column)",
+    )
+    reg.add(
         "csv_roundtrip",
         csv_roundtrip,
         SQL_CSV_ROUNDTRIP,
@@ -298,3 +304,67 @@ def register(reg: Registry) -> None:
         SQL_ORC_ROUNDTRIP,
         "ORC sink + pushdown-filtered source round-trip",
     )
+
+
+# --- schema evolution: mergeSchema read over drifted file generations ---
+
+EVOLUT_CUT = "1997-01-01"  # generation boundary (order date)
+
+_EVOLVED: dict[str, str] = {}
+
+
+def write_orders_evolved(spark: SparkSession, sf_dir: str) -> str:
+    """Two file generations of the same table with DRIFTED schemas:
+    generation 1 (orders before the cut) lacks the ``o_priority_rank``
+    column that generation 2 carries -- the additive-column drift every
+    long-lived ingest accumulates."""
+    if sf_dir not in _EVOLVED:
+        from ..operators._util import ntz_lit, scratch_root, scratch_slug
+
+        out = f"{scratch_root()}/orders_evolved_{scratch_slug(sf_dir)}"
+        o = load_table(spark, sf_dir, "orders")
+        cut = ntz_lit(EVOLUT_CUT)
+        gen1 = o.where(F.col("o_orderdate") < cut).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        )
+        gen2 = o.where(F.col("o_orderdate") >= cut).select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("o_priority_rank"),
+        )
+        gen1.write.mode("overwrite").parquet(f"{out}/gen=1")
+        gen2.write.mode("overwrite").parquet(f"{out}/gen=2")
+        _EVOLVED[sf_dir] = out
+    return _EVOLVED[sf_dir]
+
+
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the drifted generations as ONE table with ``mergeSchema``:
+    parquet footers are reconciled at planning time, generation-1 rows
+    surface the missing column as NULL, and the aggregate treats both
+    generations uniformly (null-safe count of the new column per
+    status). This is the additive schema-drift story at 100 TB: no
+    rewrite of old files, no reader forking -- the merged schema is the
+    contract and the engine back-fills. (Type-CHANGING drift still needs
+    a migration; mergeSchema only unions compatible fields.)"""
+    path = write_orders_evolved(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("o_priority_rank").alias("n_ranked"),
+        F.sum("o_priority_rank").alias("rank_sum"),
+        dsum(F.col("o_totalprice"), 2).alias("total"),
+    )
+
+
+SQL_SCHEMA_EVOLUTION = f"""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       count(*) FILTER (o_orderdate >= TIMESTAMP '{EVOLUT_CUT}') AS n_ranked,
+       SUM(CAST(substr(o_orderpriority, 1, 1) AS INT))
+         FILTER (o_orderdate >= TIMESTAMP '{EVOLUT_CUT}') AS rank_sum,
+       {sql_dsum('o_totalprice', 2)} AS total
+FROM orders GROUP BY o_orderstatus
+"""
