@@ -117,6 +117,9 @@ def main() -> None:
     )
 
     _build("debris_and_compaction", lambda: ensure_compacted_debris(spark, sf_dir))
+    from big_data_assignment2_spark.sources.text_formats import write_orders_evolved
+
+    _build("orders_evolved", lambda: write_orders_evolved(spark, sf_dir))
     _build("doc_export", lambda: ensure_exported(spark, sf_dir))
     _build("csv_export", lambda: write_lineitem_csv(spark, sf_dir))
     _build("json_export", lambda: write_events_json(spark, sf_dir))
