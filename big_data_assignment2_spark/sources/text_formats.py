@@ -354,7 +354,10 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.count("o_priority_rank").alias("n_ranked"),
-        F.sum("o_priority_rank").alias("rank_sum"),
+        # coalesce: a generation-1-only group must be 0 in BOTH engines,
+        # and the column must stay integral through pandas (a NULL would
+        # float64 the column on one side only)
+        F.coalesce(F.sum("o_priority_rank"), F.lit(0)).alias("rank_sum"),
         dsum(F.col("o_totalprice"), 2).alias("total"),
     )
 
@@ -363,8 +366,10 @@ SQL_SCHEMA_EVOLUTION = f"""
 SELECT o_orderstatus,
        count(*) AS n_orders,
        count(*) FILTER (o_orderdate >= TIMESTAMP '{EVOLUT_CUT}') AS n_ranked,
-       SUM(CAST(substr(o_orderpriority, 1, 1) AS INT))
-         FILTER (o_orderdate >= TIMESTAMP '{EVOLUT_CUT}') AS rank_sum,
+       -- BIGINT cast: DuckDB sums INT into HUGEINT, which pandas turns
+       -- into float64 and the value hash then sees 1050.0 vs 1050
+       COALESCE(CAST(SUM(CAST(substr(o_orderpriority, 1, 1) AS INT))
+         FILTER (o_orderdate >= TIMESTAMP '{EVOLUT_CUT}') AS BIGINT), 0) AS rank_sum,
        {sql_dsum('o_totalprice', 2)} AS total
 FROM orders GROUP BY o_orderstatus
 """
