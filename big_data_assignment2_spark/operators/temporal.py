@@ -338,4 +338,36 @@ def register(reg: Registry) -> None:
         "binned interval-containment join (equi on time bin, no nested loop)",
     )
     reg.add("pivot_event_counts", pivot_event_counts, SQL_PIVOT, "explicit-values pivot")
+    reg.add(
+        "unpivot_event_counts",
+        unpivot_event_counts,
+        SQL_UNPIVOT,
+        "unpivot/melt: wide count matrix back to sparse long form",
+    )
     reg.add("cube_agg", cube_agg, SQL_CUBE, "cube grouping sets + grouping_id")
+
+
+def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long, a.k.a. melt): the per-user event-type count
+    matrix from :func:`pivot_event_counts` folded back into
+    (user_id, event_type, n) rows via ``DataFrame.unpivot`` -- the
+    inverse reshaping operator, and the other half every reshaping
+    toolkit needs (pivot for reporting, unpivot for re-normalizing wide
+    feeds). Plan shape: unpivot is an Expand projection -- row-local,
+    zero additional shuffle beyond the pivot's aggregate; zero-count
+    cells are dropped to keep the long form sparse, matching the
+    "long table" the pivot originally consumed."""
+    wide = pivot_event_counts(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["user_id"],
+            values=list(PIVOT_TYPES),
+            variableColumnName="event_type",
+            valueColumnName="n",
+        )
+        .where(F.col("n") > 0)
+    )
+
+
+SQL_UNPIVOT = "SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2"
+

@@ -94,6 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "observe_pipeline_metrics",    # new: df.observe one-scan metrics
     "streaming_checkpoint_resume", # new: checkpointed restart exactly-once
     "schema_evolution_read",       # new: mergeSchema over drifted files
+    "unpivot_event_counts",        # new: melt (inverse pivot)
     # --- 16-49: the r1-ONLY-green block, never re-checked since r1 ---
     "scan_project_orderby_limit",
     "filter_isin_project",
@@ -112,7 +113,6 @@ _PRIORITY: tuple[str, ...] = (
     "percentiles_by_flag",
     "q4_exists_semi",
     "q14_promo_revenue",
-    "join_anti",
     "join_semi",
     # --- 50: head of the r2-green rotation ---
     "join_salted_agg",
@@ -126,6 +126,7 @@ _PRIORITY: tuple[str, ...] = (
     "vocab",
     "doc_stats",
     "corpus_stats",
+    "join_anti",
     "intersect_except_keys",
     "correlated_above_avg",
     "union_all_agg",
