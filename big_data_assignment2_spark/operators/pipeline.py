@@ -683,6 +683,12 @@ def register(reg: Registry) -> None:
         "deterministic hash-based per-stratum sample",
     )
     reg.add(
+        "sample_weighted",
+        sample_weighted,
+        SQL_SAMPLE_WEIGHTED,
+        "integer-exact probability-proportional-to-size sampling",
+    )
+    reg.add(
         "observe_pipeline_metrics",
         observe_pipeline_metrics,
         _sql_observe_metrics(),
@@ -754,3 +760,57 @@ def register(reg: Registry) -> None:
         _sql_pipeline_end_to_end(),
         "5-stage corpus pipeline composed: filter->dedup->decontaminate->balance->pack",
     )
+
+
+WEIGHT_CAP_CHARS = 2000  # docs at/above this length are always kept
+WEIGHT_SCALE = 1_000_000  # integer rate resolution (ppm)
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (probability-proportional-to-size) sampling: each doc is
+    kept with probability ``min(1, n_chars / CAP)`` -- longer documents
+    are proportionally more likely to survive, the importance-sampling
+    shape of token-budget corpus construction (unequal-probability
+    Poisson sampling).
+
+    Every quantity is INTEGER: the keep rate in ppm is
+    ``least(SCALE, n_chars * SCALE / CAP)`` with integer division, the
+    uniform draw is the md5-derived ppm bucket of doc_id, and the keep
+    decision is a comparison of the two -- a pure function of the row,
+    bit-identical in DuckDB, rerun/engine/growth-stable, and (like every
+    sampler here) a narrow filter: sampling 100 TB shuffles nothing. A
+    float rate would risk engines disagreeing at a boundary ULP; integer
+    ppm cannot."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate_ppm = F.least(
+        F.lit(WEIGHT_SCALE),
+        F.expr(f"n_chars * {WEIGHT_SCALE} div {WEIGHT_CAP_CHARS}"),
+    )
+    draw_ppm = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        % WEIGHT_SCALE
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            rate_ppm.cast("long").alias("rate_ppm"),
+            draw_ppm.alias("draw_ppm"),
+        )
+        .where(F.col("draw_ppm") < F.col("rate_ppm"))
+    )
+
+
+SQL_SAMPLE_WEIGHTED = f"""
+SELECT doc_id, lang, n_chars, rate_ppm, draw_ppm
+FROM (
+  SELECT doc_id, lang, n_chars,
+         LEAST({WEIGHT_SCALE}, n_chars * {WEIGHT_SCALE} // {WEIGHT_CAP_CHARS}) AS rate_ppm,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+           % {WEIGHT_SCALE} AS draw_ppm
+  FROM documents
+)
+WHERE draw_ppm < rate_ppm
+"""

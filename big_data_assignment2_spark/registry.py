@@ -95,11 +95,11 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_checkpoint_resume", # new: checkpointed restart exactly-once
     "schema_evolution_read",       # new: mergeSchema over drifted files
     "unpivot_event_counts",        # new: melt (inverse pivot)
+    "sample_weighted",             # new: integer-exact PPS sampling
     # --- 16-49: the r1-ONLY-green block, never re-checked since r1 ---
     "scan_project_orderby_limit",
     "filter_isin_project",
     "corpus_clean",
-    "window_rank_topn",
     "join_broadcast_agg",
     "text_quality",
     "lang_id",
@@ -127,6 +127,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_stats",
     "corpus_stats",
     "join_anti",
+    "window_rank_topn",
     "intersect_except_keys",
     "correlated_above_avg",
     "union_all_agg",

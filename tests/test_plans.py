@@ -454,3 +454,14 @@ def test_runtime_bloom_join_shape_and_conf_restore(spark, sf_dir):
     plan = explain_formatted(df)
     assert "might_contain" in plan, plan
     assert "bloom_filter_agg" in plan, plan
+
+
+def test_sample_weighted_is_narrow(spark, sf_dir):
+    """PPS sampling must stay a filter: no Exchange, no Python eval --
+    sampling 100 TB is a scan, never a shuffle."""
+    from big_data_assignment2_spark.operators.pipeline import sample_weighted
+
+    df = sample_weighted(spark, sf_dir)
+    assert not audit(
+        df, forbids=("Exchange", "ArrowEvalPython", "BatchEvalPython")
+    )
