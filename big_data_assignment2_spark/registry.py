@@ -59,65 +59,12 @@ class Registry:
 # operators, then flagships, then the long-green relational tail. Names not
 # present (e.g. reference_* when the fixture corpus is absent) are skipped.
 _PRIORITY: tuple[str, ...] = (
-    # ========== round-4 window: exactly 50 names to the cap ==========
-    # --- 1-4: registered in r3 but rolled past the 50-query cap --
-    # their FIRST driver rows ---
-    "bm25_search_incremental",
-    "bm25_search_after_delete",
-    "bm25_search_filtered",
-    "dataset_split",
-    # --- 5-15: new or semantics-changed in round 4 ---
-    "bm25_search_after_compact",   # new: compaction result-invariance
-    "streaming_index_append",      # new: foreachBatch index ingestion
-    "range_clustered_roundtrip",   # new: repartitionByRange file clustering
-    "vocab_coverage",              # new: top-K token coverage metric
-    "token_hist_arrow",            # new: mapInArrow surface
-    "index_stats_report",          # new: compaction-trigger operability report
-    "bm25_search_filtered_persisted",  # new: faceted search on the persisted index
-    "minhash_lsh_pairs_fast",      # new: xxhash64 path, hash-match oracle
-    "percentiles_approx_rank_check",  # new: scale-proof sketch bound
-    "percentiles_by_flag_approx",  # changed: now rows-only by design
-    "multimodal_features",         # changed: real BMP decode
-    # --- new this round, second wave: first driver rows ---
-    "merge_upsert_roundtrip",      # new: MERGE via dynamic partition overwrite
-    "scd2_history",                # new: SCD type-2 interval build
-    "zorder_clustered_roundtrip",  # new: Morton-curve 2-D clustering
-    "pagerank_3iter",              # new: fixed-point iterative graph kernel
-    "streaming_late_data",         # new: watermark late-drop accounting
-    "prefix_hamming_pairs",        # new: PassJoin fuzzy string join
-    "matview_incremental_refresh", # new: mergeable-partial MV refresh
-    "dpp_pruned_join",             # new: dynamic partition pruning
-    "small_files_compaction",      # new: ingest-debris file compaction
-    "scd2_point_in_time_join",     # new: fact-to-history PIT join
-    "runtime_bloom_join",          # new: InjectRuntimeFilter bloom pruning
-    "python_datasource_textdir",   # new: Python Data Source API connector
-    "observe_pipeline_metrics",    # new: df.observe one-scan metrics
-    "streaming_checkpoint_resume", # new: checkpointed restart exactly-once
-    "schema_evolution_read",       # new: mergeSchema over drifted files
-    "unpivot_event_counts",        # new: melt (inverse pivot)
-    "sample_weighted",             # new: integer-exact PPS sampling
-    # --- 16-49: the r1-ONLY-green block, never re-checked since r1 ---
-    "scan_project_orderby_limit",
-    "filter_isin_project",
-    "corpus_clean",
-    "join_broadcast_agg",
-    "text_quality",
-    "lang_id",
-    "token_counts",
-    "doc_fingerprint",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "q18_large_orders",
-    "percentiles_by_flag",
-    "q4_exists_semi",
-    "q14_promo_revenue",
-    "join_semi",
-    # --- 50: head of the r2-green rotation ---
-    "join_salted_agg",
-    # ========== positions 51+: past the cap this round ==========
-    # r1-green re-checks displaced by the second-wave new queries above
+    # ========== round-5 window: exactly 50 names to the driver cap ==========
+    # Every name below has only an r1 or r2 driver row (derived from the
+    # CORRECTNESS_r01..r04 union); after this window no registry query's
+    # newest driver evidence predates round 3. All are also re-verified
+    # locally each session by tests/test_oracle.py.
+    # --- 1-17: r1-latest (never re-checked since round 1) ---
     "tsv_export",
     "doc_filenames",
     "tokenize_explode",
@@ -135,17 +82,27 @@ _PRIORITY: tuple[str, ...] = (
     "distinct_projection",
     "rollup_agg",
     "grouping_sets_agg",
+    # --- 18-50: r2-latest ---
+    "bm25_search",
+    "bm25_search_persisted",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "embedding_neardup_pairs",
+    "cube_agg",
     "bigrams_udtf",
     "multimodal_meta",
     "multimodal_frame_sample",
-    "dedup_apply",
-    "ann_topk_persisted",
-    "embedding_neardup_lsh",
-    # r2-green remainder (re-check in round 5), then the r3-green block
-    # (freshest evidence, last in line), then long-green flagships.
     "reference_bm25_big_data",
     "reference_bm25_ml_model",
     "reference_bm25_distributed_db",
+    "dedup_apply",
+    "ann_topk_persisted",
+    "embedding_neardup_lsh",
     "doc_file_export",
     "neardup_components",
     "dedup_apply_neardup",
@@ -159,19 +116,15 @@ _PRIORITY: tuple[str, ...] = (
     "q15_top_supplier",
     "q19_disjunctive_filter",
     "q22_idle_customers",
-    "bm25_search",
-    "bm25_search_persisted",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "simhash",
-    "dedup_exact",
-    "ann_topk_bruteforce",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "embedding_neardup_pairs",
-    "cube_agg",
-    "minhash_cols_fast",
-    # r3-green block
+    # ========== positions 51+: past the cap this round ==========
+    # --- new round-5 queries (local oracle evidence now; driver rows r6) ---
+    # (appended below as they are built)
+    # --- r3-green block ---
+    "asof_join_events",
+    "pivot_event_counts",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
     "streaming_tumbling",
     "streaming_sessionize",
     "streaming_dedup",
@@ -182,11 +135,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_lag_delta",
     "grouped_median_udaf",
     "partitioned_sink_roundtrip",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "asof_join_events",
-    "pivot_event_counts",
+    "minhash_cols_fast",
     "ann_recall_eval",
     "repetition_stats",
     "corpus_stats_by_source",
@@ -220,6 +169,57 @@ _PRIORITY: tuple[str, ...] = (
     "cohort_retention",
     "neardup_cluster_sizes",
     "csv_corrupt_records",
+    # --- r4-green block (freshest driver evidence, last in line) ---
+    "bm25_search_incremental",
+    "bm25_search_after_delete",
+    "bm25_search_filtered",
+    "dataset_split",
+    "bm25_search_after_compact",
+    "streaming_index_append",
+    "range_clustered_roundtrip",
+    "vocab_coverage",
+    "token_hist_arrow",
+    "index_stats_report",
+    "bm25_search_filtered_persisted",
+    "minhash_lsh_pairs_fast",
+    "percentiles_approx_rank_check",
+    "percentiles_by_flag_approx",
+    "multimodal_features",
+    "merge_upsert_roundtrip",
+    "scd2_history",
+    "zorder_clustered_roundtrip",
+    "pagerank_3iter",
+    "streaming_late_data",
+    "prefix_hamming_pairs",
+    "matview_incremental_refresh",
+    "dpp_pruned_join",
+    "small_files_compaction",
+    "scd2_point_in_time_join",
+    "runtime_bloom_join",
+    "python_datasource_textdir",
+    "observe_pipeline_metrics",
+    "streaming_checkpoint_resume",
+    "schema_evolution_read",
+    "unpivot_event_counts",
+    "sample_weighted",
+    "scan_project_orderby_limit",
+    "filter_isin_project",
+    "corpus_clean",
+    "join_broadcast_agg",
+    "text_quality",
+    "lang_id",
+    "token_counts",
+    "doc_fingerprint",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "percentiles_by_flag",
+    "q4_exists_semi",
+    "q14_promo_revenue",
+    "join_semi",
+    "join_salted_agg",
 )
 
 
