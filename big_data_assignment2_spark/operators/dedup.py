@@ -716,6 +716,13 @@ def prefix_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .where(F.length("text") >= PREF_LEN)
         .select("doc_id", F.substring("text", 1, PREF_LEN).alias("s"))
+        # ASCII-only guard (octet_length == char length): the positional
+        # character compare below and DuckDB's byte-wise hamming() only
+        # agree when every character is single-byte. Non-ASCII prefixes
+        # (none in the synthetic corpus, but real corpora have them) are
+        # excluded IDENTICALLY on both engines rather than silently
+        # diverging; a multibyte-aware variant would band on code points.
+        .where(F.octet_length("s") == F.length("s"))
     )
     chunks = docs.select(
         "doc_id",
@@ -765,8 +772,10 @@ SQL_PREFIX_HAMMING = f"""
 WITH t AS (
   SELECT doc_id, substr(text, 1, {PREF_LEN}) AS s
   FROM documents WHERE length(text) >= {PREF_LEN}
+), t_ascii AS (
+  SELECT * FROM t WHERE strlen(s) = length(s)  -- ASCII guard, see Spark side
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(hamming(a.s, b.s) AS INT) AS ham
-FROM t a JOIN t b ON a.doc_id < b.doc_id AND hamming(a.s, b.s) <= {HAM_MAX}
+FROM t_ascii a JOIN t_ascii b ON a.doc_id < b.doc_id AND hamming(a.s, b.s) <= {HAM_MAX}
 """

@@ -121,7 +121,21 @@ def merge_into(spark: SparkSession, base_path: str, changes: DataFrame) -> list[
     Returns the affected bucket ids (for tests). Matched-key semantics:
     'U'/'I' upsert the carried row, 'D' removes the key. Only affected
     bucket partitions are read or rewritten.
+
+    Write-materialize-then-swap discipline (same as ``engine._replace_dir``
+    users): the merged buckets are fully written to a sibling ``.tmp`` dir
+    FIRST (so the read of *base_path* and the write never share a path --
+    no reliance on read-while-overwrite behavior), then each affected
+    ``bucket=`` directory is swapped in with metadata-only renames. A
+    driver crash mid-swap leaves every not-yet-swapped bucket intact at
+    its OLD version and every staged bucket recoverable from ``.tmp`` --
+    no data-loss window, unlike a dynamic-partition overwrite of the path
+    being read. Cross-bucket atomicity would need a lakehouse commit log
+    (Delta/Iceberg); per-bucket rename is the strongest contract plain
+    parquet offers.
     """
+    from ..engine import _fs_and_path, _replace_dir
+
     changes = changes.withColumn("bucket", _bucket(F.col("o_orderkey")))
     affected = sorted(
         r["bucket"] for r in changes.select("bucket").distinct().collect()
@@ -132,13 +146,22 @@ def merge_into(spark: SparkSession, base_path: str, changes: DataFrame) -> list[
     )
     upserts = changes.where(F.col("op") != "D").drop("op")
     out = survivors.unionByName(upserts)
+    tmp = f"{base_path}.tmp"
     (
         out.repartition(F.col("bucket"))
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
-        .parquet(base_path)
-    )
+        .parquet(tmp)
+    )  # action completes here: every affected bucket fully materialized
+    fs, tmp_path = _fs_and_path(spark, tmp)
+    for b in affected:
+        _, staged = _fs_and_path(spark, f"{tmp}/bucket={b}")
+        if fs.exists(staged):
+            _replace_dir(spark, f"{tmp}/bucket={b}", f"{base_path}/bucket={b}")
+        else:  # every row in the bucket was deleted: drop the old dir
+            _, dst = _fs_and_path(spark, f"{base_path}/bucket={b}")
+            fs.delete(dst, True)
+    fs.delete(tmp_path, True)
     return affected
 
 

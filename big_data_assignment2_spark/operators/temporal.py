@@ -369,5 +369,12 @@ def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_UNPIVOT = "SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2"
+# WHERE IN (PIVOT_TYPES) keeps the coverage assumption explicit: the Spark
+# side unpivots exactly the PIVOT_TYPES columns, so an event_type outside
+# that set (none in the generator today) must be excluded here too or the
+# oracle would include rows the Spark result structurally cannot emit.
+SQL_UNPIVOT = (
+    "SELECT user_id, event_type, count(*) AS n FROM events "
+    f"WHERE event_type IN {PIVOT_TYPES!r} GROUP BY 1, 2"
+)
 
