@@ -149,6 +149,60 @@ def _replace_dir(spark: SparkSession, src: str, dst: str) -> None:
         raise IOError(f"failed to move {src} into place at {dst}")
 
 
+def _touch(spark: SparkSession, path: str) -> None:
+    """Create an empty marker file (parents included) -- metadata-only."""
+    fs, p = _fs_and_path(spark, path)
+    parent = p.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    fs.create(p, True).close()
+
+
+def _glob_status(spark: SparkSession, pattern: str):
+    """Hadoop globStatus as a Python list ([] for no match / null)."""
+    fs, gp = _fs_and_path(spark, pattern)
+    statuses = fs.globStatus(gp)
+    return list(statuses) if statuses is not None else []
+
+
+def _ingest_ledger(index_dir: str, batch_id: int) -> str:
+    return f"{index_dir}/ingest_log/batch_{batch_id}"
+
+
+def _purge_ingest_files(
+    spark: SparkSession, table_dir: str, batch_id: int, partitioned: bool
+) -> None:
+    """Delete any files a previous (possibly torn) delivery of *batch_id*
+    renamed into *table_dir* -- the undo half of filename-keyed
+    idempotency."""
+    sub = "*/" if partitioned else ""
+    fs, _ = _fs_and_path(spark, table_dir)
+    for st in _glob_status(spark, f"{table_dir}/{sub}ingest{batch_id}-*.parquet"):
+        fs.delete(st.getPath(), False)
+
+
+def _rename_staged_in(
+    spark: SparkSession, staging: str, table_dir: str, batch_id: int, partitioned: bool
+) -> None:
+    """Move a fully-staged batch write into the live table under
+    deterministic ``ingest<batch>-<i>.parquet`` names (metadata renames;
+    the batch id in the filename is what makes redelivery purgeable)."""
+    fs, staging_path = _fs_and_path(spark, staging)
+    sub = "*/" if partitioned else ""
+    for i, st in enumerate(_glob_status(spark, f"{staging}/{sub}part-*")):
+        src = st.getPath()
+        dst_dir = (
+            f"{table_dir}/{src.getParent().getName()}" if partitioned else table_dir
+        )
+        _, dst_dir_path = _fs_and_path(spark, dst_dir)
+        if not fs.exists(dst_dir_path):
+            fs.mkdirs(dst_dir_path)
+        _, dst = _fs_and_path(spark, f"{dst_dir}/ingest{batch_id}-{i}.parquet")
+        if not fs.rename(src, dst):
+            raise IOError(f"failed to move staged ingest file {src} to {dst}")
+    fs.delete(staging_path, True)
+
+
 def _read_n_buckets(spark: SparkSession, index_dir: str) -> int:
     row = (
         spark.read.parquet(f"{index_dir}/meta")
@@ -183,7 +237,9 @@ def _write_meta_from_live_stats(
     meta.write.mode("overwrite").parquet(f"{index_dir}/meta")
 
 
-def append_to_index(new_docs: DataFrame, index_dir: str) -> None:
+def append_to_index(
+    new_docs: DataFrame, index_dir: str, batch_id: int | None = None
+) -> None:
     """Incremental index maintenance: add *new_docs* WITHOUT reindexing
     the existing corpus (the reference can only rebuild from scratch --
     its MapReduce+Cassandra pipeline has no append path).
@@ -212,8 +268,31 @@ def append_to_index(new_docs: DataFrame, index_dir: str) -> None:
 
     Search needs no changes: it reads the same four tables and sees the
     merged corpus -- verified by the oracle computing BM25 over the full
-    corpus in one shot (``bm25_search_incremental``)."""
+    corpus in one shot (``bm25_search_incremental``).
+
+    **Idempotent redelivery** (*batch_id* set -- the ``foreachBatch``
+    streaming path, which redelivers a batch after any mid-batch
+    failure): applying the same (batch_id, rows) twice leaves the index
+    bit-identical to applying it once. Three mechanisms compose:
+
+    - a **committed-batch ledger** (``ingest_log/batch_<id>`` marker,
+      written last): a fully-applied batch short-circuits to a no-op;
+    - **filename-keyed appends**: the corpus-sized tables land via
+      stage-to-tmp + metadata renames under deterministic
+      ``ingest<batch>-<i>.parquet`` names, and redelivery PURGES that
+      batch's files before re-adding them -- a torn delivery's partial
+      files cannot double-count;
+    - a **vocab marker that travels with the swap**: the df-delta merge
+      is the one read-modify-write here, so the merged vocab dir carries
+      an ``_ingest_applied_<batch>`` marker file through its atomic
+      rename (underscore files are invisible to parquet scans);
+      redelivery sees the marker and skips the re-merge that would
+      otherwise double the delta. Meta is a pure recompute from live
+      doc_stats -- idempotent by construction.
+    """
     spark = new_docs.sparkSession
+    if batch_id is not None and _path_exists(spark, _ingest_ledger(index_dir, batch_id)):
+        return  # ledger says fully applied: redelivery is a no-op
     n_buckets = _read_n_buckets(spark, index_dir)
     tomb = _tombstones(spark, index_dir)
     if tomb is not None:
@@ -231,43 +310,67 @@ def append_to_index(new_docs: DataFrame, index_dir: str) -> None:
     # one tokenize pass over only the new docs, materialized once and
     # reused by the postings append, the forward append, and the df delta
     inverted_new = index_build.inverted_from_docs(new_docs).localCheckpoint(eager=True)
-    (
-        inverted_new.withColumn("term_bucket", term_bucket_col("term", n_buckets))
-        .repartition("term_bucket")
-        .write.mode("append")
-        .partitionBy("term_bucket")
-        .parquet(f"{index_dir}/inverted_index")
-    )
-    (
+    postings = inverted_new.withColumn(
+        "term_bucket", term_bucket_col("term", n_buckets)
+    ).repartition("term_bucket")
+    forward = (
         inverted_new.select("doc_id", "term")
         .withColumn("doc_bucket", term_bucket_col("doc_id", n_buckets))
         .repartition("doc_bucket")
-        .write.mode("append")
-        .partitionBy("doc_bucket")
-        .parquet(f"{index_dir}/forward")
     )
-    index_build.doc_stats_from_docs(new_docs).write.mode("append").parquet(
-        f"{index_dir}/doc_stats"
-    )
+    stats_new = index_build.doc_stats_from_docs(new_docs)
+    if batch_id is None:
+        postings.write.mode("append").partitionBy("term_bucket").parquet(
+            f"{index_dir}/inverted_index"
+        )
+        forward.write.mode("append").partitionBy("doc_bucket").parquet(
+            f"{index_dir}/forward"
+        )
+        stats_new.write.mode("append").parquet(f"{index_dir}/doc_stats")
+    else:
+        # stage each table fully, purge any torn prior delivery's files,
+        # then metadata-rename the staged files in under batch-keyed names
+        for df, table, part_col in (
+            (postings, "inverted_index", "term_bucket"),
+            (forward, "forward", "doc_bucket"),
+            (stats_new, "doc_stats", None),
+        ):
+            staging = f"{index_dir}/{table}.ingest{batch_id}.tmp"
+            w = df.write.mode("overwrite")
+            if part_col:
+                w = w.partitionBy(part_col)
+            w.parquet(staging)
+            _purge_ingest_files(spark, f"{index_dir}/{table}", batch_id, bool(part_col))
+            _rename_staged_in(
+                spark, staging, f"{index_dir}/{table}", batch_id, bool(part_col)
+            )
     # vocab: delta merge (exact integer adds), written to .tmp then swapped
     # because the merge reads the vocab it replaces
-    delta = index_build.vocab_from_inverted(inverted_new).withColumnRenamed(
-        "doc_freq", "delta_df"
-    )
-    merged = (
-        spark.read.parquet(f"{index_dir}/vocab")
-        .join(delta, "term", "full_outer")
-        .select(
-            "term",
-            (
-                F.coalesce(F.col("doc_freq"), F.lit(0))
-                + F.coalesce(F.col("delta_df"), F.lit(0))
-            ).alias("doc_freq"),
+    vocab_marker = f"{index_dir}/vocab/_ingest_applied_{batch_id}"
+    if batch_id is None or not _path_exists(spark, vocab_marker):
+        delta = index_build.vocab_from_inverted(inverted_new).withColumnRenamed(
+            "doc_freq", "delta_df"
         )
-    )
-    merged.write.mode("overwrite").parquet(f"{index_dir}/vocab.tmp")
-    _replace_dir(spark, f"{index_dir}/vocab.tmp", f"{index_dir}/vocab")
+        merged = (
+            spark.read.parquet(f"{index_dir}/vocab")
+            .join(delta, "term", "full_outer")
+            .select(
+                "term",
+                (
+                    F.coalesce(F.col("doc_freq"), F.lit(0))
+                    + F.coalesce(F.col("delta_df"), F.lit(0))
+                ).alias("doc_freq"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(f"{index_dir}/vocab.tmp")
+        if batch_id is not None:
+            # the marker rides the atomic swap: merged data + "batch_id
+            # applied" become visible together or not at all
+            _touch(spark, f"{index_dir}/vocab.tmp/_ingest_applied_{batch_id}")
+        _replace_dir(spark, f"{index_dir}/vocab.tmp", f"{index_dir}/vocab")
     _write_meta_from_live_stats(spark, index_dir, n_buckets)
+    if batch_id is not None:
+        _touch(spark, _ingest_ledger(index_dir, batch_id))
 
 
 def delete_from_index(doc_ids: DataFrame, index_dir: str) -> None:

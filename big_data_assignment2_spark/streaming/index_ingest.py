@@ -13,13 +13,13 @@ index that never full-rebuilds), composed from two verified halves:
 The reference has no streaming surface and can only rebuild its index
 from scratch (``app/index.sh`` re-runs both MapReduce jobs).
 
-Exactly-once caveat, stated honestly: ``foreachBatch`` redelivers a batch
-after a mid-batch failure, and a blind re-append would double those docs'
-postings. A production deployment makes the append idempotent by staging
-each batch's postings under a ``batch_id=`` partition with dynamic
-overwrite (the ``streaming_foreach_batch`` pattern) or an ACID table
-format; with the availableNow trigger and checkpointing used here, a
-completed run has applied every batch exactly once.
+Exactly-once: ``foreachBatch`` redelivers a batch after a mid-batch
+failure, so each append is keyed by the sink-side ``batch_id`` Spark
+hands the callback -- ``engine.append_to_index(batch_df, index_dir,
+batch_id=batch_id)`` is fully idempotent under redelivery (committed-
+batch ledger + filename-keyed staged renames + a vocab marker riding
+the atomic swap; see its docstring). ``tests/test_engine.py`` applies
+the same batch twice and asserts the index state is unchanged.
 """
 
 from __future__ import annotations
@@ -73,7 +73,9 @@ def streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def _append(batch_df: DataFrame, batch_id: int) -> None:
-            engine.append_to_index(batch_df, index_dir)
+            # batch_id-keyed: a redelivered batch is a no-op (see
+            # engine.append_to_index's idempotency contract)
+            engine.append_to_index(batch_df, index_dir, batch_id=batch_id)
 
         q = (
             stream.writeStream.foreachBatch(_append)

@@ -265,3 +265,88 @@ def test_delete_requires_forward_table(spark, sf_dir, tmp_path):
     fs.delete(fwd, True)  # simulate a pre-forward index
     with pytest.raises(ValueError, match="forward table"):
         engine.delete_from_index(docs.limit(1).select("doc_id"), d)
+
+
+def test_batched_append_redelivery_is_noop(spark, sf_dir, tmp_path):
+    """Exactly-once contract for the streaming ingestion path: applying
+    the SAME (batch_id, rows) twice -- the foreachBatch redelivery after
+    a mid-batch failure -- must leave the index bit-identical to applying
+    it once: same search results, same vocab df sums, same data-file set
+    (no doubled postings/doc_stats files), and the committed-batch ledger
+    populated."""
+    import glob as _glob
+    import os
+
+    d = str(tmp_path / "redelivery")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    even = docs.where(F.col("doc_id").cast("long") % 2 == 0)
+    odd = docs.where(F.col("doc_id").cast("long") % 2 == 1)
+    engine.build_index(even, d, n_buckets=8)
+
+    def _state():
+        files = sorted(
+            os.path.relpath(p, d)
+            for t in ("inverted_index", "forward", "doc_stats")
+            for p in _glob.glob(f"{d}/{t}/**/*.parquet", recursive=True)
+        )
+        vocab_total = (
+            spark.read.parquet(f"{d}/vocab").agg(F.sum("doc_freq")).collect()[0][0]
+        )
+        hits = [
+            tuple(r)
+            for r in engine.search(spark, d, "spark query window merge").collect()
+        ]
+        return files, vocab_total, hits
+
+    engine.append_to_index(odd, d, batch_id=7)
+    once = _state()
+    assert os.path.exists(f"{d}/ingest_log/batch_7")
+    # every appended file carries the batch key (purgeable on redelivery)
+    assert any("ingest7-" in f for f in once[0])
+
+    engine.append_to_index(odd, d, batch_id=7)  # redelivered: must no-op
+    assert _state() == once
+
+    # a DIFFERENT batch id is new data and must apply (guard that the
+    # ledger keys on batch id, not on "any append happened")
+    engine.append_to_index(odd.limit(3).withColumn(
+        "doc_id", F.concat(F.lit("rd_"), F.col("doc_id"))
+    ), d, batch_id=8)
+    files2, vocab2, _ = _state()
+    assert vocab2 > once[1]
+    assert any("ingest8-" in f for f in files2)
+
+
+def test_batched_append_torn_delivery_recovers(spark, sf_dir, tmp_path):
+    """Crash-window recovery: simulate a delivery that died AFTER landing
+    its postings files but BEFORE the vocab merge / ledger commit (the
+    worst torn state short of the vocab swap, which its marker covers).
+    The redelivery must purge the orphaned files and converge to the
+    exactly-once state."""
+    import glob as _glob
+    import os
+    import shutil
+
+    d = str(tmp_path / "torn")
+    d_ref = str(tmp_path / "torn_ref")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    even = docs.where(F.col("doc_id").cast("long") % 2 == 0)
+    odd = docs.where(F.col("doc_id").cast("long") % 2 == 1)
+    engine.build_index(even, d, n_buckets=8)
+    shutil.copytree(d, d_ref)
+
+    # torn delivery: rename a stray parquet file in under this batch's
+    # ingest key, as if the rename loop died mid-way
+    bucket_dir = sorted(_glob.glob(f"{d}/inverted_index/term_bucket=*"))[0]
+    src = sorted(_glob.glob(f"{bucket_dir}/*.parquet"))[0]
+    shutil.copy(src, f"{bucket_dir}/ingest3-999.parquet")
+
+    engine.append_to_index(odd, d, batch_id=3)
+    engine.build_index(docs, d_ref, n_buckets=8)  # clean one-shot reference
+    got = [tuple(r) for r in engine.search(spark, d, "spark query window merge").collect()]
+    want = [
+        tuple(r) for r in engine.search(spark, d_ref, "spark query window merge").collect()
+    ]
+    assert got == want and len(got) > 0
+    # the orphan from the torn attempt was purged, not double-counted
+    assert not os.path.exists(f"{bucket_dir}/ingest3-999.parquet")
