@@ -479,10 +479,10 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (algebraic, so a giant component's hot key is absorbed map-side). The
     edge list is ``localCheckpoint``-ed once so the LSH pipeline is not
     re-run per round, and each round's labels are checkpointed to truncate
-    the growing lineage. For adversarially long chains at 100 TB the
-    two-phase large-star/small-star algorithm (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") converges in O(log n) rounds with
-    the same per-round primitives.
+    the growing lineage. If the diameter cap is hit (adversarially long
+    chains), the computation falls back to :func:`_star_components` --
+    the O(log n)-round large-star/small-star algorithm -- instead of
+    burning diameter-many shuffle rounds.
 
     Convergence is detected with ``sum(comp)``: labels only ever decrease,
     so an unchanged sum means a fixpoint -- one cheap aggregate per round
@@ -541,15 +541,115 @@ def _components_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
     if not converged:
-        # unconverged labels are silently WRONG (chain ends disagree) --
-        # fail loudly; a graph this deep needs the large-star/small-star
-        # variant, not more rounds of plain propagation
-        raise RuntimeError(
-            f"connected components did not converge in {MAX_CC_ITERS} rounds"
-            " (component diameter exceeds the cap)"
-        )
+        # a graph deeper than the cap needs the O(log n)-round algorithm,
+        # not more rounds of diameter-bound propagation: fall back to
+        # large-star/small-star (same per-round primitives, provably
+        # logarithmic round count regardless of component diameter)
+        labels, _ = _star_components(spark, edges, labels.select("doc_id"))
     _CC_LABELS[sf_dir] = (spark, labels)
     return labels
+
+
+STAR_MAX_ROUNDS = 40  # >= ceil(log2 n) for any n this engine will ever see
+
+
+def _star_components(
+    spark: SparkSession, edges: DataFrame, nodes: DataFrame
+) -> tuple[DataFrame, int]:
+    """Connected components in O(log n) rounds: alternating
+    **large-star / small-star** (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) -- the scale path for adversarially
+    long chains, where plain min-label propagation needs diameter-many
+    rounds (a 10k-link chain = 10k shuffles; this needs ~14).
+
+    Each round is two (groupBy-min + equi-join) passes over the current
+    edge set -- the same shuffle primitives as min-label, so the 100 TB
+    cost model is unchanged per round; only the round COUNT improves:
+
+    - *large-star*: every node connects its larger neighbors to the
+      smallest node in its closed neighborhood (halves the height of tall
+      trees without growing edge count);
+    - *small-star*: every node and its smaller neighbors connect to the
+      minimum neighbor (collapses short trees into stars).
+
+    The fixpoint is a forest of stars rooted at each component's minimum
+    node; convergence is detected by an (edge-count, xxhash64-sum)
+    fingerprint -- order-insensitive, one cheap aggregate per round.
+    Per-round ``localCheckpoint`` truncates the doubling lineage.
+
+    Returns (labels, rounds): labels maps EVERY node in *nodes* to its
+    component minimum (singletons to themselves).
+    """
+    e = (
+        edges.toDF("u", "v")
+        .where(F.col("u") != F.col("v"))
+        .union(edges.toDF("v", "u").select("u", "v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    fp_prev = None
+    rounds = 0
+    star = e
+    for rounds in range(1, STAR_MAX_ROUNDS + 1):
+        # large-star over the symmetric view of the current edge set
+        sym = star.union(star.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the (hi, lo) orientation
+        o = (
+            large.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins2 = o.groupBy("u").agg(F.min("v").alias("m"))
+        star = (
+            o.join(mins2, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                        F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                    )
+                ).alias("e")
+            )
+            .select(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        fp = star.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal-38 sum: order-insensitive and overflow-proof under
+            # ANSI mode (a long sum of 64-bit hashes overflows)
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        fp = (fp["n"], fp["h"])
+        if fp == fp_prev:
+            break
+        fp_prev = fp
+    else:
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {STAR_MAX_ROUNDS} rounds"
+        )
+    # fixpoint: star edges point every non-root at its component minimum
+    labels = nodes.select("doc_id").join(
+        star.select(F.col("u").alias("doc_id"), F.col("v").alias("root")),
+        "doc_id",
+        "left",
+    ).select("doc_id", F.coalesce("root", "doc_id").alias("comp"))
+    return labels.localCheckpoint(), rounds
 
 
 def dedup_apply_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -326,3 +326,60 @@ def test_dedup_family_on_synthetic_neardups(spark, tmp_path):
             assert q.fn(spark, str(tmp_path)).count() > 0, name
     finally:
         con.close()
+
+
+def test_star_components_long_chain_logarithmic(spark):
+    """The large-star/small-star scale path: a 50-node path graph (the
+    adversarial shape -- min-label propagation would need 49 rounds,
+    one per hop of diameter) must collapse to ONE component rooted at
+    the minimum node in O(log n) rounds."""
+    import math
+
+    from big_data_assignment2_spark.operators.dedup import _star_components
+
+    n = 50
+    ids = [f"d{i:04d}" for i in range(n)]
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], "u string, v string"
+    )
+    nodes = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    labels, rounds = _star_components(spark, edges, nodes)
+    got = {r["doc_id"]: r["comp"] for r in labels.collect()}
+    assert got == {i: ids[0] for i in ids}
+    assert rounds <= math.ceil(math.log2(n)) + 4, rounds
+
+
+def test_star_components_matches_minlabel_on_corpus(spark, sf_dir):
+    """On the real LSH pair graph the scale path and the diameter-bound
+    fast path must produce identical (doc_id, component) labelings --
+    plus a multi-component sanity case (two chains + singletons)."""
+    from big_data_assignment2_spark.operators.dedup import (
+        _star_components,
+        minhash_lsh_pairs,
+        neardup_components,
+    )
+
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = (
+        neardup_components(spark, sf_dir).select("doc_id").distinct()
+    )
+    star, _ = _star_components(spark, pairs, nodes)
+    want = {
+        (r["doc_id"], r["component_id"])
+        for r in neardup_components(spark, sf_dir).collect()
+    }
+    got = {(r["doc_id"], r["comp"]) for r in star.collect()}
+    assert got == want
+
+    edges = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("x", "y")], "u string, v string"
+    )
+    all_nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("x",), ("y",), ("z",)],
+        "doc_id string",
+    )
+    labels, _ = _star_components(spark, edges, all_nodes)
+    got2 = {r["doc_id"]: r["comp"] for r in labels.collect()}
+    assert got2 == {
+        "a": "a", "b": "b", "c": "b", "d": "b", "x": "x", "y": "x", "z": "z",
+    }
