@@ -98,6 +98,17 @@ def main() -> None:
     _build("bm25_incr_index", lambda: ensure_incremental_index(spark, sf_dir))
     _build("bm25_deleted_index", lambda: ensure_deleted_index(spark, sf_dir))
     _build("bm25_compacted_index", lambda: ensure_compacted_index(spark, sf_dir))
+    # the full operability loop (build -> delete -> compact -> append-readd)
+    # as a timed artifact, not just pytest coverage
+    from big_data_assignment2_spark.operators.search import ensure_lifecycle_index
+
+    _build("index_lifecycle_readd", lambda: ensure_lifecycle_index(spark, sf_dir))
+    # the shared connected-components propagation: neardup_components and
+    # dedup_apply_neardup both consume this memoized label frame -- charge
+    # it here so their per-query numbers stop depending on bench order
+    from big_data_assignment2_spark.operators.dedup import _components_labels
+
+    _build("neardup_cc_labels", lambda: _components_labels(spark, sf_dir))
     _build("ann_index", lambda: ensure_ann_index(spark, sf_dir))
     _build("image_fixture", lambda: ensure_image_fixture(spark, sf_dir))
     from big_data_assignment2_spark.sources.partitioned_sink import (
@@ -121,6 +132,9 @@ def main() -> None:
 
     _build("orders_evolved", lambda: write_orders_evolved(spark, sf_dir))
     _build("doc_export", lambda: ensure_exported(spark, sf_dir))
+    from big_data_assignment2_spark.sources.doc_export import ensure_pyds_written
+
+    _build("pyds_writer_commit", lambda: ensure_pyds_written(spark, sf_dir))
     _build("csv_export", lambda: write_lineitem_csv(spark, sf_dir))
     _build("json_export", lambda: write_events_json(spark, sf_dir))
     _build("orc_export", lambda: write_lineitem_orc(spark, sf_dir))
@@ -147,15 +161,44 @@ def main() -> None:
         t0 = time.perf_counter()
         scaled_dir = _build_scaled_dir(spark, sf_dir, factor)
         gen_sec = round(time.perf_counter() - t0, 3)
+        # Everything here touches only the replicated tables (lineitem /
+        # documents / events / embeddings) and no per-sf_dir persisted
+        # fixture, so the scaled run measures the QUERY plan, not a
+        # fixture rebuild. The LSH/banding family is the deliberate
+        # centerpiece: candidate-pair growth is the actual 100 TB risk,
+        # so each must scale sub-quadratically (ratio << factor^2).
         picks = (
+            # scan/shuffle-representative core
             "q1_pricing_summary",
             "q6_forecast_revenue",
             "events_time_rollup",
+            "events_value_histogram",
             "token_counts",
+            "text_quality",
+            "lang_id",
+            "doc_fingerprint",
             "dedup_exact",
+            "dedup_apply",
             "bm25_search",
+            # temporal / window family over 10x events
+            "asof_join_events",
+            "range_join_events",
+            "window_session",
+            "funnel_depths",
+            "cohort_retention",
+            # LSH / banding family (candidate-pair growth check)
+            "minhash_lsh_pairs",
+            "minhash_lsh_pairs_fast",
+            "simhash_neardup_pairs",
+            "prefix_hamming_pairs",
+            "prefix_edit_pairs",
+            "embedding_neardup_lsh",
+            # embedding family
             "ann_topk_bruteforce",
+            "ann_topk_lsh",
+            "embedding_centroids",
         )
+        picks = tuple(n for n in picks if n in reg.queries)
         per_q: dict[str, dict] = {}
         for name in picks:
             t0 = time.perf_counter()

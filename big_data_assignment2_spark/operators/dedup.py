@@ -109,9 +109,18 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows), so it is < 1% of shingle rows -- comfortably broadcastable far
     past this corpus, but NOT constant-size: a 100 TB deployment splits
     the cap (broadcast the Zipf head, shuffle-anti-join the long tail of
-    barely-over-cap types, both sides still partial-aggregated). Cached
-    here so ngram-Jaccard and MinHash-LSH share one materialization
-    (Spark's cache manager matches the identical logical plan)."""
+    barely-over-cap types, both sides still partial-aggregated).
+
+    Memoized per (session, sf_dir) so ngram-Jaccard, both MinHash paths,
+    and the CC pipeline share ONE materialization. An explicit memo, not
+    cache-manager plan matching: each call builds a fresh ``shingles_pd``
+    Python UDF object, and python-UDF expressions compare by function
+    identity, so identical-looking plans do NOT match across calls -- the
+    r4 bench measured the fast path silently re-running the whole pandas
+    shingle pass because of exactly that."""
+    hit = _SHINGLES.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", F.explode(shingles_pd("text", SHINGLE_K)).alias("shingle")
@@ -131,7 +140,12 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.count()  # materialize the filtered cache off the raw cache
     finally:
         sh.unpersist()  # drop the raw rows even if materialization fails
+    _SHINGLES[sf_dir] = (spark, out)
     return out
+
+
+# (session, filtered-shingle frame) per sf_dir -- see _doc_shingles
+_SHINGLES: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 SQL_DOC_SHINGLES = f"""
@@ -765,6 +779,12 @@ def register(reg: Registry) -> None:
         SQL_PREFIX_HAMMING,
         "PassJoin segment banding + exact Hamming verify (fuzzy string join)",
     )
+    reg.add(
+        "prefix_edit_pairs",
+        prefix_edit_pairs,
+        SQL_PREFIX_EDIT,
+        "PassJoin segment/window banding + levenshtein verify (edit distance <= 3)",
+    )
 
 
 # --- PassJoin-style fuzzy string join: segment banding + Hamming verify ---
@@ -878,4 +898,115 @@ WITH t AS (
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(hamming(a.s, b.s) AS INT) AS ham
 FROM t_ascii a JOIN t_ascii b ON a.doc_id < b.doc_id AND hamming(a.s, b.s) <= {HAM_MAX}
+"""
+
+
+# --- PassJoin proper: edit-distance <= K via segment/window banding ---
+
+ED_MAX = 3  # near-dup iff levenshtein(prefix_a, prefix_b) <= 3
+ED_SEGS = ED_MAX + 1  # pigeonhole: <= K edits leave >= 1 of K+1 segments intact
+ED_SEG_LEN = PREF_LEN // ED_SEGS  # 40 // 4 = 10-char segments
+
+
+def prefix_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string join under EDIT distance: document pairs whose first
+    ``PREF_LEN`` characters are within ``ED_MAX`` Levenshtein edits --
+    the general PassJoin (Li, Deng, Wang, Feng: "PASS-JOIN: A
+    Partition-based Method for Similarity Joins", VLDB'11), of which
+    :func:`prefix_hamming_pairs` is the substitution-only special case.
+    Real OCR / entity-resolution dedup needs this version: insertions
+    and deletions shift every later character, which breaks positional
+    (Hamming/SimHash-style) banding.
+
+    Candidate generation is segment/window equi-banding: partition each
+    prefix into ``ED_SEGS`` contiguous segments; if ed(a, b) <= ED_MAX,
+    the <= ED_MAX edited regions touch at most ED_MAX segments, so some
+    segment of *a* survives VERBATIM inside *b*, displaced by the net
+    insertions/deletions before it -- at most ED_MAX positions either
+    way. So every doc emits its ED_SEGS segments (seg side) plus the
+    substrings at each segment position shifted by -ED_MAX..+ED_MAX (win
+    side), and candidates come from the (segment_index, text) EQUI-join
+    of seg against win -- hash-partitionable, no cartesian, plan-asserted
+    in tests/test_plans.py. Survivors verify with the built-in
+    ``levenshtein`` (JVM codegen); verification runs after pair-distinct
+    because the O(L^2) DP is the expensive step here, the reverse of the
+    cheap-compare-first ordering the Hamming variant uses.
+
+    ASCII guard as in :func:`prefix_hamming_pairs` (both engines must
+    count positions identically). Oracle: DuckDB's native
+    ``levenshtein()`` over the brute-force pair space.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= PREF_LEN)
+        .select("doc_id", F.substring("text", 1, PREF_LEN).alias("s"))
+        .where(F.octet_length("s") == F.length("s"))
+    )
+    starts = [1 + i * ED_SEG_LEN for i in range(ED_SEGS)]  # 1-based
+    seg = docs.select(
+        "doc_id",
+        "s",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.substring("s", starts[i], ED_SEG_LEN).alias("ck"),
+                    )
+                    for i in range(ED_SEGS)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "s", F.col("c.ci").alias("ci"), F.col("c.ck").alias("ck"))
+    win_keys = []
+    for i in range(ED_SEGS):
+        for d in range(-ED_MAX, ED_MAX + 1):
+            p = starts[i] + d
+            if 1 <= p <= PREF_LEN - ED_SEG_LEN + 1:
+                win_keys.append(
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.substring("s", p, ED_SEG_LEN).alias("ck"),
+                    )
+                )
+    win = docs.select(
+        "doc_id", "s", F.explode(F.array(*win_keys)).alias("c")
+    ).select("doc_id", "s", F.col("c.ci").alias("ci"), F.col("c.ck").alias("ck"))
+    a, b = seg.alias("a"), win.alias("b")
+    lo = F.col("a.doc_id") < F.col("b.doc_id")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        # normalize the unordered pair (the surviving segment may belong
+        # to either side, so both orientations reach here)
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.when(lo, F.col("a.s")).otherwise(F.col("b.s")).alias("s_a"),
+            F.when(lo, F.col("b.s")).otherwise(F.col("a.s")).alias("s_b"),
+        )
+        .distinct()  # dedup candidates BEFORE the O(L^2) edit-distance DP
+    )
+    return (
+        cand.withColumn("editd", F.levenshtein("s_a", "s_b").cast("int"))
+        .where(F.col("editd") <= ED_MAX)
+        .select("doc_a", "doc_b", "editd")
+    )
+
+
+SQL_PREFIX_EDIT = f"""
+WITH t AS (
+  SELECT doc_id, substr(text, 1, {PREF_LEN}) AS s
+  FROM documents WHERE length(text) >= {PREF_LEN}
+), t_ascii AS (
+  SELECT * FROM t WHERE strlen(s) = length(s)  -- ASCII guard, see Spark side
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.s, b.s) AS INT) AS editd
+FROM t_ascii a JOIN t_ascii b
+  ON a.doc_id < b.doc_id AND levenshtein(a.s, b.s) <= {ED_MAX}
 """

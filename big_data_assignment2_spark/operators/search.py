@@ -306,6 +306,35 @@ def ensure_compacted_index(spark: SparkSession, sf_dir: str) -> str:
     return _BUILT_COMPACTED[sf_dir]
 
 
+_BUILT_LIFECYCLE: dict[str, str] = {}
+
+
+def ensure_lifecycle_index(spark: SparkSession, sf_dir: str) -> str:
+    """The FULL index operability loop in one timed artifact:
+    build -> delete -> compact -> append-READD of the very doc ids the
+    delete removed. Compaction purges the dead postings and clears the
+    tombstones, so the re-add is legal (``append_to_index`` rejects
+    tombstoned ids) and the final searchable state must equal a
+    from-scratch index of the full corpus -- asserted in
+    ``tests/test_engine.py``; bench.py registers this as a build so the
+    loop's cost is a per-round artifact, not just pytest coverage.
+    Separate dir from :func:`ensure_compacted_index`, whose query relies
+    on the deleted docs staying gone."""
+    from .. import engine
+    from ._util import scratch_root, scratch_slug
+
+    if sf_dir not in _BUILT_LIFECYCLE:
+        index_dir = f"{scratch_root()}/index_cycle_{scratch_slug(sf_dir)}"
+        docs = index_build.documents_with_title(spark, sf_dir)
+        doomed = docs.where(F.col("doc_id").cast("long") % DELETE_MOD == 0)
+        engine.build_index(docs, index_dir)
+        engine.delete_from_index(doomed.select("doc_id"), index_dir)
+        engine.compact_index(spark, index_dir)
+        engine.append_to_index(doomed, index_dir)
+        _BUILT_LIFECYCLE[sf_dir] = index_dir
+    return _BUILT_LIFECYCLE[sf_dir]
+
+
 def bm25_search_after_delete(
     spark: SparkSession,
     sf_dir: str,

@@ -118,7 +118,8 @@ _PRIORITY: tuple[str, ...] = (
     "q22_idle_customers",
     # ========== positions 51+: past the cap this round ==========
     # --- new round-5 queries (local oracle evidence now; driver rows r6) ---
-    # (appended below as they are built)
+    "prefix_edit_pairs",
+    "python_datasource_writer_roundtrip",
     # --- r3-green block ---
     "asof_join_events",
     "pivot_event_counts",

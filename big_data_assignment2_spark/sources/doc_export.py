@@ -146,6 +146,12 @@ def register(reg: Registry) -> None:
         SQL_DOC_FILE_EXPORT,
         "S4 per-document .txt export + read-back roundtrip",
     )
+    reg.add(
+        "python_datasource_writer_roundtrip",
+        python_datasource_writer_roundtrip,
+        SQL_DOC_FILE_EXPORT,
+        "Python Data Source WRITER: two-phase commit sink + reader roundtrip",
+    )
 
 
 def python_datasource_textdir(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,6 +216,194 @@ def python_datasource_textdir(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(_TextDirSource)
     raw = (
         spark.read.format("textdir")
+        .option("path", out_dir)
+        .option("numPartitions", "16")
+        .load()
+    )
+    return raw.select(
+        F.regexp_extract("filename", r"^(\d+)_", 1).alias("doc_id"),
+        "filename",
+        F.md5(F.encode("content", "UTF-8")).alias("content_md5"),
+        F.length("content").cast("long").alias("n_chars"),
+    )
+
+
+# --- Python Data Source WRITER: the other half of the connector API ---
+
+_PYDS_WRITTEN: dict[str, str] = {}  # in-process memo of committed writes
+
+
+def _register_textdirio(spark: SparkSession):
+    """Define + register the bidirectional ``textdirio`` Python Data
+    Source (reader AND writer). Classes live inside the function so
+    cloudpickle ships them by value to executors (module-level classes
+    pickle by reference and break under the driver's runtime sys.path).
+
+    The WRITER demonstrates the API's **two-phase commit protocol** --
+    the contract every real sink (JDBC, object store, search index)
+    needs under task retries and speculative duplicates:
+
+    - ``write(iterator)`` runs per task and stages its rows as files
+      under a per-job ``_staging_<uuid>`` dir, names prefixed by
+      partition id; it returns a ``WriterCommitMessage`` listing them.
+      Nothing is visible to readers yet.
+    - ``commit(messages)`` runs on the driver only after EVERY task
+      succeeded: it renames exactly the staged files named in the
+      messages into place (so a failed/duplicate task attempt's output
+      is never published -- ``os.replace`` also makes same-name
+      publishes from speculative twins idempotent) and drops a
+      ``_MANIFEST`` listing the committed files. Overwrite mode clears
+      the previous committed set first -- still inside commit, so
+      readers never observe a half-cleared directory between jobs.
+    - ``abort(messages)`` discards the staging dir; the previously
+      committed data stays untouched.
+    """
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceWriter,
+        InputPartition,
+        WriterCommitMessage,
+    )
+
+    class _Chunk(InputPartition):
+        def __init__(self, files: list) -> None:
+            self.files = files
+
+    class _Reader(DataSourceReader):
+        def __init__(self, options: dict) -> None:
+            self.path = options["path"]
+            self.n_parts = int(options.get("numPartitions", "16"))
+
+        def partitions(self):
+            files = sorted(
+                n for n in _os.listdir(self.path) if n.endswith(".txt")
+            )
+            k = max(1, len(files) // self.n_parts + (len(files) % self.n_parts > 0))
+            return [_Chunk(files[i : i + k]) for i in range(0, len(files), k)]
+
+        def read(self, part):
+            for fn in part.files:
+                with open(_os.path.join(self.path, fn), "rb") as f:
+                    yield (fn, f.read().decode("utf-8"))
+
+    class _Staged(WriterCommitMessage):
+        def __init__(self, names: list) -> None:
+            self.names = names  # [(staged_name, final_name)]
+
+    class _Writer(DataSourceWriter):
+        def __init__(self, options: dict, overwrite: bool) -> None:
+            self.path = options["path"]
+            self.overwrite = overwrite
+            self.staging = f"{self.path}/_staging_{_uuid.uuid4().hex[:8]}"
+
+        def write(self, iterator):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            _os.makedirs(self.staging, exist_ok=True)
+            names = []
+            for row in iterator:
+                staged = f"{pid:05d}-{row.filename}"
+                with open(
+                    _os.path.join(self.staging, staged), "w", encoding="utf-8"
+                ) as f:
+                    f.write(row.content or "")
+                names.append((staged, row.filename))
+            return _Staged(names)
+
+        def commit(self, messages):
+            if self.overwrite:
+                for n in _os.listdir(self.path):
+                    if n.endswith(".txt"):
+                        _os.remove(_os.path.join(self.path, n))
+            for m in messages:
+                for staged, final in m.names:
+                    _os.replace(
+                        _os.path.join(self.staging, staged),
+                        _os.path.join(self.path, final),
+                    )
+            with open(_os.path.join(self.path, "_MANIFEST"), "w") as f:
+                f.write(
+                    "\n".join(
+                        sorted(final for m in messages for _, final in m.names)
+                    )
+                )
+            _shutil.rmtree(self.staging, ignore_errors=True)
+
+        def abort(self, messages):
+            _shutil.rmtree(self.staging, ignore_errors=True)
+
+    class _TextDirIO(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "textdirio"
+
+        def schema(self) -> str:
+            return "filename STRING, content STRING"
+
+        def reader(self, schema):
+            return _Reader(self.options)
+
+        def writer(self, schema, overwrite: bool):
+            return _Writer(self.options, overwrite)
+
+    spark.dataSource.register(_TextDirIO)
+
+
+def ensure_pyds_written(spark: SparkSession, sf_dir: str) -> str:
+    """Write the per-doc corpus through the ``textdirio`` WRITER (once
+    per process; bench charges this to the build phase) and return the
+    committed directory."""
+    import os as _os
+
+    from ..operators._util import scratch_root, scratch_slug
+
+    if sf_dir not in _PYDS_WRITTEN:
+        import shutil
+
+        out_dir = f"{scratch_root()}/pyds_docs_{scratch_slug(sf_dir)}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        _os.makedirs(out_dir, exist_ok=True)
+        _register_textdirio(spark)
+        rows = documents_with_title(spark, sf_dir).select(
+            F.concat(
+                F.col("doc_id"), F.lit("_"), safe_filename("title"), F.lit(".txt")
+            ).alias("filename"),
+            clean_text("text").alias("content"),
+        )
+        (
+            rows.write.format("textdirio")
+            .mode("overwrite")
+            .option("path", out_dir)
+            .save()
+        )
+        _PYDS_WRITTEN[sf_dir] = out_dir
+    return _PYDS_WRITTEN[sf_dir]
+
+
+def python_datasource_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full WRITE-side roundtrip of the Python Data Source API: the
+    corpus goes out through the ``textdirio`` writer's two-phase commit
+    (stage -> commit-rename -> manifest; see :func:`_register_textdirio`)
+    and comes back in through the same source's reader -- the registered
+    connector is bidirectional, like any production JDBC/object-store
+    plugin. The DuckDB oracle reconstructs every (filename, md5, length)
+    from the ``documents`` table alone, so a lost, duplicated, or
+    un-committed staged file is a value-hash mismatch.
+
+    The reference's closest surface is the driver-side per-doc
+    ``hdfs dfs -put`` loop (``app/prepare_data.py:36-50``); this is that
+    export as a pluggable sink with crash-safe publication semantics.
+    """
+    out_dir = ensure_pyds_written(spark, sf_dir)
+    _register_textdirio(spark)
+    raw = (
+        spark.read.format("textdirio")
         .option("path", out_dir)
         .option("numPartitions", "16")
         .load()

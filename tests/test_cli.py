@@ -72,3 +72,21 @@ def test_cli_empty_query_errors(tmp_path):
     )
     assert proc.returncode == 1
     assert "No query provided." in proc.stdout
+
+
+def test_pyds_writer_two_phase_commit_discipline(spark, sf_dir):
+    """The textdirio writer must publish atomically: after save(), the
+    directory holds exactly the manifest's files, the manifest matches
+    the corpus size, and no _staging dir survives (commit cleans up on
+    success; abort would on failure)."""
+    import os
+
+    from big_data_assignment2_spark.sources.doc_export import ensure_pyds_written
+
+    out = ensure_pyds_written(spark, sf_dir)
+    names = os.listdir(out)
+    assert "_MANIFEST" in names
+    assert not any(n.startswith("_staging") for n in names)
+    txt = sorted(n for n in names if n.endswith(".txt"))
+    manifest = sorted(open(f"{out}/_MANIFEST").read().splitlines())
+    assert txt == manifest and len(txt) > 0

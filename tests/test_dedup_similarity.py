@@ -383,3 +383,48 @@ def test_star_components_matches_minlabel_on_corpus(spark, sf_dir):
     assert got2 == {
         "a": "a", "b": "b", "c": "b", "d": "b", "x": "x", "y": "x", "z": "z",
     }
+
+
+def test_prefix_edit_pairs_catches_shifts_hamming_misses(spark, tmp_path):
+    """Semantics of the edit-distance PassJoin: a single INSERTION shifts
+    every later character (Hamming distance explodes to ~prefix length)
+    but is one edit -- the edit variant must catch it, and must also
+    cover every substitution-only pair the Hamming variant finds within
+    its threshold."""
+    from big_data_assignment2_spark.operators.dedup import (
+        ED_MAX,
+        PREF_LEN,
+        prefix_edit_pairs,
+        prefix_hamming_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog padding".replace(" ", "_")
+    a = base[:PREF_LEN]
+    shifted = (base[:5] + "X" + base[5:])[:PREF_LEN]  # one insertion
+    subbed = ("YY" + base[2:])[:PREF_LEN]  # two substitutions
+    far = ("".join(reversed(base)))[:PREF_LEN]
+    rows = [
+        ("d1", a), ("d2", shifted), ("d3", subbed), ("d4", far),
+    ]
+    df = spark.createDataFrame(
+        [(i, t * 3, "en", "synthetic", len(t * 3)) for i, t in rows],
+        "doc_id string, text string, lang string, source string, n_chars int",
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    edit = {
+        (r["doc_a"], r["doc_b"]): r["editd"]
+        for r in prefix_edit_pairs(spark, sf).collect()
+    }
+    # insertion caught: ed = 2 on the fixed window (the insert plus the
+    # tail character it pushes past the PREF_LEN boundary)
+    assert ("d1", "d2") in edit and edit[("d1", "d2")] == 2
+    assert ("d1", "d3") in edit and edit[("d1", "d3")] == 2
+    assert all("d4" not in p for p in edit)
+    ham = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_hamming_pairs(spark, sf).collect()
+        if r["ham"] <= ED_MAX
+    }
+    assert ham <= set(edit)  # substitution-only pairs are covered
+    assert ("d1", "d2") not in ham  # ...and the shift is the edit-only win

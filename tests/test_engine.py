@@ -350,3 +350,18 @@ def test_batched_append_torn_delivery_recovers(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
     # the orphan from the torn attempt was purged, not double-counted
     assert not os.path.exists(f"{bucket_dir}/ingest3-999.parquet")
+
+
+def test_lifecycle_readd_equals_fresh(spark, sf_dir, index_dir):
+    """build -> delete -> compact -> append-READD of the deleted docs must
+    converge back to the from-scratch full-corpus index (compaction freed
+    the tombstoned ids; the re-add restores their postings and stats)."""
+    from big_data_assignment2_spark.operators.search import ensure_lifecycle_index
+
+    d = ensure_lifecycle_index(spark, sf_dir)
+    got = [tuple(r) for r in engine.search(spark, d, "spark query window merge").collect()]
+    want = [
+        tuple(r)
+        for r in engine.search(spark, index_dir, "spark query window merge").collect()
+    ]
+    assert got == want and len(got) > 0

@@ -465,3 +465,12 @@ def test_sample_weighted_is_narrow(spark, sf_dir):
     assert not audit(
         df, forbids=("Exchange", "ArrowEvalPython", "BatchEvalPython")
     )
+
+
+def test_prefix_edit_banding_is_equi_join(spark, sf_dir):
+    """PassJoin edit-distance banding must reach the executor as a hash-
+    partitionable EQUI join on (segment_index, segment_text) -- never a
+    nested-loop/cartesian pair enumeration (the whole point of the
+    segment/window scheme)."""
+    df = _df(spark, sf_dir, "prefix_edit_pairs")
+    assert not audit(df, forbids=("CartesianProduct", "BroadcastNestedLoopJoin"))
