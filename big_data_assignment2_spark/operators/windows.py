@@ -140,6 +140,60 @@ FROM events GROUP BY event_type
 """
 
 
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's **VARIANT** type: the
+    open-ended-JSON answer every event pipeline needs once payloads stop
+    fitting a fixed schema.
+
+    A nested document (object + array, built deterministically from the
+    event columns so the oracle can recompute it) is parsed ONCE with
+    ``parse_json`` into VARIANT's binary encoding, then typed paths come
+    out via ``variant_get`` -- string, long, and an array index -- and
+    aggregate. Vs ``get_json_object`` (``events_json_sum``): the text
+    payload is parsed once per row instead of once per extracted path,
+    paths are typed at extraction (no string re-cast), and the binary
+    encoding is the shredding-ready representation Parquet VARIANT
+    columns store at rest -- at 100 TB, re-parsing JSON text per path is
+    a CPU bottleneck this type exists to remove. Integer "cents"
+    (``floor(value*100)``) keep the constructed JSON free of double
+    formatting, which Spark and DuckDB render differently.
+
+    Oracle: DuckDB recomputes the same aggregates from the raw columns
+    -- an independent path that never builds the document at all."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    k = F.get_json_object("props", "$.k").cast("long")
+    doc = F.concat(
+        F.lit('{"meta":{"type":"'),
+        F.col("event_type"),
+        F.lit('","k":'),
+        k.cast("string"),
+        F.lit('},"vals":['),
+        cents.cast("string"),
+        F.lit(","),
+        (cents * 2).cast("string"),
+        F.lit("]}"),
+    )
+    return (
+        ev.select(F.parse_json(doc).alias("v"))
+        .groupBy(F.variant_get("v", "$.meta.type", "string").alias("event_type"))
+        .agg(
+            F.sum(F.variant_get("v", "$.meta.k", "long")).alias("sum_k"),
+            F.sum(F.variant_get("v", "$.vals[1]", "long")).alias("sum_v2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+SQL_VARIANT_EXTRACT = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(sum(2 * CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_v2,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user moving average of ``value`` over the last 3 events (ROWS
     BETWEEN 2 PRECEDING AND CURRENT ROW). The frame sum goes through an
@@ -434,6 +488,12 @@ def register(reg: Registry) -> None:
     reg.add("window_sliding", window_sliding, SQL_SLIDING, "10/5-min sliding windows")
     reg.add("window_session", window_session, SQL_SESSION, "30-min-gap session windows")
     reg.add("events_json_sum", events_json_sum, SQL_JSON_SUM, "JSON field extract + agg")
+    reg.add(
+        "events_variant_extract",
+        events_variant_extract,
+        SQL_VARIANT_EXTRACT,
+        "VARIANT semi-structured path: parse_json once, typed variant_get paths",
+    )
     reg.add("window_moving_avg", window_moving_avg, SQL_MOVING_AVG, "3-row moving average per user")
     reg.add("window_lag_delta", window_lag_delta, SQL_LAG_DELTA, "lag delta per user")
     reg.add(

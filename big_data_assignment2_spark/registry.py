@@ -120,6 +120,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- new round-5 queries (local oracle evidence now; driver rows r6) ---
     "prefix_edit_pairs",
     "python_datasource_writer_roundtrip",
+    "events_variant_extract",
     # --- r3-green block ---
     "asof_join_events",
     "pivot_event_counts",
