@@ -121,6 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     "prefix_edit_pairs",
     "python_datasource_writer_roundtrip",
     "events_variant_extract",
+    "cbo_join_reorder",
     # --- r3-green block ---
     "asof_join_events",
     "pivot_event_counts",
@@ -228,6 +229,7 @@ _PRIORITY: tuple[str, ...] = (
 def build_registry() -> Registry:
     """Assemble the full registry from all operator modules."""
     from .operators import (
+        cbo,
         dedup,
         graph,
         index_build,
@@ -251,6 +253,7 @@ def build_registry() -> Registry:
     for mod in (
         relational,
         index_build,
+        cbo,
         merge,
         graph,
         search,

@@ -474,3 +474,28 @@ def test_prefix_edit_banding_is_equi_join(spark, sf_dir):
     segment/window scheme)."""
     df = _df(spark, sf_dir, "prefix_edit_pairs")
     assert not audit(df, forbids=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+def test_cbo_stats_drive_join_reorder(spark, sf_dir):
+    """With ANALYZE column stats + CBO on, Catalyst's DP join reorder must
+    rebuild the deliberately-worst declared order (fact first, dims last)
+    so the fact table joins LAST against the pre-joined dimension chain;
+    with CBO off the declared order must survive verbatim. Same result
+    either way (the oracle pins values)."""
+    import re
+
+    from big_data_assignment2_spark.operators.cbo import reorder_plan
+
+    def first_seen(plan):
+        seen = []
+        for m in re.findall(r"cbo_(orders|customer|nation|region)_", plan):
+            if m not in seen:
+                seen.append(m)
+        return seen
+
+    off = first_seen(reorder_plan(spark, sf_dir, cbo=False))
+    on = first_seen(reorder_plan(spark, sf_dir, cbo=True))
+    assert off == ["orders", "customer", "nation", "region"]  # declared order
+    assert on != off
+    # reordered tree starts from the dimension chain, fact joined last
+    assert on[-1] == "orders", on
