@@ -122,6 +122,8 @@ _PRIORITY: tuple[str, ...] = (
     "python_datasource_writer_roundtrip",
     "events_variant_extract",
     "cbo_join_reorder",
+    "recursive_order_chains",
+    "sql_udf_revenue",
     # --- r3-green block ---
     "asof_join_events",
     "pivot_event_counts",
@@ -240,6 +242,7 @@ def build_registry() -> Registry:
         search,
         similarity,
         skew,
+        sql_features,
         temporal,
         tpch_rest,
         udx,
@@ -264,6 +267,7 @@ def build_registry() -> Registry:
         tpch_rest,
         windows,
         skew,
+        sql_features,
         udx,
         multimodal,
         pipeline,
