@@ -124,6 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     "cbo_join_reorder",
     "recursive_order_chains",
     "sql_udf_revenue",
+    "triangle_count",
     # --- r3-green block ---
     "asof_join_events",
     "pivot_event_counts",

@@ -29,3 +29,43 @@ def test_pagerank_rank_floor_and_mass(spark, sf_dir):
 
 def test_pagerank_no_cartesian(spark, sf_dir):
     assert not audit(graph.pagerank_3iter(spark, sf_dir), forbids=("CartesianProduct",))
+
+
+def test_triangle_invariants(spark, sf_dir):
+    """Structural sanity beyond the oracle: triangles <= wedges / 3 is NOT
+    generally true, but triangles <= wedges always is (every triangle
+    closes 3 distinct wedges, counted once here via orientation), and a
+    hand-built 4-clique plus pendant edge pins the exact counts."""
+    m = {r["metric"]: r["value"] for r in graph.triangle_count(spark, sf_dir).collect()}
+    assert set(m) == {"n_nodes", "n_edges", "n_wedges", "n_triangles"}
+    assert m["n_triangles"] * 3 <= m["n_wedges"]
+    assert m["n_edges"] <= m["n_nodes"] * (m["n_nodes"] - 1) // 2
+
+
+def test_triangle_closed_form(spark, sf_dir, tmp_path):
+    """4-clique + pendant vertex: K4 has 4 triangles, 12+3 wedges."""
+    import pandas as pd
+
+    # orders 1..6 each carry one edge of K4 {1,2,3,4}; order 7 adds 4-5
+    rows = []
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    for ok, (u, v) in enumerate(pairs, start=1):
+        rows += [(ok, u), (ok, v)]
+    pdf = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    d = tmp_path / "tri"
+    d.mkdir()
+    # minimal lineitem: only the two columns the operator reads
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pdf), str(d / "lineitem.parquet"))
+    m = {r["metric"]: r["value"] for r in graph.triangle_count(spark, str(d)).collect()}
+    assert m["n_nodes"] == 5
+    assert m["n_edges"] == 7
+    assert m["n_triangles"] == 4
+    # wedges: deg(1)=3,deg(2)=3,deg(3)=3,deg(4)=4,deg(5)=1 -> 3+3+3+6+0 = 15
+    assert m["n_wedges"] == 15
+
+
+def test_triangle_no_cartesian(spark, sf_dir):
+    assert not audit(graph.triangle_count(spark, sf_dir), forbids=("CartesianProduct",))
