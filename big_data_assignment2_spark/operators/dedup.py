@@ -730,6 +730,83 @@ SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1
 )
 
 
+MAX_TERM_DF = 100  # vocabulary cap: terms in more docs than this are stopwords here
+COSINE_T = 0.30
+
+
+def tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-pair cosine similarity over raw term-frequency vectors,
+    computed through the inverted index (the sparse-vector dot product a
+    vector database brute-forces): self-join postings on term, sum
+    ``tf_a * tf_b`` per pair, normalize by the per-doc L2 norms.
+
+    Determinism contract: the dot product and squared norms are INTEGER
+    sums (order-independent, exact), so both engines aggregate to the same
+    numbers in any partition order; only the final per-row
+    ``dot / sqrt(n2_a * n2_b)`` is floating point, and that is one IEEE
+    sqrt + one division on identical integer inputs -- bit-identical across
+    engines, rounded to 6 decimals for the hash. (A tf-idf weighting would
+    put ``ln`` inside the SUM and could never hash-match; the idf-weighted
+    variant of this join is the BM25 scorer in ``operators/search.py``.)
+
+    Scale shape: same posture as the shingle joins above -- terms with
+    df > MAX_TERM_DF are dropped on BOTH engines before the self-join (the
+    stop-term cap; candidate fan-out is sum-over-terms C(df,2), so the cap
+    bounds it by MAX_TERM_DF * |postings|), the over-cap list is tiny and
+    broadcast, and the pair aggregation is a two-phase partial sum keyed by
+    (doc_a, doc_b)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    inv0 = tokenize(docs).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stop = (
+        inv0.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > MAX_TERM_DF)
+        .select("term")
+    )
+    inv = inv0.join(F.broadcast(stop), "term", "left_anti")
+    norm = inv.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    a, b = inv.alias("a"), inv.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    na = norm.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2_a"))
+    nb = norm.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2_b"))
+    cos = F.col("dot") / F.sqrt((F.col("n2_a") * F.col("n2_b")).cast("double"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(cos >= COSINE_T)
+        .select("doc_a", "doc_b", "dot", F.round(cos, 6).alias("cosine"))
+    )
+
+
+SQL_TF_COSINE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKENS.format(col="text")}) AS term FROM documents
+),
+inv0 AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+keep AS (SELECT term FROM inv0 GROUP BY term HAVING count(*) <= {MAX_TERM_DF}),
+inv AS (SELECT inv0.doc_id, inv0.term, inv0.tf FROM inv0 JOIN keep USING (term)),
+norm AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM inv GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.tf * b.tf) AS dot
+  FROM inv a JOIN inv b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
+       round(dot / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6) AS cosine
+FROM dots
+JOIN norm na ON na.doc_id = doc_a
+JOIN norm nb ON nb.doc_id = doc_b
+WHERE dot / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) >= {COSINE_T}
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("dedup_exact", dedup_exact, SQL_DEDUP_EXACT, "exact md5 dedup groups")
     reg.add("dedup_apply", dedup_apply, SQL_DEDUP_APPLY, "deduped corpus (kept docs)")
@@ -766,6 +843,12 @@ def register(reg: Registry) -> None:
         None,
         "xxhash64 MinHash signatures (scale path; rows-only check -- "
         "value-verified via minhash_lsh_pairs_fast)",
+    )
+    reg.add(
+        "tf_cosine_pairs",
+        tf_cosine_pairs,
+        SQL_TF_COSINE,
+        "TF-vector cosine pairs via inverted-index self-join (df-capped)",
     )
     reg.add(
         "minhash_lsh_pairs_fast",

@@ -125,6 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "recursive_order_chains",
     "sql_udf_revenue",
     "triangle_count",
+    "tf_cosine_pairs",
     # --- r3-green block ---
     "asof_join_events",
     "pivot_event_counts",
