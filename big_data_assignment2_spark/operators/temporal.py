@@ -317,7 +317,183 @@ FROM ev e JOIN bounded b
 """
 
 
+GAP_STEP_S = 3600  # gap-fill bucket width (1 hour)
+GAP_CUTOFF_S = 1_704_672_000  # 2024-01-08 00:00:00 UTC: one-week slice
+
+
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup with gap filling: hourly buckets
+    per user over the user's own [first, last] hour, missing buckets
+    emitted with ``n_events = 0`` and the gauge carried forward (LOCF --
+    last observation carried forward), the TimescaleDB
+    ``time_bucket_gapfill + locf`` semantics re-expressed as DataFrame ops.
+
+    Shape: the dense bucket spine is ``sequence(lo, hi, step)`` + explode
+    from ONE per-user min/max aggregate -- spine size is bounded by
+    range/step per key, never by event count, so a chatty key costs the
+    same spine as a quiet one. The fill is a left join (spine <- observed)
+    plus one per-key ordered window for LOCF: two shuffles on user_id
+    total, both AQE-coalesced. Buckets and epochs are integer seconds
+    end-to-end (timezone-proof); the gauge is a per-bucket MAX (exact, no
+    accumulation), so LOCF output is bit-identical across engines.
+
+    The week slice keeps the demo spine small; at 100 TB the slice
+    disappears and step widens with the rollup level -- the plan is
+    unchanged."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("s"), "value"
+    ).where(F.col("s") < GAP_CUTOFF_S)
+    bucketed = ev.select(
+        "user_id",
+        (F.floor(F.col("s") / GAP_STEP_S) * GAP_STEP_S).cast("long").alias("bucket_s"),
+        "value",
+    )
+    obs = bucketed.groupBy("user_id", "bucket_s").agg(
+        F.count(F.lit(1)).alias("n_obs"), F.max("value").alias("gauge")
+    )
+    spine = (
+        bucketed.groupBy("user_id")
+        .agg(F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.lit(GAP_STEP_S).cast("long"))).alias(
+                "bucket_s"
+            ),
+        )
+    )
+    j = spine.join(obs, ["user_id", "bucket_s"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "bucket_s",
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_events"),
+        F.round(F.last("gauge", ignorenulls=True).over(w), 6).alias("gauge_locf"),
+    )
+
+
+SQL_GAPFILL = f"""
+WITH ev AS (
+  -- floor() BEFORE the BIGINT cast: DuckDB CAST(double) rounds to nearest
+  -- while Spark unix_timestamp truncates, and events carry sub-second parts
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, value
+  FROM events WHERE CAST(floor(epoch(ts)) AS BIGINT) < {GAP_CUTOFF_S}
+),
+bucketed AS (
+  SELECT user_id, (s // {GAP_STEP_S}) * {GAP_STEP_S} AS bucket_s, value FROM ev
+),
+obs AS (
+  SELECT user_id, bucket_s, count(*) AS n_obs, max(value) AS gauge
+  FROM bucketed GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id,
+         unnest(generate_series(min(bucket_s), max(bucket_s), {GAP_STEP_S})) AS bucket_s
+  FROM bucketed GROUP BY user_id
+)
+SELECT s.user_id, s.bucket_s,
+       CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_events,
+       round(last_value(o.gauge IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.bucket_s
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS gauge_locf
+FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.bucket_s = s.bucket_s
+"""
+
+
+SESSION_PAD_S = 600  # each event opens a 10-minute activity interval
+
+
+def intervals_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-user activity intervals (gaps-and-islands):
+    every event opens ``[ts, ts + {SESSION_PAD_S}s)``; touching or
+    overlapping intervals fuse into one island, returned as
+    (user_id, start_s, end_s, n_events).
+
+    The classic O(n log n) single-pass form, not an interval self-join:
+    a running ``max(end)`` over the per-user start-ordered window marks an
+    island boundary wherever the next start exceeds every previous end,
+    and a running sum of those boundary flags numbers the islands -- one
+    shuffle + one sort per key, linear in events, where the naive
+    overlap-join is quadratic per key. All arithmetic is integer epoch
+    seconds, so both engines agree exactly."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + SESSION_PAD_S).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn("prev_max_e", F.max("e").over(w_prev)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.withColumn("island", F.sum("is_new").over(w_run))
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("start_s"),
+        F.max("e").alias("end_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select("user_id", "start_s", "end_s", "n_events")
+
+
+SQL_INTERVALS = f"""
+WITH ev AS (
+  -- floor() before the cast (DuckDB CAST rounds; Spark truncates)
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + {SESSION_PAD_S} AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (
+                PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR s > max(e) OVER (
+                PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_new,
+         event_id
+  FROM ev
+),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT user_id, min(s) AS start_s, max(e) AS end_s,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM islands GROUP BY user_id, island
+"""
+
+
 def register(reg: Registry) -> None:
+    reg.add(
+        "gapfill_locf",
+        gapfill_locf,
+        SQL_GAPFILL,
+        "hourly time-bucket gap fill with last-observation-carried-forward",
+    )
+    reg.add(
+        "intervals_consolidate",
+        intervals_consolidate,
+        SQL_INTERVALS,
+        "merge overlapping per-user intervals (gaps-and-islands, one pass)",
+    )
     reg.add("asof_join_events", asof_join_events, SQL_ASOF, "as-of backward join via window")
     reg.add(
         "scd2_point_in_time_join",

@@ -126,6 +126,8 @@ _PRIORITY: tuple[str, ...] = (
     "sql_udf_revenue",
     "triangle_count",
     "tf_cosine_pairs",
+    "gapfill_locf",
+    "intervals_consolidate",
     # --- r3-green block ---
     "asof_join_events",
     "pivot_event_counts",
