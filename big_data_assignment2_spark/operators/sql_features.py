@@ -133,6 +133,56 @@ GROUP BY l_returnflag
 """
 
 
+LATERAL_K = 3
+LATERAL_NATION_V = "nation_lat_v"
+LATERAL_CUSTOMER_V = "customer_lat_v"
+
+
+def lateral_topn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-K through a **correlated LATERAL subquery** (Spark
+    3.2+ SQL): for every nation, its {LATERAL_K} highest-balance customers,
+    written as the declarative ``FROM nation, LATERAL (... ORDER BY ...
+    LIMIT k)`` form rather than the window-rank idiom
+    (``window_rank_topn`` keeps that twin) -- the two canonical spellings
+    of top-N-per-group, both in the registry so a user can run whichever
+    their SQL dialect habit produces.
+
+    Execution shape (observed physical plan): Catalyst DE-CORRELATES the
+    subquery -- nothing per-outer-row survives. Customers flow through a
+    Partial ``WindowGroupLimit`` (each map task keeps only its own top-K
+    per nation BEFORE the shuffle), one hash exchange on the correlation
+    key, a Final WindowGroupLimit + row_number filter, then a broadcast
+    hash join back to the tiny outer side. That map-side top-K prune is
+    the whole 100 TB story: shuffle volume is K x nations per task, not
+    the customer table."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(LATERAL_NATION_V)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(LATERAL_CUSTOMER_V)
+    return spark.sql(f"""
+SELECT n.n_name, l.c_custkey, l.c_acctbal
+FROM {LATERAL_NATION_V} n,
+LATERAL (
+  SELECT c_custkey, c_acctbal FROM {LATERAL_CUSTOMER_V} c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT {LATERAL_K}
+) l
+""")
+
+
+# the IDENTICAL lateral form in DuckDB -- same language feature, not a
+# window-function rewrite, so the oracle exercises LATERAL on both engines
+SQL_LATERAL_TOPN = f"""
+SELECT n.n_name, l.c_custkey, l.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT {LATERAL_K}
+) l
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "recursive_order_chains",
@@ -145,4 +195,10 @@ def register(reg: Registry) -> None:
         sql_udf_revenue,
         SQL_UDF_REVENUE,
         "SQL-body UDFs (composed, codegen-inlined) vs DuckDB macros",
+    )
+    reg.add(
+        "lateral_topn_customers",
+        lateral_topn_customers,
+        SQL_LATERAL_TOPN,
+        "correlated LATERAL top-K per group (de-correlated by Catalyst)",
     )

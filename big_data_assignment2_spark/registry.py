@@ -128,6 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     "tf_cosine_pairs",
     "gapfill_locf",
     "intervals_consolidate",
+    "lateral_topn_customers",
     # --- r3-green block ---
     "asof_join_events",
     "pivot_event_counts",
