@@ -92,6 +92,7 @@ def main() -> None:
         write_events_json,
         write_lineitem_csv,
         write_lineitem_orc,
+        write_lineitem_xml,
     )
 
     _build("bm25_index", lambda: ensure_persisted_index(spark, sf_dir))
@@ -142,6 +143,7 @@ def main() -> None:
     _build("json_export", lambda: write_events_json(spark, sf_dir))
     _build("orc_export", lambda: write_lineitem_orc(spark, sf_dir))
     _build("corrupt_csv_fixture", lambda: write_corrupt_csv(spark, sf_dir))
+    _build("xml_export", lambda: write_lineitem_xml(spark, sf_dir))
     if any(n.startswith("reference_bm25") for n in reg.queries):
         from big_data_assignment2_spark.sources.reference_corpus import (
             warm_reference_index,

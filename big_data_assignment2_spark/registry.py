@@ -129,6 +129,7 @@ _PRIORITY: tuple[str, ...] = (
     "gapfill_locf",
     "intervals_consolidate",
     "lateral_topn_customers",
+    "xml_roundtrip",
     # --- r3-green block ---
     "asof_join_events",
     "pivot_event_counts",

@@ -273,12 +273,94 @@ FROM lineitem GROUP BY 1
 """
 
 
+_WRITTEN_XML: dict[str, str] = {}
+
+XML_SCHEMA = (
+    "l_orderkey bigint, l_linenumber bigint, l_quantity double,"
+    " l_extendedprice double, l_returnflag string, l_shipdate_s bigint"
+)
+
+
+def write_lineitem_xml(spark: SparkSession, sf_dir: str) -> str:
+    """Write a lineitem projection as XML (Spark 4's NATIVE xml format --
+    the spark-xml package folded into the distribution); memoized per
+    sf_dir. Same text-serialization contract as the JSONL sink: the
+    timestamp goes out as epoch-second integers (text timestamps render
+    through the writer's session timezone; the epoch int is the same bytes
+    everywhere), doubles serialize shortest-round-trip. A projection, not
+    all 16 columns: XML carries per-FIELD tag overhead (~3x CSV bytes), so
+    a real feed ships only the fields the consumer parses."""
+    if sf_dir not in _WRITTEN_XML:
+        from ..operators._util import scratch_root, scratch_slug
+
+        out = f"{scratch_root()}/lineitem_xml_{scratch_slug(sf_dir)}"
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                "l_quantity",
+                "l_extendedprice",
+                "l_returnflag",
+                F.unix_timestamp("l_shipdate").alias("l_shipdate_s"),
+            )
+            .repartition(4)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "lineitems")
+            .option("rowTag", "item")
+            .save(out)
+        )
+        _WRITTEN_XML[sf_dir] = out
+    return _WRITTEN_XML[sf_dir]
+
+
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: XML sink + explicit-schema XML source, per-returnflag
+    aggregate verified against the ORIGINAL parquet table -- any tag
+    parse/format infidelity (double text round-trip, empty-tag nulls,
+    field ordering) breaks the value hash. The explicit schema skips the
+    inference pass (at 100 TB, schema inference is a full extra read of
+    the feed). XML is a text source with no predicate pushdown, so the
+    linenumber filter runs post-parse -- correct, and exactly why parquet
+    stays the canonical storage: this connector exists for the feeds that
+    arrive as XML, not as a table format."""
+    path = write_lineitem_xml(spark, sf_dir)
+    li = spark.read.schema(XML_SCHEMA).option("rowTag", "item").format("xml").load(path)
+    return (
+        li.where(F.col("l_linenumber") <= 4)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 4).alias("sum_price"),
+            F.sum("l_shipdate_s").alias("sum_ship_s"),
+        )
+    )
+
+
+SQL_XML_ROUNDTRIP = f"""
+SELECT l_returnflag, count(*) AS n_rows,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice', 4)} AS sum_price,
+       CAST(SUM(CAST(floor(epoch(l_shipdate)) AS BIGINT)) AS BIGINT) AS sum_ship_s
+FROM lineitem WHERE l_linenumber <= 4
+GROUP BY 1
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "schema_evolution_read",
         schema_evolution_read,
         SQL_SCHEMA_EVOLUTION,
         "mergeSchema read over drifted file generations (additive column)",
+    )
+    reg.add(
+        "xml_roundtrip",
+        xml_roundtrip,
+        SQL_XML_ROUNDTRIP,
+        "native XML sink + explicit-schema source round-trip",
     )
     reg.add(
         "csv_roundtrip",
