@@ -1,0 +1,196 @@
+"""Data-quality / migration-validation operators: order-independent table
+content checksums and a categorical-association (chi-squared) profile.
+
+``table_checksum`` is the operator a user runs on BOTH sides of an engine
+migration (exactly this repo's correctness story, made available to the
+user): every row is rendered to one canonical string, hashed, and the
+hashes summed -- sums commute, so the checksum is independent of partition
+count, task order, and file layout, and two engines agree iff the row
+multisets agree. The canonical rendering is the part that has to be
+pinned: doubles go through fixed-scale decimals (binary-float-to-text is
+NOT engine-portable), timestamps through integer epochs.
+
+The reference has no validation tooling at all (its parity story is "run
+the job twice"); this is beyond-reference operability surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import Registry
+from ..sources.catalog import load_table
+
+# 15 hex digits = 60 bits: fits signed 64-bit on both engines with headroom;
+# the sum of 2^60-bounded terms over any realistic row count fits DECIMAL(38,0).
+HEX_DIGITS = 15
+
+
+def _hash60(col: Column) -> Column:
+    """Lower-60-bit integer slice of md5, identical on both engines."""
+    return F.conv(F.substring(F.md5(col), 1, HEX_DIGITS), 16, 10).cast("long")
+
+
+def _sql_hash60(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, {HEX_DIGITS})) AS BIGINT)"
+
+
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum of ``orders`` and ``customer``:
+    one row per table with (table_name, n_rows, checksum).
+
+    Shape: pure map + one global sum per table -- no shuffle beyond the
+    final 1-row aggregate (partial sums combine map-side), so it scans at
+    IO speed regardless of cluster size and never moves data. That is the
+    property that makes it usable as a routine post-migration /
+    post-compaction invariant at 100 TB, where a sort-based comparison
+    would be a full-table shuffle.
+
+    Canonical row rendering: NULL-safe ``concat_ws`` with a field
+    separator, doubles via DECIMAL(18,2) (exact for money columns; binary
+    float text would diverge between engines), dates via epoch seconds."""
+    o = load_table(spark, sf_dir, "orders")
+    o_canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.unix_timestamp("o_orderdate").cast("string"),
+        "o_orderpriority",
+    )
+    c = load_table(spark, sf_dir, "customer")
+    c_canon = F.concat_ws(
+        "|",
+        F.col("c_custkey").cast("string"),
+        "c_name",
+        F.col("c_nationkey").cast("string"),
+        F.col("c_acctbal").cast("decimal(18,2)").cast("string"),
+        "c_mktsegment",
+    )
+
+    def _sum(df: DataFrame, canon: Column, name: str) -> DataFrame:
+        return (
+            df.select(_hash60(canon).alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("h").cast("decimal(38,0)")).alias("checksum_dec"),
+            )
+            # checksum travels as its canonical decimal STRING: a 2^60-term
+            # sum overflows int64, and DECIMAL(38,0) reaches pandas as
+            # float64 from DuckDB but Decimal from Spark -- the string is
+            # the only representation both engines render identically
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_rows",
+                F.col("checksum_dec").cast("string").alias("checksum"),
+            )
+        )
+
+    return _sum(o, o_canon, "orders").unionByName(_sum(c, c_canon, "customer"))
+
+
+def _sql_canon_orders() -> str:
+    return (
+        "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),"
+        " o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),"
+        " CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT) AS VARCHAR),"
+        " o_orderpriority)"
+    )
+
+
+def _sql_canon_customer() -> str:
+    return (
+        "concat_ws('|', CAST(c_custkey AS VARCHAR), c_name,"
+        " CAST(c_nationkey AS VARCHAR),"
+        " CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR),"
+        " c_mktsegment)"
+    )
+
+
+SQL_TABLE_CHECKSUM = f"""
+SELECT 'orders' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM({_sql_hash60(_sql_canon_orders())}) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+FROM orders
+UNION ALL
+SELECT 'customer', CAST(count(*) AS BIGINT),
+       CAST(CAST(SUM({_sql_hash60(_sql_canon_customer())}) AS DECIMAL(38,0)) AS VARCHAR)
+FROM customer
+"""
+
+
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared association between the ``documents`` table's two
+    categorical columns (lang x source) -- the standard "are these fields
+    independent?" data-profiling statistic: one output row with the cell
+    count, degrees of freedom, and the chi-squared statistic.
+
+    Determinism: observed / marginal counts are integers; each cell's
+    ``(obs - exp)^2 / exp`` is a handful of IEEE double ops on identical
+    integer inputs (bit-identical across engines), and the cross-cell SUM
+    -- the only order-dependent step -- goes through an exact
+    DECIMAL(18,6) per-cell rounding, so partition order cannot move the
+    total. Shape: one groupBy for cells, two tiny marginal aggregates
+    joined back broadcast-style, a few dozen rows after the first
+    aggregate -- at 100 TB the only full-data pass is the cell count."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "source")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    rowt = cells.groupBy("lang").agg(F.sum("obs").alias("r"))
+    colt = cells.groupBy("source").agg(F.sum("obs").alias("c"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    exp = F.col("r") * F.col("c") / F.col("n")
+    cell_chi = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
+    joined = (
+        cells.join(F.broadcast(rowt), "lang")
+        .join(F.broadcast(colt), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    nl = rowt.agg(F.count(F.lit(1)).alias("v"))
+    ns = colt.agg(F.count(F.lit(1)).alias("v"))
+    stats = joined.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(cell_chi.cast("decimal(18,6)")).cast("double").alias("chi2"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(nl.select(F.col("v").alias("n_langs"))))
+        .crossJoin(F.broadcast(ns.select(F.col("v").alias("n_sources"))))
+        .select(
+            "n_cells",
+            ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).alias("dof"),
+            F.round("chi2", 6).alias("chi2"),
+        )
+    )
+
+
+SQL_CHI2 = """
+WITH cells AS (SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2),
+rowt AS (SELECT lang, SUM(obs) AS r FROM cells GROUP BY 1),
+colt AS (SELECT source, SUM(obs) AS c FROM cells GROUP BY 1),
+tot AS (SELECT SUM(obs) AS n FROM cells),
+cellchi AS (
+  SELECT CAST((obs - r * c / n) * (obs - r * c / n) / (r * c / n)
+              AS DECIMAL(18,6)) AS chi
+  FROM cells JOIN rowt USING (lang) JOIN colt USING (source), tot
+)
+SELECT CAST((SELECT count(*) FROM cells) AS BIGINT) AS n_cells,
+       CAST((SELECT (count(DISTINCT lang) - 1) FROM documents) *
+            (SELECT (count(DISTINCT source) - 1) FROM documents) AS BIGINT) AS dof,
+       round(CAST(SUM(chi) AS DOUBLE), 6) AS chi2
+FROM cellchi
+"""
+
+
+def register(reg: Registry) -> None:
+    reg.add(
+        "table_checksum",
+        table_checksum,
+        SQL_TABLE_CHECKSUM,
+        "order-independent canonical-row content checksum (migration check)",
+    )
+    reg.add(
+        "chi2_lang_source",
+        chi2_lang_source,
+        SQL_CHI2,
+        "chi-squared lang x source association profile (decimal-exact sum)",
+    )

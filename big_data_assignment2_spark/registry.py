@@ -130,6 +130,8 @@ _PRIORITY: tuple[str, ...] = (
     "intervals_consolidate",
     "lateral_topn_customers",
     "xml_roundtrip",
+    "table_checksum",
+    "chi2_lang_source",
     # --- r3-green block ---
     "asof_join_events",
     "pivot_event_counts",
@@ -239,6 +241,7 @@ def build_registry() -> Registry:
     from .operators import (
         cbo,
         dedup,
+        dq,
         graph,
         index_build,
         merge,
@@ -263,6 +266,7 @@ def build_registry() -> Registry:
         relational,
         index_build,
         cbo,
+        dq,
         merge,
         graph,
         search,
