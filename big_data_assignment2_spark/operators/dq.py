@@ -120,6 +120,66 @@ FROM customer
 """
 
 
+# (column, native min/max expr -> canonical string) specs for profile_table.
+# min/max run on the NATIVE type (string min would be lexicographic), then
+# render through the same canonical forms the checksum uses: decimals for
+# doubles, integer epochs for timestamps.
+_PROFILE_COLS = (
+    ("l_orderkey", "CAST({m} AS STRING)", "CAST({m} AS VARCHAR)"),
+    ("l_partkey", "CAST({m} AS STRING)", "CAST({m} AS VARCHAR)"),
+    ("l_quantity", "CAST(CAST({m} AS DECIMAL(18,2)) AS STRING)",
+     "CAST(CAST({m} AS DECIMAL(18,2)) AS VARCHAR)"),
+    ("l_extendedprice", "CAST(CAST({m} AS DECIMAL(18,2)) AS STRING)",
+     "CAST(CAST({m} AS DECIMAL(18,2)) AS VARCHAR)"),
+    ("l_returnflag", "{m}", "{m}"),
+    ("l_shipdate", "CAST(unix_timestamp({m}) AS STRING)",
+     "CAST(CAST(floor(epoch({m})) AS BIGINT) AS VARCHAR)"),
+)
+
+
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile report over ``lineitem`` -- the first command a data
+    engineer runs against an unfamiliar table: one row per column with
+    null count, EXACT distinct count, and canonical-string min/max.
+
+    Shape: ONE scan. All per-column aggregates run in a single ``agg``;
+    the multi-column exact count-distincts compile to one Expand (a 6-way
+    row replication) feeding a shared two-phase aggregate, which is the
+    documented price of exactness -- the approx_count_distinct variant
+    drops the Expand entirely (see ``approx_distinct_users``) and is what
+    a 100 TB profile would use for the distinct column only. The wide
+    1-row result is reshaped long with ``stack`` (row-local, no extra
+    shuffle). The DuckDB oracle is the straightforward per-column UNION
+    ALL -- six scans there, one here; both orders of magnitude below the
+    join-shaped queries, and the values must agree exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs, stack_args = [], []
+    for i, (name, sp_fmt, _) in enumerate(_PROFILE_COLS):
+        aggs += [
+            (F.count(F.lit(1)) - F.count(name)).alias(f"nn{i}"),
+            F.countDistinct(name).alias(f"nd{i}"),
+            F.expr(sp_fmt.format(m=f"min({name})")).alias(f"mn{i}"),
+            F.expr(sp_fmt.format(m=f"max({name})")).alias(f"mx{i}"),
+        ]
+        stack_args.append(f"'{name}', nn{i}, nd{i}, mn{i}, mx{i}")
+    wide = li.agg(*aggs)
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)})"
+        " as (column_name, n_nulls, n_distinct, min_s, max_s)"
+    )
+
+
+SQL_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS column_name,
+       CAST(count(*) - count({name}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
+       {dk_fmt.format(m=f"min({name})")} AS min_s,
+       {dk_fmt.format(m=f"max({name})")} AS max_s
+FROM lineitem"""
+    for name, _, dk_fmt in _PROFILE_COLS
+)
+
+
 def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-squared association between the ``documents`` table's two
     categorical columns (lang x source) -- the standard "are these fields
@@ -187,6 +247,12 @@ def register(reg: Registry) -> None:
         table_checksum,
         SQL_TABLE_CHECKSUM,
         "order-independent canonical-row content checksum (migration check)",
+    )
+    reg.add(
+        "profile_table",
+        profile_table,
+        SQL_PROFILE,
+        "one-scan column profile: nulls, exact distincts, canonical min/max",
     )
     reg.add(
         "chi2_lang_source",

@@ -132,6 +132,7 @@ _PRIORITY: tuple[str, ...] = (
     "xml_roundtrip",
     "table_checksum",
     "chi2_lang_source",
+    "profile_table",
     # --- r3-green block ---
     "asof_join_events",
     "pivot_event_counts",
