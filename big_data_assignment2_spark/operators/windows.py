@@ -475,8 +475,65 @@ GROUP BY 1, 2
 """
 
 
+TRAIL_RANGE_US = 3_600_000_000  # trailing 1-hour frame, in epoch microseconds
+
+
+def window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing ONE-HOUR aggregate via a value-based **RANGE
+    frame** (``RANGE BETWEEN 3600s PRECEDING AND CURRENT ROW`` over epoch
+    micros) -- the frame kind ROWS cannot imitate: with irregular event
+    spacing, "last 3 rows" and "last hour" are different questions, and
+    the hour is usually the one being asked (rate limiting, trailing
+    exposure, rolling SLO counts).
+
+    RANGE frames need no tiebreaker: the frame is defined by the ORDER-key
+    VALUE, so equal-timestamp events share one frame and every engine
+    agrees row-for-row (ROWS frames here carry an event_id tiebreaker for
+    exactly that reason). The frame sum goes through an exact decimal --
+    Spark evaluates sliding sums incrementally, DuckDB with a segment
+    tree, and only order-independent accumulation makes those agree
+    bitwise. One shuffle on user_id + per-partition sort; frame
+    evaluation is O(n) per key regardless of frame width, so widening the
+    trailing window costs nothing at 100 TB."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-TRAIL_RANGE_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 6
+        ).alias("sum_1h"),
+    )
+
+
+SQL_TRAILING_RANGE = f"""
+SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       count(*) OVER w AS n_1h,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT)
+             RANGE BETWEEN {TRAIL_RANGE_US} PRECEDING AND CURRENT ROW)
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("window_tumbling", window_tumbling, SQL_TUMBLING, "5-min tumbling windows")
+    reg.add(
+        "window_trailing_range",
+        window_trailing_range,
+        SQL_TRAILING_RANGE,
+        "value-based RANGE frame: trailing 1-hour per-event aggregate",
+    )
     reg.add("funnel_depths", funnel_depths, SQL_FUNNEL, "ordered click->view->purchase funnel")
     reg.add("cohort_retention", cohort_retention, SQL_COHORT, "first-seen-day cohort retention")
     reg.add(

@@ -133,6 +133,7 @@ _PRIORITY: tuple[str, ...] = (
     "table_checksum",
     "chi2_lang_source",
     "profile_table",
+    "window_trailing_range",
     # --- r3-green block ---
     "asof_join_events",
     "pivot_event_counts",
