@@ -241,6 +241,69 @@ FROM cellchi
 """
 
 
+# (relation label, child table, child FK col, parent table, parent PK col)
+_FK_RELATIONS = (
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+)
+
+
+def fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the schema's declared FK edges:
+    one row per relationship with the child count, ORPHANS (child rows
+    whose key has no parent -- must be 0 on healthy data; any other number
+    is the post-ingest red flag this report exists to raise), and
+    CHILDLESS PARENTS (parents no child references -- legitimately nonzero:
+    TPC-H leaves ~1/3 of customers orderless, so the report's values are
+    exercised, not vacuously zero).
+
+    Shape per edge: two anti-joins on the key -- Spark broadcasts the
+    parent side where it is small and falls back to a shuffled hash anti
+    join where it is not, and an anti join's output stops at the FIRST
+    match per row, so cost is one build + one probe pass per edge. The
+    distinct-key prepass on the child side keeps the anti join's probe
+    proportional to key cardinality, not child rows."""
+    rows = None
+    for label, child_t, fk, parent_t, pk in _FK_RELATIONS:
+        child = load_table(spark, sf_dir, child_t).select(F.col(fk).cast("long").alias("k"))
+        parent = load_table(spark, sf_dir, parent_t).select(F.col(pk).cast("long").alias("k"))
+        n_child = child.agg(F.count(F.lit(1)).alias("n_child"))
+        orphans = (
+            child.select("k").distinct().join(parent, "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphan_keys"))
+        )
+        childless = parent.join(child.select("k").distinct(), "k", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_childless_parents")
+        )
+        row = (
+            n_child.crossJoin(F.broadcast(orphans))
+            .crossJoin(F.broadcast(childless))
+            .select(
+                F.lit(label).alias("relation"),
+                "n_child",
+                "n_orphan_keys",
+                "n_childless_parents",
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+SQL_FK_REPORT = "\nUNION ALL\n".join(
+    f"""SELECT '{label}' AS relation,
+       CAST((SELECT count(*) FROM {child_t}) AS BIGINT) AS n_child,
+       CAST((SELECT count(*) FROM (SELECT DISTINCT {fk} AS k FROM {child_t}) c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent_t} p WHERE p.{pk} = c.k)) AS BIGINT)
+         AS n_orphan_keys,
+       CAST((SELECT count(*) FROM {parent_t} p
+             WHERE NOT EXISTS (SELECT 1 FROM {child_t} c WHERE c.{fk} = p.{pk})) AS BIGINT)
+         AS n_childless_parents"""
+    for label, child_t, fk, parent_t, pk in _FK_RELATIONS
+)
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "table_checksum",
@@ -253,6 +316,12 @@ def register(reg: Registry) -> None:
         profile_table,
         SQL_PROFILE,
         "one-scan column profile: nulls, exact distincts, canonical min/max",
+    )
+    reg.add(
+        "fk_integrity_report",
+        fk_integrity_report,
+        SQL_FK_REPORT,
+        "referential-integrity audit: orphans + childless parents per FK edge",
     )
     reg.add(
         "chi2_lang_source",

@@ -134,6 +134,7 @@ _PRIORITY: tuple[str, ...] = (
     "chi2_lang_source",
     "profile_table",
     "window_trailing_range",
+    "fk_integrity_report",
     # --- r3-green block ---
     "asof_join_events",
     "pivot_event_counts",
