@@ -160,6 +160,106 @@ SQL_PIVOT = "SELECT user_id, " + ", ".join(
 ) + " FROM events GROUP BY user_id"
 
 
+def pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DYNAMIC-values pivot path: the column list is discovered with a
+    separate distinct-values job (sorted for a deterministic column
+    order), then fed to the same explicit-list pivot as
+    :func:`pivot_event_counts`. This is what ``.pivot(col)`` without a
+    value list does under the hood -- made explicit here so the cost model
+    is visible: ONE extra metadata-sized job (distinct event types -- a
+    handful of values regardless of table size, the one ``.collect()``
+    class that is legitimate at 100 TB), after which the plan is identical
+    to the static pivot. Spark caps the discovered list at
+    ``spark.sql.pivotMaxValues`` (default 10k) for exactly this reason."""
+    ev = load_table(spark, sf_dir, "events")
+    types = sorted(
+        r["event_type"] for r in ev.select("event_type").distinct().collect()
+    )
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+# oracle discovers nothing: the driver compares VALUES, and on this data the
+# discovered set equals PIVOT_TYPES (asserted by the Spark/DuckDB match --
+# a new event_type in the generator would fail the column comparison, which
+# is the correct loud failure for a dynamic pivot)
+SQL_PIVOT_DYNAMIC = "SELECT user_id, " + ", ".join(
+    f"count(*) FILTER (event_type = '{t}') AS {t}" for t in sorted(PIVOT_TYPES)
+) + " FROM events GROUP BY user_id"
+
+
+RECON_DAY_S = 86_400
+
+
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feed reconciliation via FULL OUTER join -- the classic ops
+    question "which (user, day) cells exist in one feed but not the
+    other?": per-day click counts vs purchase counts, every cell kept from
+    BOTH sides, zero-filled, tagged with its match status. Inner/left/
+    semi/anti joins are registered elsewhere; full outer completes the
+    join-type family, and its shuffle shape is the same single hash
+    exchange per side on the join key (both inputs are already aggregated
+    to key-cardinality before the join -- reconcile aggregates, never raw
+    feeds: the join then moves counters, not events)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / RECON_DAY_S).cast("long").alias("day"),
+        "event_type",
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    j = clicks.join(purch, ["user_id", "day"], "full_outer")
+    status = (
+        F.when(F.col("n_clicks").isNull(), F.lit("purchase_only"))
+        .when(F.col("n_purchases").isNull(), F.lit("click_only"))
+        .otherwise(F.lit("both"))
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.coalesce("n_clicks", F.lit(0)).cast("long").alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
+        status.alias("status"),
+    )
+
+
+SQL_FULL_OUTER_RECONCILE = f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts) / {RECON_DAY_S}) AS BIGINT) AS day, event_type
+  FROM events
+),
+clicks AS (
+  SELECT user_id, day, count(*) AS n_clicks FROM ev
+  WHERE event_type = 'click' GROUP BY 1, 2
+),
+purch AS (
+  SELECT user_id, day, count(*) AS n_purchases FROM ev
+  WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       COALESCE(c.day, p.day) AS day,
+       CAST(COALESCE(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+       CAST(COALESCE(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+       CASE WHEN c.n_clicks IS NULL THEN 'purchase_only'
+            WHEN p.n_purchases IS NULL THEN 'click_only'
+            ELSE 'both' END AS status
+FROM clicks c FULL OUTER JOIN purch p
+  ON c.user_id = p.user_id AND c.day = p.day
+"""
+
+
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over two dimensions: all 4 grouping sets in one pass
     (Expand + single shuffle), with grouping_id disambiguating the null
@@ -514,6 +614,18 @@ def register(reg: Registry) -> None:
         "binned interval-containment join (equi on time bin, no nested loop)",
     )
     reg.add("pivot_event_counts", pivot_event_counts, SQL_PIVOT, "explicit-values pivot")
+    reg.add(
+        "pivot_dynamic",
+        pivot_dynamic,
+        SQL_PIVOT_DYNAMIC,
+        "dynamic-values pivot (explicit distinct-discovery job, then static plan)",
+    )
+    reg.add(
+        "full_outer_reconcile",
+        full_outer_reconcile,
+        SQL_FULL_OUTER_RECONCILE,
+        "FULL OUTER two-feed reconciliation with match-status tags",
+    )
     reg.add(
         "unpivot_event_counts",
         unpivot_event_counts,

@@ -135,6 +135,8 @@ _PRIORITY: tuple[str, ...] = (
     "profile_table",
     "window_trailing_range",
     "fk_integrity_report",
+    "pivot_dynamic",
+    "full_outer_reconcile",
     # --- r3-green block ---
     "asof_join_events",
     "pivot_event_counts",
