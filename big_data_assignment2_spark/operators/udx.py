@@ -164,6 +164,76 @@ FROM documents GROUP BY 1
 """
 
 
+COGROUP_DAY_S = 86_400
+
+
+def cogroup_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The **cogroup + applyInPandas** surface (the one pandas-API shape
+    not used elsewhere in this repo): click events and purchase events are
+    cogrouped BY USER -- each task receives the user's rows from BOTH
+    frames as two pandas DataFrames, with no join materializing the
+    pairing -- and the function computes exact per-user day-set overlap
+    (active click days, purchase days, common days). That two-sided
+    custom merge is what cogroup exists for: medleys like
+    interval-difference, ledger matching, or custom as-of logic where a
+    relational join either explodes or contorts.
+
+    Shuffle shape: ONE hash exchange per side on user_id (identical to a
+    shuffle join's input movement), then purely local pandas work per
+    user. Determinism: outputs are set cardinalities (integers) over
+    integer day numbers -- no float path, so the DuckDB twin (two
+    aggregated sides full-outer-merged) matches exactly."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / COGROUP_DAY_S).cast("long").alias("day"),
+        "event_type",
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "day")
+    purch = ev.where(F.col("event_type") == "purchase").select("user_id", "day")
+
+    # defined INSIDE the operator so cloudpickle ships it by value
+    def overlap(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cd = set(left["day"]) if len(left) else set()
+        pdays = set(right["day"]) if len(right) else set()
+        uid = (left["user_id"].iloc[0] if len(left) else right["user_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "user_id": [int(uid)],
+                "n_click_days": [len(cd)],
+                "n_purchase_days": [len(pdays)],
+                "n_common_days": [len(cd & pdays)],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purch.groupBy("user_id"))
+        .applyInPandas(
+            overlap,
+            "user_id long, n_click_days long, n_purchase_days long, n_common_days long",
+        )
+    )
+
+
+SQL_COGROUP_DAYS = f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts) / {COGROUP_DAY_S}) AS BIGINT) AS day, event_type
+  FROM events
+),
+c AS (SELECT user_id, count(DISTINCT day) AS n_click_days,
+             list(DISTINCT day) AS cdays
+      FROM ev WHERE event_type = 'click' GROUP BY 1),
+p AS (SELECT user_id, count(DISTINCT day) AS n_purchase_days,
+             list(DISTINCT day) AS pdays
+      FROM ev WHERE event_type = 'purchase' GROUP BY 1)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       CAST(COALESCE(c.n_click_days, 0) AS BIGINT) AS n_click_days,
+       CAST(COALESCE(p.n_purchase_days, 0) AS BIGINT) AS n_purchase_days,
+       CAST(COALESCE(len(list_intersect(c.cdays, p.pdays)), 0) AS BIGINT) AS n_common_days
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("token_hist_arrow", token_hist_arrow, SQL_TOKEN_HIST,
             "mapInArrow token-count histogram (Arrow-native kernels)")
@@ -171,3 +241,5 @@ def register(reg: Registry) -> None:
             "GROUPED_AGG pandas UDAF (exact median)")
     reg.add("bigrams_udtf", bigrams_udtf, SQL_BIGRAMS,
             "Python UDTF via LATERAL join (positional bigrams)")
+    reg.add("cogroup_user_days", cogroup_user_days, SQL_COGROUP_DAYS,
+            "cogroup+applyInPandas two-sided merge (day-set overlap per user)")

@@ -137,6 +137,7 @@ _PRIORITY: tuple[str, ...] = (
     "fk_integrity_report",
     "pivot_dynamic",
     "full_outer_reconcile",
+    "cogroup_user_days",
     # --- r3-green block ---
     "asof_join_events",
     "pivot_event_counts",
