@@ -304,6 +304,84 @@ SQL_FK_REPORT = "\nUNION ALL\n".join(
 )
 
 
+LINREG_X_BASE = 1_704_067_200  # 2024-01-01: centering keeps x^2 sums small
+
+
+def groupwise_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ordinary-least-squares fit of ``value`` against
+    time -- "is this metric drifting?" asked per group, the scalable way:
+    OLS over (x, y) needs only the five classic sums (n, Sx, Sy, Sxy,
+    Sxx), all ALGEBRAIC -- they partial-aggregate map-side and merge, so
+    the whole regression is one two-phase aggregate pass, no per-group
+    value collection (contrast the exact-median UDAF above it in the
+    registry, which documents the non-mergeable case).
+
+    Determinism: x is integer seconds centered on a constant epoch (keeps
+    Sxx ~ 1e19 at a month's range -- far inside DECIMAL(38,0)); y sums go
+    through DECIMAL(18,6). Both engines therefore hold IDENTICAL exact
+    sums, and slope/intercept are a fixed sequence of double ops on those
+    sums, rounded to 6. The DuckDB twin spells out the same sums rather
+    than calling regr_slope (whose internal accumulation order is not
+    contracted)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_timestamp("ts") - LINREG_X_BASE).cast("long").alias("x"),
+        "value",
+    )
+    sums = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sy"),
+        F.sum((F.col("x") * F.col("value")).cast("decimal(38,6)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / n
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(slope * 86_400, 6).alias("slope_per_day"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+SQL_LINREG = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) - {LINREG_X_BASE} AS x, value
+  FROM events
+),
+sums AS (
+  SELECT event_type, count(*) AS n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sy,
+         SUM(CAST(x * value AS DECIMAL(38,6))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx
+  FROM ev GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 86400, 6)
+         AS slope_per_day,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept
+FROM sums
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "table_checksum",
@@ -322,6 +400,12 @@ def register(reg: Registry) -> None:
         fk_integrity_report,
         SQL_FK_REPORT,
         "referential-integrity audit: orphans + childless parents per FK edge",
+    )
+    reg.add(
+        "groupwise_linreg",
+        groupwise_linreg,
+        SQL_LINREG,
+        "per-group OLS drift fit from mergeable exact sums (one pass)",
     )
     reg.add(
         "chi2_lang_source",

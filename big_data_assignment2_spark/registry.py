@@ -138,6 +138,7 @@ _PRIORITY: tuple[str, ...] = (
     "pivot_dynamic",
     "full_outer_reconcile",
     "cogroup_user_days",
+    "groupwise_linreg",
     # --- r3-green block ---
     "asof_join_events",
     "pivot_event_counts",
