@@ -669,6 +669,59 @@ FROM ({_sql_text_quality()})
 """
 
 
+ROW_ID_PARTS = 8  # range partitions for the two-phase global numbering
+
+
+def global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row ids (1..N in doc_id order) WITHOUT the
+    single-partition sort -- the standard two-phase trick, because the
+    naive ``row_number() OVER (ORDER BY doc_id)`` has an empty PARTITION
+    BY: Spark must funnel the ENTIRE table through one task, the classic
+    100 TB cliff (a training pipeline assigns sample indices exactly this
+    way, so the scale-safe spelling matters).
+
+    Phase shape: range-repartition on the order key (a real sort, but
+    parallel), local rank within each partition, then ONE tiny driver
+    round-trip -- per-partition row counts (#partitions rows, metadata
+    scale, the legitimate ``.collect()`` class) turned into prefix-sum
+    offsets and mapped back in as a literal expression. Global id =
+    partition offset + local rank. The output is independent of where the
+    sampled range boundaries land: offsets + local ranks reconstruct the
+    global order whatever the split, so the result is deterministic even
+    though range sampling is not.
+
+    Oracle: DuckDB's plain ``row_number() OVER (ORDER BY doc_id)`` -- the
+    semantics being re-expressed, computed the way a single-node engine
+    legitimately can."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ranged = docs.repartitionByRange(ROW_ID_PARTS, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint()  # pin partitioning: pid must not be recomputed
+    w_local = Window.partitionBy("pid").orderBy("doc_id")
+    local = ranged.withColumn("local_rank", F.row_number().over(w_local))
+    counts = {
+        r["pid"]: r["n"]
+        for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.lit(0)
+    for pid, off in offsets.items():
+        off_expr = F.when(F.col("pid") == pid, F.lit(off)).otherwise(off_expr)
+    return local.select(
+        "doc_id", (off_expr + F.col("local_rank")).cast("long").alias("row_id")
+    )
+
+
+SQL_GLOBAL_ROW_IDS = """
+SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS row_id
+FROM documents
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "quality_filter_apply",
