@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 import pandas as pd
@@ -36,6 +37,31 @@ from big_data_assignment2_spark.session import get_spark
 def _force(df) -> None:
     # noop sink: executes the full physical plan without driver collection.
     df.write.format("noop").mode("overwrite").save()
+
+
+# Per-item watchdog: a runaway query is cancelled (job-group interrupt),
+# recorded as an error, and the bench MOVES ON.  Round 5's lesson: one
+# failing query must never zero the whole artifact.
+ITEM_TIMEOUT_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_ITEM_TIMEOUT", "300"))
+
+
+def _run_isolated(spark, label: str, fn, timings: dict, errors: dict) -> None:
+    sc = spark.sparkContext
+    group = f"bench-{label}"
+    sc.setJobGroup(group, label, interruptOnCancel=True)
+    timer = threading.Timer(ITEM_TIMEOUT_SEC, lambda: sc.cancelJobGroup(group))
+    timer.daemon = True
+    timer.start()
+    t0 = time.perf_counter()
+    try:
+        fn()
+        timings[label] = round(time.perf_counter() - t0, 3)
+    except Exception as e:  # noqa: BLE001 - isolation is the point
+        took = round(time.perf_counter() - t0, 3)
+        msg = str(e).split("\n", 1)[0][:200]
+        errors[label] = f"{type(e).__name__} after {took}s: {msg}"
+    finally:
+        timer.cancel()
 
 
 def main() -> None:
@@ -71,11 +97,12 @@ def main() -> None:
 
     # One-time builds, timed apart from the queries that use them.
     builds: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     def _build(label, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        builds[label] = round(time.perf_counter() - t0, 3)
+        _run_isolated(spark, f"build:{label}", fn, builds, errors)
+        if f"build:{label}" in builds:
+            builds[label] = builds.pop(f"build:{label}")
 
     from big_data_assignment2_spark.operators.search import (
         ensure_compacted_index,
@@ -153,9 +180,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in reg.queries.items():
-        t0 = time.perf_counter()
-        _force(q.fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        _run_isolated(
+            spark, name, lambda q=q: _force(q.fn(spark, sf_dir)), timings, errors
+        )
 
     # Scale check: replicate the base tables 10x (keys offset per replica)
     # and re-run a scan/shuffle-representative subset -- one data point
@@ -164,7 +191,11 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALE_CHECK", "1") != "0":
         factor = 10
         t0 = time.perf_counter()
-        scaled_dir = _build_scaled_dir(spark, sf_dir, factor)
+        try:
+            scaled_dir = _build_scaled_dir(spark, sf_dir, factor)
+        except Exception as e:  # noqa: BLE001
+            errors["scale:gen"] = f"{type(e).__name__}: {str(e)[:200]}"
+            scaled_dir = None
         gen_sec = round(time.perf_counter() - t0, 3)
         # Everything here touches only the replicated tables (lineitem /
         # documents / events / embeddings) and no per-sf_dir persisted
@@ -198,17 +229,30 @@ def main() -> None:
             "prefix_hamming_pairs",
             "prefix_edit_pairs",
             "embedding_neardup_lsh",
+            "tf_cosine_pairs",
+            "triangle_count",
+            # new window / two-feed joins (r5 additions)
+            "window_trailing_range",
+            "full_outer_reconcile",
             # embedding family
             "ann_topk_bruteforce",
             "ann_topk_lsh",
             "embedding_centroids",
         )
-        picks = tuple(n for n in picks if n in reg.queries)
+        picks = tuple(n for n in picks if n in reg.queries) if scaled_dir else ()
         per_q: dict[str, dict] = {}
         for name in picks:
-            t0 = time.perf_counter()
-            _force(reg.queries[name].fn(spark, scaled_dir))
-            scaled_t = round(time.perf_counter() - t0, 3)
+            scaled_times: dict[str, float] = {}
+            _run_isolated(
+                spark,
+                f"scale:{name}",
+                lambda name=name: _force(reg.queries[name].fn(spark, scaled_dir)),
+                scaled_times,
+                errors,
+            )
+            if f"scale:{name}" not in scaled_times or name not in timings:
+                continue
+            scaled_t = scaled_times[f"scale:{name}"]
             base_t = timings[name]
             per_q[name] = {
                 "base": base_t,
@@ -235,6 +279,8 @@ def main() -> None:
         "build_total": build_total,
         "query_total": query_total,
         "n_queries": len(timings),
+        "n_errors": len(errors),
+        "errors": errors,
         "scale_check": scale_check,
         "sf": sf,
     }
@@ -253,6 +299,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "n_errors": len(errors),
+        "errors": dict(list(errors.items())[:3]),
         "build_total": build_total,
         "query_total": query_total,
         "scale_check": {

@@ -36,6 +36,23 @@ def _sql_hash60(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, {HEX_DIGITS})) AS BIGINT)"
 
 
+def _canon_str(c: Column) -> Column:
+    """Injective canonical render of a string field: escape the escape
+    char and the field separator, then map NULL to the unescapable
+    sentinel ``\\N`` (a real "\\N" value escapes to "\\\\N", so the
+    sentinel can never collide -- the classic dump-format contract).
+    Without this, rows differing only in WHICH field is NULL, or
+    containing '|' in a value, would collide to one checksum."""
+    esc = F.replace(F.replace(c, F.lit("\\"), F.lit("\\\\")), F.lit("|"), F.lit("\\|"))
+    return F.coalesce(esc, F.lit("\\N"))
+
+
+def _canon_num(c: Column) -> Column:
+    """Numeric/epoch fields cannot contain separator bytes; NULL-sentinel
+    only."""
+    return F.coalesce(c, F.lit("\\N"))
+
+
 def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent content checksum of ``orders`` and ``customer``:
     one row per table with (table_name, n_rows, checksum).
@@ -47,27 +64,29 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-compaction invariant at 100 TB, where a sort-based comparison
     would be a full-table shuffle.
 
-    Canonical row rendering: NULL-safe ``concat_ws`` with a field
-    separator, doubles via DECIMAL(18,2) (exact for money columns; binary
-    float text would diverge between engines), dates via epoch seconds."""
+    Canonical row rendering is INJECTIVE: string fields are escaped
+    (``_canon_str``) and NULLs become a distinct sentinel in every field,
+    so two rows hash alike iff they are equal; doubles go through
+    DECIMAL(18,2) (exact for money columns; binary float text would
+    diverge between engines), dates through epoch seconds."""
     o = load_table(spark, sf_dir, "orders")
     o_canon = F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        "o_orderstatus",
-        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
-        F.unix_timestamp("o_orderdate").cast("string"),
-        "o_orderpriority",
+        _canon_num(F.col("o_orderkey").cast("string")),
+        _canon_num(F.col("o_custkey").cast("string")),
+        _canon_str(F.col("o_orderstatus")),
+        _canon_num(F.col("o_totalprice").cast("decimal(18,2)").cast("string")),
+        _canon_num(F.unix_timestamp("o_orderdate").cast("string")),
+        _canon_str(F.col("o_orderpriority")),
     )
     c = load_table(spark, sf_dir, "customer")
     c_canon = F.concat_ws(
         "|",
-        F.col("c_custkey").cast("string"),
-        "c_name",
-        F.col("c_nationkey").cast("string"),
-        F.col("c_acctbal").cast("decimal(18,2)").cast("string"),
-        "c_mktsegment",
+        _canon_num(F.col("c_custkey").cast("string")),
+        _canon_str(F.col("c_name")),
+        _canon_num(F.col("c_nationkey").cast("string")),
+        _canon_num(F.col("c_acctbal").cast("decimal(18,2)").cast("string")),
+        _canon_str(F.col("c_mktsegment")),
     )
 
     def _sum(df: DataFrame, canon: Column, name: str) -> DataFrame:
@@ -91,21 +110,36 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sum(o, o_canon, "orders").unionByName(_sum(c, c_canon, "customer"))
 
 
+# DuckDB twins of _canon_str/_canon_num: single-quoted strings are literal
+# (no backslash escapes), so '\' is one backslash and '\\' is two.
+def _dk_str(expr: str) -> str:
+    return rf"coalesce(replace(replace({expr}, '\', '\\'), '|', '\|'), '\N')"
+
+
+def _dk_num(expr: str) -> str:
+    return rf"coalesce({expr}, '\N')"
+
+
 def _sql_canon_orders() -> str:
     return (
-        "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),"
-        " o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),"
-        " CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT) AS VARCHAR),"
-        " o_orderpriority)"
+        "concat_ws('|', "
+        + _dk_num("CAST(o_orderkey AS VARCHAR)") + ", "
+        + _dk_num("CAST(o_custkey AS VARCHAR)") + ", "
+        + _dk_str("o_orderstatus") + ", "
+        + _dk_num("CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)") + ", "
+        + _dk_num("CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT) AS VARCHAR)") + ", "
+        + _dk_str("o_orderpriority") + ")"
     )
 
 
 def _sql_canon_customer() -> str:
     return (
-        "concat_ws('|', CAST(c_custkey AS VARCHAR), c_name,"
-        " CAST(c_nationkey AS VARCHAR),"
-        " CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR),"
-        " c_mktsegment)"
+        "concat_ws('|', "
+        + _dk_num("CAST(c_custkey AS VARCHAR)") + ", "
+        + _dk_str("c_name") + ", "
+        + _dk_num("CAST(c_nationkey AS VARCHAR)") + ", "
+        + _dk_num("CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)") + ", "
+        + _dk_str("c_mktsegment") + ")"
     )
 
 
@@ -120,21 +154,49 @@ FROM customer
 """
 
 
-# (column, native min/max expr -> canonical string) specs for profile_table.
-# min/max run on the NATIVE type (string min would be lexicographic), then
+# (column, kind) specs for profile_table.  min/max run on the NATIVE type
+# (string min would be lexicographic over display text for dates), then
 # render through the same canonical forms the checksum uses: decimals for
-# doubles, integer epochs for timestamps.
+# doubles, integer epochs for timestamps, 7-byte prefixes for strings.
 _PROFILE_COLS = (
-    ("l_orderkey", "CAST({m} AS STRING)", "CAST({m} AS VARCHAR)"),
-    ("l_partkey", "CAST({m} AS STRING)", "CAST({m} AS VARCHAR)"),
-    ("l_quantity", "CAST(CAST({m} AS DECIMAL(18,2)) AS STRING)",
-     "CAST(CAST({m} AS DECIMAL(18,2)) AS VARCHAR)"),
-    ("l_extendedprice", "CAST(CAST({m} AS DECIMAL(18,2)) AS STRING)",
-     "CAST(CAST({m} AS DECIMAL(18,2)) AS VARCHAR)"),
-    ("l_returnflag", "{m}", "{m}"),
-    ("l_shipdate", "CAST(unix_timestamp({m}) AS STRING)",
-     "CAST(CAST(floor(epoch({m})) AS BIGINT) AS VARCHAR)"),
+    ("l_orderkey", "int"),
+    ("l_partkey", "int"),
+    ("l_quantity", "dec2"),
+    ("l_extendedprice", "dec2"),
+    ("l_returnflag", "str7"),
+    ("l_shipdate", "epoch"),
 )
+
+# DuckDB canonical-render twins, keyed by kind ({m} = min(col)/max(col))
+_DK_FMT = {
+    "int": "CAST({m} AS VARCHAR)",
+    "dec2": "CAST(CAST({m} AS DECIMAL(18,2)) AS VARCHAR)",
+    "str7": "substring({m}, 1, 7)",
+    "epoch": "CAST(CAST(floor(epoch({m})) AS BIGINT) AS VARCHAR)",
+}
+
+
+def _enc7(c: Column) -> Column:
+    """Order-preserving fixed-width surrogate for a string: the first 7
+    UTF-8 bytes, zero-padded, packed big-endian into a BIGINT (56 bits,
+    always positive).  min/max over the surrogate equal the surrogate of
+    min/max under bytewise string order -- which is exactly how both Spark
+    (UTF8String) and DuckDB (memcmp) compare strings -- because a prefix
+    map is monotone.  The point: a BIGINT is a mutable fixed-width
+    aggregation-buffer type, so the profile's min/max stay inside
+    HashAggregate instead of demoting the whole wide agg to a
+    per-partition SortAggregate (the silent scale-killer the plan-gate
+    test exists to catch)."""
+    return F.conv(
+        F.substring(F.rpad(F.hex(F.encode(c, "UTF-8")), 14, "0"), 1, 14), 16, 10
+    ).cast("long")
+
+
+def _dec7(m: Column) -> Column:
+    """Inverse of ``_enc7`` back to the (<=7-byte) prefix string."""
+    return F.regexp_replace(
+        F.unhex(F.lpad(F.hex(m), 14, "0")).cast("string"), "\x00+$", ""
+    )
 
 
 def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,24 +204,39 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     engineer runs against an unfamiliar table: one row per column with
     null count, EXACT distinct count, and canonical-string min/max.
 
-    Shape: ONE scan. All per-column aggregates run in a single ``agg``;
-    the multi-column exact count-distincts compile to one Expand (a 6-way
-    row replication) feeding a shared two-phase aggregate, which is the
-    documented price of exactness -- the approx_count_distinct variant
-    drops the Expand entirely (see ``approx_distinct_users``) and is what
-    a 100 TB profile would use for the distinct column only. The wide
-    1-row result is reshaped long with ``stack`` (row-local, no extra
-    shuffle). The DuckDB oracle is the straightforward per-column UNION
-    ALL -- six scans there, one here; both orders of magnitude below the
-    join-shaped queries, and the values must agree exactly."""
+    Shape: ONE scan, ONE HashAggregate. All per-column aggregates run in a
+    single ``agg``; the multi-column exact count-distincts compile to one
+    Expand (a 6-way row replication) feeding a shared two-phase aggregate,
+    which is the documented price of exactness -- the
+    approx_count_distinct variant drops the Expand entirely (see
+    ``approx_distinct_users``) and is what a 100 TB profile would use for
+    the distinct column only. String columns aggregate over the ``_enc7``
+    fixed-width surrogate (var-width values in the buffer would demote the
+    whole agg to SortAggregate) and so report min/max as a <=7-byte
+    prefix: exact for code/flag columns like this one, and truthfully a
+    prefix for free text -- which is what a profile needs from a text
+    column. The wide 1-row result is reshaped long with ``stack``
+    (row-local, no extra shuffle). The DuckDB oracle is the per-column
+    UNION ALL with the same canonical renders."""
     li = load_table(spark, sf_dir, "lineitem")
+
+    def _minmax(name: str, kind: str, agg_fn):  # -> Column (canonical string)
+        c = F.col(name)
+        if kind == "str7":
+            return _dec7(agg_fn(_enc7(c)))
+        if kind == "dec2":
+            return agg_fn(c).cast("decimal(18,2)").cast("string")
+        if kind == "epoch":
+            return F.unix_timestamp(agg_fn(c)).cast("string")
+        return agg_fn(c).cast("string")
+
     aggs, stack_args = [], []
-    for i, (name, sp_fmt, _) in enumerate(_PROFILE_COLS):
+    for i, (name, kind) in enumerate(_PROFILE_COLS):
         aggs += [
             (F.count(F.lit(1)) - F.count(name)).alias(f"nn{i}"),
             F.countDistinct(name).alias(f"nd{i}"),
-            F.expr(sp_fmt.format(m=f"min({name})")).alias(f"mn{i}"),
-            F.expr(sp_fmt.format(m=f"max({name})")).alias(f"mx{i}"),
+            _minmax(name, kind, F.min).alias(f"mn{i}"),
+            _minmax(name, kind, F.max).alias(f"mx{i}"),
         ]
         stack_args.append(f"'{name}', nn{i}, nd{i}, mn{i}, mx{i}")
     wide = li.agg(*aggs)
@@ -173,10 +250,10 @@ SQL_PROFILE = "\nUNION ALL\n".join(
     f"""SELECT '{name}' AS column_name,
        CAST(count(*) - count({name}) AS BIGINT) AS n_nulls,
        CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
-       {dk_fmt.format(m=f"min({name})")} AS min_s,
-       {dk_fmt.format(m=f"max({name})")} AS max_s
+       {_DK_FMT[kind].format(m=f"min({name})")} AS min_s,
+       {_DK_FMT[kind].format(m=f"max({name})")} AS max_s
 FROM lineitem"""
-    for name, _, dk_fmt in _PROFILE_COLS
+    for name, kind in _PROFILE_COLS
 )
 
 
@@ -194,7 +271,14 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     total. Shape: one groupBy for cells, two tiny marginal aggregates
     joined back broadcast-style, a few dozen rows after the first
     aggregate -- at 100 TB the only full-data pass is the cell count."""
-    d = load_table(spark, sf_dir, "documents").select("lang", "source")
+    # NULL lang/source rows are excluded on BOTH engines: Spark's groupBy
+    # would keep NULL as a category while the oracle's count(DISTINCT)
+    # drops it, silently skewing dof if the corpus ever has NULLs
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "source")
+        .where(F.col("lang").isNotNull() & F.col("source").isNotNull())
+    )
     cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
     rowt = cells.groupBy("lang").agg(F.sum("obs").alias("r"))
     colt = cells.groupBy("source").agg(F.sum("obs").alias("c"))
@@ -224,7 +308,11 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_CHI2 = """
-WITH cells AS (SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2),
+WITH docs AS (
+  SELECT lang, source FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+),
+cells AS (SELECT lang, source, count(*) AS obs FROM docs GROUP BY 1, 2),
 rowt AS (SELECT lang, SUM(obs) AS r FROM cells GROUP BY 1),
 colt AS (SELECT source, SUM(obs) AS c FROM cells GROUP BY 1),
 tot AS (SELECT SUM(obs) AS n FROM cells),
@@ -234,8 +322,8 @@ cellchi AS (
   FROM cells JOIN rowt USING (lang) JOIN colt USING (source), tot
 )
 SELECT CAST((SELECT count(*) FROM cells) AS BIGINT) AS n_cells,
-       CAST((SELECT (count(DISTINCT lang) - 1) FROM documents) *
-            (SELECT (count(DISTINCT source) - 1) FROM documents) AS BIGINT) AS dof,
+       CAST((SELECT (count(DISTINCT lang) - 1) FROM docs) *
+            (SELECT (count(DISTINCT source) - 1) FROM docs) AS BIGINT) AS dof,
        round(CAST(SUM(chi) AS DOUBLE), 6) AS chi2
 FROM cellchi
 """

@@ -143,103 +143,204 @@ BASKET_CAP = 12  # orders with more distinct parts than this are skipped
 
 def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical (u < v) co-purchase edges: two parts are connected when
-    they appear in the same order. The per-order self-join fans out as
-    C(k,2) in basket size k, so baskets over ``BASKET_CAP`` distinct parts
-    are dropped BEFORE the join (the skew guard a mega-basket would
-    otherwise explode; mirrored verbatim in the oracle so both engines see
-    the identical graph). TPC-H orders hold <= 7 lines, so at this data the
-    cap drops nothing -- it is the 100 TB guard, not a result shaper."""
-    lp = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    ok = (
+    they appear in the same order. Pair expansion fans out as C(k,2) in
+    basket size k, so baskets over ``BASKET_CAP`` distinct parts are
+    dropped BEFORE expansion (the skew guard a mega-basket would otherwise
+    explode; the oracle applies the identical cap so both engines see the
+    same graph). TPC-H orders hold <= 7 lines, so at this data the cap
+    drops nothing -- it is the 100 TB guard, not a result shaper.
+
+    Shape: ONE shuffle (groupBy order -> sorted distinct part array, with
+    map-side partial sets), then the C(k,2) expansion runs entirely inside
+    whole-stage codegen via nested ``transform``/``flatten`` on the <= CAP
+    sized array -- no per-order self-join relation. A prior version
+    expressed this as lp JOIN lp ON same-order AND u < v: same result,
+    but distinct + join + SMJ cost ~2x the single-agg form at sf0.1."""
+    lp = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
         lp.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("basket"))
-        .where(F.col("basket") <= BASKET_CAP)
-        .select("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps") <= BASKET_CAP)
     )
-    sm = lp.join(ok, "l_orderkey")  # co-partitioned: both sides keyed on l_orderkey
-    a, b = sm.alias("a"), sm.alias("b")
+    pairs = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        baskets.select(F.explode(pairs).alias("e"))
+        .select("e.u", "e.v")
         .distinct()
     )
 
 
+DEG_CAP = 2000  # vertices hotter than this are excluded from the census
+
+
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle census of the part co-purchase graph: one row per
-    metric (n_nodes, n_edges, n_wedges, n_triangles), all exact BIGINTs.
+    metric (n_nodes, n_edges, n_wedges, n_triangles, n_capped_nodes), all
+    exact BIGINTs.
 
-    Scale shape -- degree-ordered orientation (the classic distributed
-    triangle trick): orient every edge from its (degree, id)-smaller
-    endpoint to the larger, making the graph a DAG in which each triangle
-    has exactly one source vertex. Wedges are then built only from a
-    vertex's OUT-neighbors, so a degree-d hub generates C(out_d, 2) wedge
-    candidates where out_d is bounded by orientation (total wedge work is
-    O(m^1.5) instead of sum-of-C(deg,2) -- the difference between hours
-    and never on a power-law graph at 100 TB). The closing-edge check is
-    an equi-join on the ordered pair, never a cartesian. The wedge METRIC
-    (sum of C(deg,2)) is computed arithmetically from the degree table,
-    not by materializing wedges.
+    Scale shape -- the round-5 version materialized the oriented WEDGE
+    relation (~41M rows at sf0.1) and shuffle-joined it against the edge
+    set, which OOM'd the bench JVM under a 1g heap. This version never
+    creates a wedge row:
+
+    1. **Degree cap by construction**: vertices with (unoriented) degree
+       > ``DEG_CAP`` are removed from the graph up front and reported in
+       the ``n_capped_nodes`` metric -- the same move ``BASKET_CAP`` makes
+       for baskets, standard for power-law graphs. At sf0.1 max degree is
+       221, so the cap drops nothing here; it exists so no stage's peak
+       can scale with C(deg, 2) of a 100 TB hub. Mirrored in the oracle.
+    2. **Degree orientation**: each edge points from its (deg, id)-smaller
+       endpoint to the larger, so every triangle has exactly one source
+       and per-vertex out-degree is O(sqrt(m))-bounded.
+    3. **Edge iterator over sorted adjacency arrays**: per oriented edge
+       (u, v), the triangle count through it is |out(u) INTERSECT out(v)|,
+       computed JVM-side with ``array_intersect`` on ``collect_list``
+       adjacency arrays -- two co-partitioned equi-joins and a sum, with
+       per-row memory bounded by 2 * max-out-degree (<= DEG_CAP), instead
+       of a 41M-row intermediate. The wedge METRIC stays arithmetic
+       (sum of C(deg, 2) over the degree table).
 
     Reference parity: beyond-reference surface (the reference has no graph
     operators); complements pagerank_3iter (fixed-point ranking) and
     neardup_components (connectivity) with the third canonical graph
     kernel, counting."""
-    edges = _part_edges(spark, sf_dir).localCheckpoint()
-    deg = (
-        edges.select(F.col("u").alias("id"))
-        .unionByName(edges.select(F.col("v").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint()
+    # Two execution-level choices, both measured at sf0.1 (SCALE.md):
+    #
+    # * small frames (deg, oriented, adj) are ``cache()``d + eagerly
+    #   counted, NOT ``localCheckpoint()``ed: a checkpointed frame surfaces
+    #   as a stats-less LogicalRDD, so every downstream join planned over
+    #   it defaults to sort-merge; a materialized cache exposes real
+    #   sizeInBytes and the planner picks broadcast-hash for the small
+    #   build sides on its own -- and keeps picking sort-merge at cluster
+    #   scale where those are node-sized, which is why there is no
+    #   hard-coded ``F.broadcast`` hint here.  The big edge list stays on
+    #   localCheckpoint (always the probe side; stats irrelevant; cheaper
+    #   materialization).  Cache residency is ~30 MB at sf0.1, spillable;
+    #   it cannot be unpersisted in-function because the returned frame is
+    #   lazy and still references the cached plans.
+    # * collect_set/collect_list aggs fall back to SORT-based aggregation
+    #   after 128 hash-map entries per partition (Spark's conservative
+    #   default) -- measured 2x the whole edge build.  Raised to 1M entries
+    #   (bounded: BASKET_CAP/DEG_CAP cap every collected set) for the
+    #   in-function materializations only, restored in ``finally``.
+    _FBT = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    fbt_before = spark.conf.get(_FBT, None)
+    try:
+        spark.conf.set(_FBT, "1000000")
+        # edges0: localCheckpoint, not cache -- it is always the PROBE side
+        # of later joins (stats irrelevant) and checkpoint materialization
+        # is measurably cheaper than columnar cache write at this width
+        edges0 = _part_edges(spark, sf_dir).localCheckpoint()
+        # degree in ONE scan of edges0 (explode both endpoints), not a
+        # two-branch union: a union would scan the not-yet-populated cache
+        # from two concurrent stages and compute the edge build twice
+        deg0 = (
+            edges0.select(F.explode(F.array("u", "v")).alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .cache()
+        )
+        hot = deg0.where(F.col("deg") > DEG_CAP).select("id")
+        # Heavy-hitter count is bounded by construction (< 2m / DEG_CAP
+        # rows), so one scalar count over tiny cached deg0 is cheap -- and
+        # when it is zero (every graph that is not pathologically skewed)
+        # the anti-join + degree-recompute passes are skipped entirely: the
+        # capped graph IS the input graph.  The nonempty path stays fully
+        # distributed (broadcast anti-joins, never a driver-side id list).
+        n_hot = hot.count()
+        if n_hot == 0:
+            edges, deg = edges0, deg0
+        else:
+            edges = (
+                edges0.join(F.broadcast(hot.withColumnRenamed("id", "u")), "u", "left_anti")
+                .join(F.broadcast(hot.withColumnRenamed("id", "v")), "v", "left_anti")
+                .select("u", "v")
+                .localCheckpoint()
+            )
+            deg = (
+                edges.select(F.explode(F.array("u", "v")).alias("id"))
+                .groupBy("id")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .cache()
+            )
+            deg.count()
+        withdeg = edges.join(
+            deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u"
+        ).join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
+        # canonical u < v, so a degree tie orients u-first: (deg, id) total order
+        u_first = F.col("du") <= F.col("dv")
+        oriented = withdeg.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        ).cache()
+        adj = (
+            oriented.groupBy("src")
+            .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+            .cache()
+        )
+        # materializes oriented + adj (the last collect_* agg) inside the
+        # raised-threshold window; everything after is plain hash aggs
+        adj.count()
+    finally:
+        if fbt_before is None:
+            spark.conf.unset(_FBT)
+        else:
+            spark.conf.set(_FBT, fbt_before)
+    tri = (
+        oriented.join(adj.select(F.col("src"), F.col("nbrs").alias("nu")), "src")
+        .join(
+            adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nv")),
+            "dst",  # inner: a dst with no out-edges closes no triangle
+        )
+        .select(F.size(F.array_intersect("nu", "nv")).cast("long").alias("c"))
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("value"))
     )
-    withdeg = edges.join(
-        deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u"
-    ).join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
-    # canonical u < v, so a degree tie orients u-first: (deg, id) total order
-    u_first = F.col("du") <= F.col("dv")
-    oriented = withdeg.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
-    )
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    dst_lt = (F.col("o1.ddeg") < F.col("o2.ddeg")) | (
-        (F.col("o1.ddeg") == F.col("o2.ddeg")) & (F.col("o1.dst") < F.col("o2.dst"))
-    )
-    wedges = o1.join(o2, (F.col("o1.src") == F.col("o2.src")) & dst_lt).select(
-        F.col("o1.dst").alias("wu"), F.col("o2.dst").alias("wv")
-    )
-    closing = oriented.select(F.col("src").alias("wu"), F.col("dst").alias("wv"))
-    tri = wedges.join(closing, ["wu", "wv"]).agg(F.count(F.lit(1)).alias("value"))
 
     def _row(name: str, df: DataFrame) -> DataFrame:
         return df.select(F.lit(name).alias("metric"), F.col("value").cast("long").alias("value"))
 
-    return (
-        _row("n_nodes", deg.agg(F.count(F.lit(1)).alias("value")))
-        .unionByName(_row("n_edges", edges.agg(F.count(F.lit(1)).alias("value"))))
-        .unionByName(
-            _row(
-                "n_wedges",
-                deg.agg(F.expr("sum((deg * (deg - 1)) div 2)").alias("value")),
+    # one agg over deg yields three metrics (n_edges = sum(deg)/2 by the
+    # handshake lemma), exploded to rows -- 3x fewer subtree replays than
+    # one agg branch per metric
+    deg_metrics = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(F.expr("sum(deg) div 2"), F.lit(0)).alias("n_edges"),
+        F.coalesce(F.expr("sum((deg * (deg - 1)) div 2)"), F.lit(0)).alias("n_wedges"),
+    ).select(
+        F.explode(
+            F.create_map(
+                F.lit("n_nodes"), F.col("n_nodes").cast("long"),
+                F.lit("n_edges"), F.col("n_edges").cast("long"),
+                F.lit("n_wedges"), F.col("n_wedges").cast("long"),
             )
-        )
-        .unionByName(_row("n_triangles", tri))
+        ).alias("metric", "value")
     )
+    capped = spark.range(1).select(
+        F.lit("n_capped_nodes").alias("metric"), F.lit(n_hot).cast("long").alias("value")
+    )
+    return deg_metrics.unionByName(_row("n_triangles", tri)).unionByName(capped)
 
 
 SQL_TRIANGLES = f"""
 WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 ok AS (SELECT l_orderkey FROM lp GROUP BY 1 HAVING count(*) <= {BASKET_CAP}),
 sm AS (SELECT lp.l_orderkey, lp.l_partkey FROM lp JOIN ok USING (l_orderkey)),
-edges AS (
+edges0 AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM sm a JOIN sm b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg0 AS (
+  SELECT id, count(*) AS deg
+  FROM (SELECT u AS id FROM edges0 UNION ALL SELECT v AS id FROM edges0)
+  GROUP BY 1
+),
+hot AS (SELECT id FROM deg0 WHERE deg > {DEG_CAP}),
+edges AS (
+  SELECT u, v FROM edges0
+  WHERE u NOT IN (SELECT id FROM hot) AND v NOT IN (SELECT id FROM hot)
 ),
 deg AS (
   SELECT id, count(*) AS deg
@@ -256,6 +357,8 @@ SELECT 'n_triangles', CAST(count(*) AS BIGINT)
 FROM edges e1
 JOIN edges e2 ON e2.u = e1.v
 JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+UNION ALL
+SELECT 'n_capped_nodes', CAST(count(*) AS BIGINT) FROM hot
 """
 
 

@@ -724,6 +724,12 @@ FROM documents
 
 def register(reg: Registry) -> None:
     reg.add(
+        "global_row_ids",
+        global_row_ids,
+        SQL_GLOBAL_ROW_IDS,
+        "contiguous 1..N sample indices without the single-partition sort",
+    )
+    reg.add(
         "quality_filter_apply",
         quality_filter_apply,
         _sql_quality_filter(),

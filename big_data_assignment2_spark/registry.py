@@ -59,12 +59,85 @@ class Registry:
 # operators, then flagships, then the long-green relational tail. Names not
 # present (e.g. reference_* when the fixture corpus is absent) are skipped.
 _PRIORITY: tuple[str, ...] = (
-    # ========== round-5 window: exactly 50 names to the driver cap ==========
-    # Every name below has only an r1 or r2 driver row (derived from the
-    # CORRECTNESS_r01..r04 union); after this window no registry query's
-    # newest driver evidence predates round 3. All are also re-verified
-    # locally each session by tests/test_oracle.py.
-    # --- 1-17: r1-latest (never re-checked since round 1) ---
+    # ========== round-6 window: exactly 50 names to the driver cap ==========
+    # --- 1-21: the round-5 additions, never driver-checked (local oracle
+    # evidence only until CORRECTNESS_r06) ---
+    "prefix_edit_pairs",
+    "python_datasource_writer_roundtrip",
+    "events_variant_extract",
+    "cbo_join_reorder",
+    "recursive_order_chains",
+    "sql_udf_revenue",
+    "triangle_count",
+    "tf_cosine_pairs",
+    "gapfill_locf",
+    "intervals_consolidate",
+    "lateral_topn_customers",
+    "xml_roundtrip",
+    "table_checksum",
+    "chi2_lang_source",
+    "profile_table",
+    "window_trailing_range",
+    "fk_integrity_report",
+    "pivot_dynamic",
+    "full_outer_reconcile",
+    "cogroup_user_days",
+    "groupwise_linreg",
+    # --- 22-50: oldest r3-vintage driver evidence, refreshed this round ---
+    "asof_join_events",
+    "pivot_event_counts",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "streaming_tumbling",
+    "streaming_sessionize",
+    "streaming_dedup",
+    "streaming_static_join",
+    "streaming_stream_join",
+    "events_json_sum",
+    "window_moving_avg",
+    "window_lag_delta",
+    "grouped_median_udaf",
+    "partitioned_sink_roundtrip",
+    "minhash_cols_fast",
+    "ann_recall_eval",
+    "repetition_stats",
+    "corpus_stats_by_source",
+    "range_join_events",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q16_part_supplier_counts",
+    "q17_small_qty_revenue",
+    "q20_promotable_suppliers",
+    # ========== positions 51+: past the cap this round ==========
+    # --- new round-6 queries land here (driver rows in r7) ---
+    "global_row_ids",
+    # --- remaining r3-green block ---
+    "q21_waiting_suppliers",
+    "doc_pack_greedy",
+    "blocklist_scan",
+    "sample_balanced_lang",
+    "approx_distinct_users",
+    "csv_roundtrip",
+    "events_time_rollup",
+    "events_value_histogram",
+    "json_roundtrip",
+    "orc_roundtrip",
+    "streaming_foreach_batch",
+    "pipeline_end_to_end",
+    "simhash_neardup_pairs",
+    "embedding_centroids",
+    "window_funcs_suite",
+    "join_shuffled_hash_agg",
+    "funnel_depths",
+    "cohort_retention",
+    "neardup_cluster_sizes",
+    "csv_corrupt_records",
+    # --- r5-green block ---
     "tsv_export",
     "doc_filenames",
     "tokenize_explode",
@@ -82,7 +155,6 @@ _PRIORITY: tuple[str, ...] = (
     "distinct_projection",
     "rollup_agg",
     "grouping_sets_agg",
-    # --- 18-50: r2-latest ---
     "bm25_search",
     "bm25_search_persisted",
     "dedup_exact",
@@ -116,79 +188,6 @@ _PRIORITY: tuple[str, ...] = (
     "q15_top_supplier",
     "q19_disjunctive_filter",
     "q22_idle_customers",
-    # ========== positions 51+: past the cap this round ==========
-    # --- new round-5 queries (local oracle evidence now; driver rows r6) ---
-    "prefix_edit_pairs",
-    "python_datasource_writer_roundtrip",
-    "events_variant_extract",
-    "cbo_join_reorder",
-    "recursive_order_chains",
-    "sql_udf_revenue",
-    "triangle_count",
-    "tf_cosine_pairs",
-    "gapfill_locf",
-    "intervals_consolidate",
-    "lateral_topn_customers",
-    "xml_roundtrip",
-    "table_checksum",
-    "chi2_lang_source",
-    "profile_table",
-    "window_trailing_range",
-    "fk_integrity_report",
-    "pivot_dynamic",
-    "full_outer_reconcile",
-    "cogroup_user_days",
-    "groupwise_linreg",
-    # --- r3-green block ---
-    "asof_join_events",
-    "pivot_event_counts",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "streaming_tumbling",
-    "streaming_sessionize",
-    "streaming_dedup",
-    "streaming_static_join",
-    "streaming_stream_join",
-    "events_json_sum",
-    "window_moving_avg",
-    "window_lag_delta",
-    "grouped_median_udaf",
-    "partitioned_sink_roundtrip",
-    "minhash_cols_fast",
-    "ann_recall_eval",
-    "repetition_stats",
-    "corpus_stats_by_source",
-    "range_join_events",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_late_shipments",
-    "q13_customer_distribution",
-    "q16_part_supplier_counts",
-    "q17_small_qty_revenue",
-    "q20_promotable_suppliers",
-    "q21_waiting_suppliers",
-    "doc_pack_greedy",
-    "blocklist_scan",
-    "sample_balanced_lang",
-    "approx_distinct_users",
-    "csv_roundtrip",
-    "events_time_rollup",
-    "events_value_histogram",
-    "json_roundtrip",
-    "orc_roundtrip",
-    "streaming_foreach_batch",
-    "pipeline_end_to_end",
-    "simhash_neardup_pairs",
-    "embedding_centroids",
-    "window_funcs_suite",
-    "join_shuffled_hash_agg",
-    "funnel_depths",
-    "cohort_retention",
-    "neardup_cluster_sizes",
-    "csv_corrupt_records",
     # --- r4-green block (freshest driver evidence, last in line) ---
     "bm25_search_incremental",
     "bm25_search_after_delete",

@@ -25,9 +25,19 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     shuffle = str(shuffle_partitions or os.environ.get("SPARK_SHUFFLE_PARTITIONS", 32))
+    # Explicit driver heap: in local[N] mode the driver JVM *is* the executor,
+    # so Spark's 1g default must host N concurrent task threads plus any
+    # cached/checkpointed blocks.  Round 5's bench died with
+    # java.lang.OutOfMemoryError under that default; 16g (env-overridable,
+    # sandbox has 128 GiB) gives local[32] a realistic per-thread budget.
+    # Only effective when this factory launches the JVM -- a driver handing
+    # us a live session keeps its own setting, which is why every operator
+    # must also bound its own peak (see operators/graph.py triangle_count).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     return (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         # AQE: runtime partition coalescing + skew-join handling; at 100 TB
         # this is what rescues skewed term/key distributions.
         .config("spark.sql.adaptive.enabled", "true")
