@@ -308,9 +308,17 @@ WHERE EXISTS (SELECT 1 FROM orders
 
 
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    """Left-anti join (NOT EXISTS): customers with no URGENT orders.
+
+    The right side is pre-filtered (priority = 1-URGENT) so the result is
+    NON-EMPTY on this data: the synthetic generator gives every customer
+    at least one order, and an always-0-row anti join would certify only
+    0 == 0 against the oracle -- the filter makes hash_match cover real
+    values (203 rows at sf0.01)."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_acctbal"
     )
@@ -318,7 +326,10 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ANTI = """
 SELECT c_custkey, c_name, c_acctbal FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
 """
 
 

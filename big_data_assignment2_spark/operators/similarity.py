@@ -35,6 +35,49 @@ QUERY_VEC_ID = 0
 TOP_K = 10
 NEARDUP_T = 0.95
 
+# Planted near-duplicates: the synthetic embeddings hold no real pair at
+# cosine >= NEARDUP_T, so both near-dup operators would only ever certify
+# 0 == 0 against the oracle. Each operator therefore unions PLANT_K
+# deterministic perturbations of the first PLANT_K vectors into its own
+# staging, mirrored verbatim in the SQL twin: new id = vec_id +
+# PLANT_OFFSET, every coordinate nudged by PLANT_EPS * ((i % 3) - 1) --
+# pure double arithmetic on identical inputs, bit-identical across
+# engines. Each planted row is a ~0.99999-cosine twin of its source and
+# perturbs no other pair, so hash_match now certifies real values.
+PLANT_K = 8
+PLANT_OFFSET = 10_000_000
+PLANT_EPS = 0.001
+
+
+def _with_planted(emb: DataFrame) -> DataFrame:
+    """Base (vec_id, embedding->double) plus the planted twin rows."""
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = base.where(F.col("vec_id") < PLANT_K).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.lit(PLANT_EPS) * (i % 3 - 1).cast("double"),
+        ).alias("embedding"),
+    )
+    return base.unionByName(planted)
+
+
+# DuckDB twin of _with_planted (Spark's transform index is 0-based,
+# DuckDB subscripts are 1-based -- hence (i - 1) % 3).
+SQL_PLANTED_EMB = f"""
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+         list(embedding[i] + CAST({PLANT_EPS!r} AS DOUBLE) * (((i - 1) % 3) - 1)
+              ORDER BY i) AS embedding
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings WHERE vec_id < {PLANT_K})
+  GROUP BY vec_id
+"""
+
 # Deterministic random hyperplanes (seeded, generated once at import, and
 # inlined as literals in BOTH the Spark plan and the SQL oracle).
 N_PLANES = 8
@@ -479,10 +522,13 @@ def embedding_neardup_pairs(
     N_BLOCKS; a nested-loop pair join with per-row interpreted array
     folds is quadratic JVM work and ~60x slower. Exact semantics
     (identical to the SQL oracle); LSH prefiltering (see ann_topk_lsh)
-    composes on top when approximate recall is acceptable."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    composes on top when approximate recall is acceptable.
+
+    The input is staged through ``_with_planted`` so the result is
+    non-empty on this corpus (see PLANT_K)."""
+    emb = _with_planted(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
+        F.col("embedding").alias("v"),
         F.pmod(F.xxhash64("vec_id"), F.lit(N_BLOCKS)).alias("blk"),
     )
     all_blocks = F.array(*[F.lit(i) for i in range(N_BLOCKS)])
@@ -512,9 +558,10 @@ def embedding_neardup_pairs(
 
 
 SQL_NEARDUP = f"""
+WITH embp AS ({SQL_PLANTED_EMB})
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM embp a JOIN embp b ON a.vec_id < b.vec_id
 WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) >= {NEARDUP_T}
 """
 
@@ -565,7 +612,7 @@ def embedding_neardup_lsh(
     tests/test_dedup_similarity.py)."""
     from ..functions.vectors import make_cosine_pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = _with_planted(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "embedding",
         _bucket_col(F.col("embedding"), NEARDUP_HYPERPLANES).alias("bucket"),
@@ -606,9 +653,10 @@ def _sql_neardup_lsh() -> str:
     )
     sim = f"round({sql_cosine('a.embedding', 'b.embedding')}, 6)"
     return f"""
-WITH emb AS (
+WITH embp AS ({SQL_PLANTED_EMB}),
+emb AS (
   SELECT vec_id, embedding,
-         {_sql_bucket('embedding', NEARDUP_HYPERPLANES)} AS bucket FROM embeddings
+         {_sql_bucket('embedding', NEARDUP_HYPERPLANES)} AS bucket FROM embp
 ),
 banded AS (
   {band_selects}
@@ -619,8 +667,8 @@ cand AS (
 )
 SELECT vec_a, vec_b, {sim} AS cos_sim
 FROM cand
-JOIN embeddings a ON a.vec_id = vec_a
-JOIN embeddings b ON b.vec_id = vec_b
+JOIN embp a ON a.vec_id = vec_a
+JOIN embp b ON b.vec_id = vec_b
 WHERE {sim} >= {NEARDUP_T}
 """
 

@@ -499,3 +499,19 @@ def test_cbo_stats_drive_join_reorder(spark, sf_dir):
     assert on != off
     # reordered tree starts from the dimension chain, fact joined last
     assert on[-1] == "orders", on
+
+
+def test_cbo_restores_session_flags(spark, sf_dir):
+    """cbo_join_reorder flips spark.sql.cbo.* while freezing its plan; a
+    driver running it mid-sweep must get its session back EXACTLY as it
+    was, or every later query would silently plan under CBO."""
+    from big_data_assignment2_spark.operators.cbo import cbo_join_reorder
+
+    keys = ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    before = {k: spark.conf.get(k) for k in keys}
+    df = cbo_join_reorder(spark, sf_dir)
+    after_build = {k: spark.conf.get(k) for k in keys}
+    df.collect()  # the driver collects AFTER the function returned
+    after_collect = {k: spark.conf.get(k) for k in keys}
+    assert after_build == before
+    assert after_collect == before
