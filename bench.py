@@ -166,6 +166,11 @@ def main() -> None:
     from big_data_assignment2_spark.operators.cbo import ensure_stats_tables
 
     _build("cbo_stats_tables", lambda: ensure_stats_tables(spark, sf_dir))
+    from big_data_assignment2_spark.sources.partitioned_sink import (
+        ensure_bucketed_tables,
+    )
+
+    _build("bucketed_tables", lambda: ensure_bucketed_tables(spark, sf_dir))
     _build("csv_export", lambda: write_lineitem_csv(spark, sf_dir))
     _build("json_export", lambda: write_events_json(spark, sf_dir))
     _build("orc_export", lambda: write_lineitem_orc(spark, sf_dir))

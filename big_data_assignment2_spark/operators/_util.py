@@ -88,3 +88,35 @@ def epoch_lit(iso_utc: str) -> int:
 
     fmt = "%Y-%m-%d %H:%M:%S" if " " in iso_utc else "%Y-%m-%d"
     return int(datetime.strptime(iso_utc, fmt).replace(tzinfo=timezone.utc).timestamp())
+
+
+def enc_fw(c: Column, nbytes: int = 8) -> Column:
+    """Order-preserving fixed-width surrogate for a string column: the
+    first *nbytes* UTF-8 bytes, zero-padded, packed big-endian into a
+    BIGINT. A prefix map is monotone under bytewise order (how both Spark
+    and DuckDB compare strings), so min/max/min_by/max_by over the
+    surrogate equal the surrogate of the true min/max -- while keeping
+    the aggregation buffer a mutable fixed-width type, i.e. inside
+    HashAggregate instead of demoting the agg to a per-partition
+    SortAggregate (the plan-gate scale-killer).
+
+    nbytes=7 is safe for arbitrary strings (56 bits, always positive);
+    nbytes=8 additionally requires an ASCII first byte (top bit clear) so
+    the packed value stays inside the signed 64-bit range -- right for
+    enum/code columns, asserted nowhere so CALLERS must know their data.
+    """
+    return F.conv(
+        F.substring(
+            F.rpad(F.hex(F.encode(c, "UTF-8")), 2 * nbytes, "0"), 1, 2 * nbytes
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def dec_fw(m: Column, nbytes: int = 8) -> Column:
+    """Inverse of :func:`enc_fw` back to the (<= *nbytes*-byte) prefix
+    string; exact round-trip for values at most *nbytes* bytes long."""
+    return F.regexp_replace(
+        F.unhex(F.lpad(F.hex(m), 2 * nbytes, "0")).cast("string"), "\x00+$", ""
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..registry import Registry
 from ..sources.catalog import load_table
+from ._util import dec_fw, enc_fw
 
 # 15 hex digits = 60 bits: fits signed 64-bit on both engines with headroom;
 # the sum of 2^60-bounded terms over any realistic row count fits DECIMAL(38,0).
@@ -176,27 +177,17 @@ _DK_FMT = {
 }
 
 
+# string min/max ride the shared enc_fw/dec_fw fixed-width surrogate
+# (see _util.py): 7 bytes here -- safe for ARBITRARY strings, where the
+# 8-byte variant needs an ASCII first byte.
+
+
 def _enc7(c: Column) -> Column:
-    """Order-preserving fixed-width surrogate for a string: the first 7
-    UTF-8 bytes, zero-padded, packed big-endian into a BIGINT (56 bits,
-    always positive).  min/max over the surrogate equal the surrogate of
-    min/max under bytewise string order -- which is exactly how both Spark
-    (UTF8String) and DuckDB (memcmp) compare strings -- because a prefix
-    map is monotone.  The point: a BIGINT is a mutable fixed-width
-    aggregation-buffer type, so the profile's min/max stay inside
-    HashAggregate instead of demoting the whole wide agg to a
-    per-partition SortAggregate (the silent scale-killer the plan-gate
-    test exists to catch)."""
-    return F.conv(
-        F.substring(F.rpad(F.hex(F.encode(c, "UTF-8")), 14, "0"), 1, 14), 16, 10
-    ).cast("long")
+    return enc_fw(c, 7)
 
 
 def _dec7(m: Column) -> Column:
-    """Inverse of ``_enc7`` back to the (<=7-byte) prefix string."""
-    return F.regexp_replace(
-        F.unhex(F.lpad(F.hex(m), 14, "0")).cast("string"), "\x00+$", ""
-    )
+    return dec_fw(m, 7)
 
 
 def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -485,6 +485,35 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_union_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-VOCABULARY estimates per source plus their cross-source
+    UNION, via Apache DataSketches HLL sketch columns
+    (``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``) --
+    the surface ``approx_count_distinct`` cannot express: there the
+    sketch is consumed inside one aggregate; here the per-source sketches
+    are first-class VALUES that persist, re-merge, and answer "distinct
+    across any source subset" without re-touching the corpus. That
+    re-mergeability is the 100 TB vocabulary-tracking pattern: sketch
+    each ingest partition once, union kilobytes forever after (token
+    sets OVERLAP across sources, so the union row is genuinely less than
+    the per-source sum).
+
+    No DuckDB oracle (sketch estimates are implementation-specific;
+    driver records the rows-only check); ``tests/test_properties.py``
+    bounds every estimate against the exact distinct count instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens("text")).alias("term"))
+    sk = toks.groupBy("source").agg(F.hll_sketch_agg("term").alias("sk"))
+    per_source = sk.select(
+        "source", F.hll_sketch_estimate("sk").cast("long").alias("distinct_terms_est")
+    )
+    union_all = sk.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.lit("(all)").alias("source"),
+        F.hll_sketch_estimate("u").cast("long").alias("distinct_terms_est"),
+    )
+    return per_source.unionByName(union_all)
+
+
 # dataset_split: cumulative per-mille thresholds for train/val/test
 SPLIT_TRAIN_PERMILLE = 800
 SPLIT_VAL_PERMILLE = 900  # val = [800, 900), test = [900, 1000)
@@ -806,6 +835,12 @@ def register(reg: Registry) -> None:
         approx_distinct_users,
         None,  # HLL estimates are sketch-specific; error bounded in tests
         "HLL++ approx distinct users per event type (mergeable sketch)",
+    )
+    reg.add(
+        "hll_union_by_source",
+        hll_union_by_source,
+        None,  # sketch estimates are implementation-specific; bounded in tests
+        "DataSketches HLL vocabulary sketches per source + re-mergeable union",
     )
     reg.add(
         "dataset_split",

@@ -594,6 +594,39 @@ FROM ranked GROUP BY l_returnflag
 """
 
 
+def percentile_cont_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CONTINUOUS (interpolated) quartiles of l_extendedprice per
+    returnflag -- the SQL-standard percentile_cont semantics, which the
+    discrete-rank operator above deliberately does not cover: at position
+    p*(n-1) between two sorted values the result is their linear
+    interpolation, so the two operators disagree whenever the rank is
+    fractional and both must be available.
+
+    Spark's ``percentile`` is a TypedImperativeAggregate: it rides
+    ObjectHashAggregate (hash-based, partial-combining counts-per-value
+    maps), NOT a SortAggregate demotion, and map-side partials merge by
+    value-count union -- heavier than the GK sketch
+    (percentiles_by_flag_approx) but exact and still one pass. Both
+    engines interpolate the same sorted multiset with the same IEEE
+    double steps, so round(6) values hash-match."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {q})"), 6).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+
+SQL_PERCENTILE_CONT = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def percentiles_by_flag_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB variant of :func:`percentiles_by_flag`: one-pass
     ``approx_percentile`` whose GK sketch is MERGEABLE -- map-side
@@ -1036,6 +1069,12 @@ def register(reg: Registry) -> None:
     reg.add("q18_large_orders", q18_large_orders, SQL_Q18, "having-before-join Q18 shape")
     reg.add("grouping_sets_agg", grouping_sets_agg, SQL_GROUPING_SETS, "explicit grouping sets + gid")
     reg.add("percentiles_by_flag", percentiles_by_flag, SQL_PERCENTILES, "exact discrete quantiles")
+    reg.add(
+        "percentile_cont_by_flag",
+        percentile_cont_by_flag,
+        SQL_PERCENTILE_CONT,
+        "exact interpolated (percentile_cont) quartiles via ObjectHashAggregate",
+    )
     # rows-only BY DESIGN: the sketch's values equal the exact-quantile SQL
     # only while each group stays under ~accuracy/2 rows (sf < ~0.17) -- a
     # value oracle would spuriously fail on bigger runs. The value check is

@@ -116,6 +116,13 @@ _PRIORITY: tuple[str, ...] = (
     # ========== positions 51+: past the cap this round ==========
     # --- new round-6 queries land here (driver rows in r7) ---
     "global_row_ids",
+    "user_activity_bitmap",
+    "cdc_apply",
+    "attribution_first_last",
+    "percentile_cont_by_flag",
+    "bucketed_join_no_shuffle",
+    "file_skipping_stats",
+    "hll_union_by_source",
     # --- remaining r3-green block ---
     "q21_waiting_suppliers",
     "doc_pack_greedy",
@@ -245,6 +252,7 @@ _PRIORITY: tuple[str, ...] = (
 def build_registry() -> Registry:
     """Assemble the full registry from all operator modules."""
     from .operators import (
+        activity,
         cbo,
         dedup,
         dq,
@@ -270,6 +278,7 @@ def build_registry() -> Registry:
     reg = Registry()
     for mod in (
         relational,
+        activity,
         index_build,
         cbo,
         dq,

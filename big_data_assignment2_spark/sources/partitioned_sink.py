@@ -316,7 +316,146 @@ GROUP BY e.event_type
 """
 
 
+# --- bucketed tables: the co-located-join layout ---
+
+N_BUCKETS = 8
+_BUCKETED_READY: dict[str, str] = {}
+
+
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
+    """Save ``orders`` and ``customer`` as catalog tables BUCKETED by the
+    join key (``bucketBy(8, custkey)`` + ``sortBy``), once per process;
+    returns the table-name suffix.
+
+    Bucketing is THE pre-paid shuffle: both tables hash-partition into the
+    same bucket layout at WRITE time, so every future equi-join or
+    aggregate on the key reads co-located buckets and skips its Exchange
+    entirely -- at 100 TB that converts the nightly orders-customer join
+    from the dominant shuffle into a map-side merge. ``repartition`` on
+    the key before the write keeps it to ONE file per bucket, which also
+    lets the read side trust per-bucket sort order."""
+    if sf_dir in _BUCKETED_READY:
+        return _BUCKETED_READY[sf_dir]
+    import re
+    import shutil
+
+    from ..operators._util import scratch_root, scratch_slug
+
+    slug = re.sub(r"[^A-Za-z0-9_]", "_", scratch_slug(sf_dir))
+    for t, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        name = f"bkt_{t}_{slug}"
+        path = f"{scratch_root()}/bkt_{t}_{slug}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, t)
+            .repartition(N_BUCKETS, F.col(key))
+            .write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    _BUCKETED_READY[sf_dir] = slug
+    return slug
+
+
+def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-mktsegment order count + exact revenue through the BUCKETED
+    orders-customer join: both scan sides carry SelectedBucketsCount and
+    the join runs with NO Exchange on either input
+    (tests/test_plans.py asserts the shuffle-free shape). The oracle is
+    the same aggregate over the raw parquet views, value-hash-proving the
+    bucketed layout computes exactly what the plain join would."""
+    slug = ensure_bucketed_tables(spark, sf_dir)
+    o = spark.table(f"bkt_orders_{slug}")
+    c = spark.table(f"bkt_customer_{slug}")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_BUCKETED_JOIN = f"""
+SELECT c_mktsegment, count(*) AS n_orders,
+       {sql_dsum('o_totalprice', 2)} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-skipping index a lakehouse keeps, computed FROM the data
+    via the hidden ``_metadata`` columns: per output file of the
+    range-clustered lineitem layout, row count and shipdate min/max --
+    then folded to layout-independent invariants (total rows, global
+    min/max epoch, and the count of OVERLAPPING file-interval pairs,
+    which range clustering makes 0).
+
+    ``_metadata.file_name`` is Spark's per-row provenance surface (the
+    replacement for input_file_name() that survives column pruning); the
+    per-file min/max grouping here is exactly what a skipping index
+    materializes, and the overlap count is the property that lets a range
+    predicate prune to one file. The oracle states the invariants over
+    the ORIGINAL table (count/min/max) with the overlap count pinned to
+    its designed value 0 -- layout-dependent per-file rows can't be
+    oracled, the invariants can."""
+    path = write_lineitem_range_clustered(spark, sf_dir)
+    per_file = (
+        spark.read.parquet(path)
+        .select(F.col("_metadata.file_name").alias("f"), "l_shipdate")
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_shipdate").alias("lo"),
+            F.max("l_shipdate").alias("hi"),
+        )
+    )
+    a, b = per_file.alias("a"), per_file.alias("b")
+    overlaps = (
+        a.join(
+            b,
+            (F.col("a.f") < F.col("b.f"))
+            & (F.col("a.lo") <= F.col("b.hi"))
+            & (F.col("b.lo") <= F.col("a.hi")),
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(F.col("v").alias("n_overlapping_file_pairs"))
+    )
+    totals = per_file.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.unix_timestamp(F.min("lo")).alias("min_shipdate_epoch"),
+        F.unix_timestamp(F.max("hi")).alias("max_shipdate_epoch"),
+    )
+    return totals.crossJoin(F.broadcast(overlaps))
+
+
+SQL_FILE_SKIPPING = """
+SELECT CAST(count(*) AS BIGINT) AS total_rows,
+       CAST(floor(epoch(min(l_shipdate))) AS BIGINT) AS min_shipdate_epoch,
+       CAST(floor(epoch(max(l_shipdate))) AS BIGINT) AS max_shipdate_epoch,
+       CAST(0 AS BIGINT) AS n_overlapping_file_pairs
+FROM lineitem
+"""
+
+
 def register(reg: Registry) -> None:
+    reg.add(
+        "bucketed_join_no_shuffle",
+        bucketed_join_no_shuffle,
+        SQL_BUCKETED_JOIN,
+        "bucketBy co-located join: zero-Exchange orders x customer agg",
+    )
+    reg.add(
+        "file_skipping_stats",
+        file_skipping_stats,
+        SQL_FILE_SKIPPING,
+        "_metadata per-file skipping index + disjointness invariant",
+    )
     reg.add(
         "partitioned_sink_roundtrip",
         partitioned_sink_roundtrip,

@@ -501,6 +501,27 @@ def test_cbo_stats_drive_join_reorder(spark, sf_dir):
     assert on[-1] == "orders", on
 
 
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    """The bucketBy(8, custkey) layout must let the orders-customer join
+    run WITHOUT shuffling either input (the pre-paid shuffle is the whole
+    point). At test scale the planner legitimately prefers broadcast, so
+    the sort-merge path is forced with a hint and the assertion is: both
+    scans are bucketed AND no shuffle Exchange exists anywhere below the
+    SortMergeJoin -- the cluster-scale shape where bucketing pays."""
+    from big_data_assignment2_spark.sources.partitioned_sink import (
+        ensure_bucketed_tables,
+    )
+
+    slug = ensure_bucketed_tables(spark, sf_dir)
+    o = spark.table(f"bkt_orders_{slug}")
+    c = spark.table(f"bkt_customer_{slug}").hint("merge")
+    df = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_mktsegment")
+    plan = str(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    assert plan.count("SelectedBucketsCount: 8 out of 8") == 2, plan
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
 def test_cbo_restores_session_flags(spark, sf_dir):
     """cbo_join_reorder flips spark.sql.cbo.* while freezing its plan; a
     driver running it mid-sweep must get its session back EXACTLY as it

@@ -83,6 +83,36 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])
 
 
+def test_hll_union_error_bound(spark, sf_dir):
+    """hll_union_by_source has no SQL oracle (DataSketches estimates are
+    sketch-specific); bound every per-source estimate AND the union row
+    against exact distinct token counts. Default lgK=12 gives ~1.6% rse;
+    5% is a >3-sigma ceiling. The union row must also be genuinely less
+    than the per-source sum (token sets overlap), or the union surface
+    proves nothing."""
+    from big_data_assignment2_spark.functions.text import tokens
+    from big_data_assignment2_spark.operators.pipeline import hll_union_by_source
+    from big_data_assignment2_spark.sources.catalog import load_table
+
+    est = {
+        r["source"]: r["distinct_terms_est"]
+        for r in hll_union_by_source(spark, sf_dir).collect()
+    }
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens("text")).alias("term")
+    )
+    exact = {
+        r["source"]: r["exact"]
+        for r in toks.groupBy("source").agg(F.countDistinct("term").alias("exact")).collect()
+    }
+    exact["(all)"] = toks.select("term").distinct().count()
+    assert est.keys() == exact.keys()
+    for src, e in est.items():
+        assert abs(e - exact[src]) / exact[src] < 0.05, (src, e, exact[src])
+    per_source_sum = sum(v for k, v in est.items() if k != "(all)")
+    assert est["(all)"] < per_source_sum, est
+
+
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.integers(min_value=1, max_value=40),
