@@ -194,8 +194,9 @@ def merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_MERGE_ROUNDTRIP = f"""
-WITH merged AS (
+# the merged table's semantics as a DuckDB CTE body (shared by the
+# roundtrip oracle and table_diff's oracle)
+_SQL_MERGED_CTE = f"""
   SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
   WHERE o_orderkey % {MOD} NOT IN (0, 1)
   UNION ALL
@@ -204,10 +205,73 @@ WITH merged AS (
   UNION ALL
   SELECT o_orderkey + {INSERT_SHIFT} AS o_orderkey, 'N' AS o_orderstatus, o_totalprice
   FROM orders WHERE o_orderkey % {MOD} = 2
-)
+"""
+
+SQL_MERGE_ROUNDTRIP = f"""
+WITH merged AS ({_SQL_MERGED_CTE})
 SELECT CAST(o_orderkey % {N_BUCKETS} AS INT) AS bucket, o_orderstatus,
        count(*) AS n_rows, {sql_dsum('o_totalprice', 2)} AS total
 FROM merged GROUP BY 1, 2
+"""
+
+
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (the data-diff tool a migration/CDC pipeline runs
+    after every sync): original ``orders`` vs the post-MERGE table,
+    classified per key as added / removed / changed / unchanged, with the
+    decimal-exact net price delta per class.
+
+    Shape: ONE full-outer equi-join on the key (both snapshots shuffle
+    once, co-partitioned -- at 100 TB this is a single pass; a sort-based
+    compare would be a cluster-wide sort) followed by a tiny 4-group
+    aggregate. Presence flags come from per-side indicator literals, not
+    null value columns, so NULLs in data can't masquerade as absence.
+    Against this change set the classes are exercised non-vacuously:
+    keys %{MOD}==2 shifted +{INSERT_SHIFT} are 'added', %{MOD}==1
+    'removed', %{MOD}==0 'changed' (status+price), the rest 'unchanged'.
+    """
+    key = "o_orderkey"
+    old = load_table(spark, sf_dir, "orders").select(
+        key, "o_orderstatus", "o_totalprice", F.lit(1).alias("in_old")
+    )
+    new = (
+        spark.read.parquet(merged_orders_path(spark, sf_dir))
+        .select(key, "o_orderstatus", "o_totalprice", F.lit(1).alias("in_new"))
+    )
+    j = old.alias("o").join(new.alias("n"), key, "full_outer")
+    changed = (F.col("o.o_orderstatus") != F.col("n.o_orderstatus")) | (
+        F.col("o.o_totalprice") != F.col("n.o_totalprice")
+    )
+    status = (
+        F.when(F.col("o.in_old").isNull(), "added")
+        .when(F.col("n.in_new").isNull(), "removed")
+        .when(changed, "changed")
+        .otherwise("unchanged")
+    )
+    delta = F.coalesce(F.col("n.o_totalprice"), F.lit(0.0)) - F.coalesce(
+        F.col("o.o_totalprice"), F.lit(0.0)
+    )
+    return j.select(status.alias("diff_status"), delta.alias("delta")).groupBy(
+        "diff_status"
+    ).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        dsum(F.col("delta"), 2).alias("net_price_delta"),
+    )
+
+
+SQL_TABLE_DIFF = f"""
+WITH merged AS ({_SQL_MERGED_CTE}),
+j AS (
+  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_orderstatus <> n.o_orderstatus
+                   OR o.o_totalprice <> n.o_totalprice THEN 'changed'
+              ELSE 'unchanged' END AS diff_status,
+         COALESCE(n.o_totalprice, 0.0) - COALESCE(o.o_totalprice, 0.0) AS delta
+  FROM orders o FULL OUTER JOIN merged n USING (o_orderkey)
+)
+SELECT diff_status, count(*) AS n_keys, {sql_dsum('delta', 2)} AS net_price_delta
+FROM j GROUP BY diff_status
 """
 
 
@@ -288,4 +352,10 @@ def register(reg: Registry) -> None:
         matview_incremental_refresh,
         SQL_MATVIEW,
         "materialized-view refresh by mergeable-partial aggregate merge",
+    )
+    reg.add(
+        "table_diff",
+        table_diff,
+        SQL_TABLE_DIFF,
+        "snapshot diff: added/removed/changed/unchanged + exact net delta",
     )

@@ -123,6 +123,8 @@ _PRIORITY: tuple[str, ...] = (
     "bucketed_join_no_shuffle",
     "file_skipping_stats",
     "hll_union_by_source",
+    "table_diff",
+    "footer_agg_pushdown",
     # --- remaining r3-green block ---
     "q21_waiting_suppliers",
     "doc_pack_greedy",

@@ -443,7 +443,56 @@ FROM lineitem
 """
 
 
+def footer_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/MIN/MAX answered from parquet FOOTER statistics alone --
+    Spark's parquet aggregate pushdown (``PushedAggregation`` on the
+    scan): the query reads file metadata, not rows, so a 100 TB "how many
+    rows / what's the range" probe costs one footer read per file instead
+    of a full scan. Runs over the range-clustered lineitem layout (same
+    rows as the original table, so the oracle recomputes over the view).
+
+    Pushdown needs the V2 parquet source and the aggregatePushDown conf;
+    both are SCOPED here with the freeze-then-restore pattern
+    (runtime_bloom_join): the physical plan is materialized while they
+    are set, then session confs go back untouched.
+    ``tests/test_plans.py`` asserts the PushedAggregation scan shape."""
+    path = write_lineitem_range_clustered(spark, sf_dir)
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        # aggregate pushdown is a V2-only capability; V1 is the default
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = spark.read.parquet(path).agg(
+            F.expr("count(*)").alias("n_rows"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        df._jdf.queryExecution().executedPlan()  # noqa: SLF001 - freeze
+        return df
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+SQL_FOOTER_AGG = """
+SELECT count(*) AS n_rows,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem
+"""
+
+
 def register(reg: Registry) -> None:
+    reg.add(
+        "footer_agg_pushdown",
+        footer_agg_pushdown,
+        SQL_FOOTER_AGG,
+        "parquet footer-stat COUNT/MIN/MAX via PushedAggregation (V2 scan)",
+    )
     reg.add(
         "bucketed_join_no_shuffle",
         bucketed_join_no_shuffle,

@@ -522,6 +522,23 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
+def test_footer_agg_pushdown_shape(spark, sf_dir):
+    """COUNT/MIN/MAX must reach the parquet scan as PushedAggregation
+    (footer-only answer), and the session confs the operator scopes must
+    be back to their defaults afterwards."""
+    from big_data_assignment2_spark.sources.partitioned_sink import (
+        footer_agg_pushdown,
+    )
+
+    keys = ("spark.sql.parquet.aggregatePushdown", "spark.sql.sources.useV1SourceList")
+    before = {k: spark.conf.get(k) for k in keys}
+    df = footer_agg_pushdown(spark, sf_dir)
+    plan = str(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    assert "PushedAggregation: [COUNT(*)" in plan, plan
+    assert "MIN(l_extendedprice)" in plan, plan
+    assert {k: spark.conf.get(k) for k in keys} == before
+
+
 def test_cbo_restores_session_flags(spark, sf_dir):
     """cbo_join_reorder flips spark.sql.cbo.* while freezing its plan; a
     driver running it mid-sweep must get its session back EXACTLY as it
