@@ -71,5 +71,62 @@ GROUP BY o_orderpriority
 """
 
 
+HOT_MOD = 5  # every MOD-th lineitem FK collapses onto the hot key
+HOT_KEY = 0  # an existing o_orderkey (keys are 0..N-1 in this data)
+
+
+def _skewed_fk():
+    """Planted power-law FK: ~1/HOT_MOD of all lineitem rows point at ONE
+    order -- the celebrity-key distribution AQE's skew join exists for."""
+    return (
+        F.when(F.col("l_orderkey") % HOT_MOD == 0, F.lit(HOT_KEY))
+        .otherwise(F.col("l_orderkey"))
+        .alias("fk")
+    )
+
+
+def skew_join_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AQE-remedy twin of :func:`join_salted_agg` (remedy 1 of this
+    module's header): the same fact-dim join with a PLANTED hot key --
+    ~20% of lineitem rows collapse onto one order -- left for Spark's
+    runtime skew handling instead of explicit salting. The query itself
+    is written with ZERO skew awareness: at cluster scale AQE observes
+    the oversized shuffle partition at stage boundary, splits it, and
+    replicates the matching dim rows (``tests/test_skew.py`` executes
+    this join under scoped thresholds and asserts the final adaptive plan
+    marks the sort-merge join ``skew=true``). Values are
+    skew-handling-independent; the oracle mirrors the FK collapse."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        _skewed_fk(), "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(orders, li.fk == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice")).alias("revenue"),
+        )
+    )
+
+
+SQL_SKEW_AQE = f"""
+WITH li AS (
+  SELECT CASE WHEN l_orderkey % {HOT_MOD} = 0 THEN {HOT_KEY} ELSE l_orderkey END AS fk,
+         l_extendedprice
+  FROM lineitem
+)
+SELECT o_orderpriority, count(*) AS n_lines, {sql_dsum('l_extendedprice')} AS revenue
+FROM li JOIN orders ON fk = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("join_salted_agg", join_salted_agg, SQL_SALTED, "salted skew-proof join")
+    reg.add(
+        "skew_join_aqe",
+        skew_join_aqe,
+        SQL_SKEW_AQE,
+        "planted hot-key join left to AQE runtime skew splitting",
+    )

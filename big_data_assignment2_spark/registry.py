@@ -125,6 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "hll_union_by_source",
     "table_diff",
     "footer_agg_pushdown",
+    "skew_join_aqe",
     # --- remaining r3-green block ---
     "q21_waiting_suppliers",
     "doc_pack_greedy",
