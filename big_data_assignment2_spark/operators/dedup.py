@@ -988,7 +988,16 @@ FROM t_ascii a JOIN t_ascii b ON a.doc_id < b.doc_id AND hamming(a.s, b.s) <= {H
 
 ED_MAX = 3  # near-dup iff levenshtein(prefix_a, prefix_b) <= 3
 ED_SEGS = ED_MAX + 1  # pigeonhole: <= K edits leave >= 1 of K+1 segments intact
-ED_SEG_LEN = PREF_LEN // ED_SEGS  # 40 // 4 = 10-char segments
+# The edit variant bands over a LONGER prefix than the Hamming one
+# (80 chars -> 20-char segments): segment selectivity is the whole
+# scaling story for an equi-banded similarity join, and 10-char segments
+# of synthetic prose collide on common words (' customer ' appears in
+# 0.7% of docs -> a quadratic hot bucket that measured 50x at the 10x
+# scale check). 20-char segments cut the hottest bucket 34 -> 4 and the
+# candidate pair mass ~3x at sf0.1, while only ~5% of docs fall under
+# the length floor.
+ED_PREF_LEN = 80
+ED_SEG_LEN = ED_PREF_LEN // ED_SEGS  # 80 // 4 = 20-char segments
 
 
 def prefix_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1021,8 +1030,8 @@ def prefix_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = (
         load_table(spark, sf_dir, "documents")
-        .where(F.length("text") >= PREF_LEN)
-        .select("doc_id", F.substring("text", 1, PREF_LEN).alias("s"))
+        .where(F.length("text") >= ED_PREF_LEN)
+        .select("doc_id", F.substring("text", 1, ED_PREF_LEN).alias("s"))
         .where(F.octet_length("s") == F.length("s"))
     )
     starts = [1 + i * ED_SEG_LEN for i in range(ED_SEGS)]  # 1-based
@@ -1045,7 +1054,7 @@ def prefix_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(ED_SEGS):
         for d in range(-ED_MAX, ED_MAX + 1):
             p = starts[i] + d
-            if 1 <= p <= PREF_LEN - ED_SEG_LEN + 1:
+            if 1 <= p <= ED_PREF_LEN - ED_SEG_LEN + 1:
                 win_keys.append(
                     F.struct(
                         F.lit(i).alias("ci"),
@@ -1055,27 +1064,32 @@ def prefix_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = docs.select(
         "doc_id", "s", F.explode(F.array(*win_keys)).alias("c")
     ).select("doc_id", "s", F.col("c.ci").alias("ci"), F.col("c.ck").alias("ck"))
-    a, b = seg.alias("a"), win.alias("b")
-    lo = F.col("a.doc_id") < F.col("b.doc_id")
+    # Join/shuffle diet (measured 2x at the 10x scale check): band rows
+    # carry an 8-byte xxhash64 of (ci, ck) instead of the 20-char segment
+    # text (hash equality is a SUPERSET of text equality -- a collision
+    # only adds a candidate, and every candidate is verified below), and
+    # the candidate relation is bare id PAIRS -- the prefix strings are
+    # re-attached AFTER pair-distinct, so the dedup shuffle moves 16-byte
+    # rows, not 160 bytes of carried text.
+    seg_k = seg.select("doc_id", F.xxhash64("ci", "ck").alias("bk"))
+    win_k = win.select("doc_id", F.xxhash64("ci", "ck").alias("bk"))
+    a, b = seg_k.alias("a"), win_k.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.ci") == F.col("b.ci"))
-            & (F.col("a.ck") == F.col("b.ck"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") != F.col("b.doc_id")))
         # normalize the unordered pair (the surviving segment may belong
         # to either side, so both orientations reach here)
         .select(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-            F.when(lo, F.col("a.s")).otherwise(F.col("b.s")).alias("s_a"),
-            F.when(lo, F.col("b.s")).otherwise(F.col("a.s")).alias("s_b"),
         )
         .distinct()  # dedup candidates BEFORE the O(L^2) edit-distance DP
     )
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     return (
-        cand.withColumn("editd", F.levenshtein("s_a", "s_b").cast("int"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("editd", F.levenshtein("s_a", "s_b").cast("int"))
         .where(F.col("editd") <= ED_MAX)
         .select("doc_a", "doc_b", "editd")
     )
@@ -1083,8 +1097,8 @@ def prefix_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PREFIX_EDIT = f"""
 WITH t AS (
-  SELECT doc_id, substr(text, 1, {PREF_LEN}) AS s
-  FROM documents WHERE length(text) >= {PREF_LEN}
+  SELECT doc_id, substr(text, 1, {ED_PREF_LEN}) AS s
+  FROM documents WHERE length(text) >= {ED_PREF_LEN}
 ), t_ascii AS (
   SELECT * FROM t WHERE strlen(s) = length(s)  -- ASCII guard, see Spark side
 )

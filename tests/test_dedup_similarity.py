@@ -393,16 +393,20 @@ def test_prefix_edit_pairs_catches_shifts_hamming_misses(spark, tmp_path):
     its threshold."""
     from big_data_assignment2_spark.operators.dedup import (
         ED_MAX,
-        PREF_LEN,
+        ED_PREF_LEN,
         prefix_edit_pairs,
         prefix_hamming_pairs,
     )
 
-    base = "the quick brown fox jumps over the lazy dog padding".replace(" ", "_")
-    a = base[:PREF_LEN]
-    shifted = (base[:5] + "X" + base[5:])[:PREF_LEN]  # one insertion
-    subbed = ("YY" + base[2:])[:PREF_LEN]  # two substitutions
-    far = ("".join(reversed(base)))[:PREF_LEN]
+    base = (
+        "the quick brown fox jumps over the lazy dog and then keeps on"
+        " jumping far past the eighty character mark for the edit window"
+    ).replace(" ", "_")
+    assert len(base) >= ED_PREF_LEN + 1
+    a = base[:ED_PREF_LEN]
+    shifted = (base[:5] + "X" + base[5:])[:ED_PREF_LEN]  # one insertion
+    subbed = ("YY" + base[2:])[:ED_PREF_LEN]  # two substitutions
+    far = ("".join(reversed(base)))[:ED_PREF_LEN]
     rows = [
         ("d1", a), ("d2", shifted), ("d3", subbed), ("d4", far),
     ]
