@@ -176,6 +176,9 @@ def main() -> None:
     _build("orc_export", lambda: write_lineitem_orc(spark, sf_dir))
     _build("corrupt_csv_fixture", lambda: write_corrupt_csv(spark, sf_dir))
     _build("xml_export", lambda: write_lineitem_xml(spark, sf_dir))
+    from big_data_assignment2_spark.sources.text_formats import write_lineitem_nested
+
+    _build("nested_export", lambda: write_lineitem_nested(spark, sf_dir))
     if any(n.startswith("reference_bm25") for n in reg.queries):
         from big_data_assignment2_spark.sources.reference_corpus import (
             warm_reference_index,

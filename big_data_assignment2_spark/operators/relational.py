@@ -627,6 +627,57 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+HIST_QS = tuple(round(0.1 * i, 1) for i in range(1, 10))  # decile bounds
+
+
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of l_extendedprice -- per bucket the
+    row count and exact min/max -- WITHOUT the ``ntile()`` spelling: an
+    empty-PARTITION-BY ntile window funnels the entire table through one
+    task (the same 100 TB cliff global_row_ids documents for
+    row_number). Scale shape instead: ONE aggregate computes the 9
+    interpolated decile boundaries (ObjectHashAggregate, see
+    percentile_cont_by_flag), the 9-double array broadcasts, and the
+    bucket id is `size(filter(bounds, b -> v > b))` -- a narrow
+    projection -- followed by one ordinary two-phase aggregate. Two
+    passes total, no global sort, at any scale.
+
+    Determinism: boundaries are round(6) of exact interpolation
+    (engine-identical); ties AT a boundary go to the lower bucket on
+    both engines (strict >)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    qs = ", ".join(str(q) for q in HIST_QS)
+    bounds = li.agg(
+        F.expr(
+            f"transform(percentile(l_extendedprice, array({qs})), x -> round(x, 6))"
+        ).alias("bs")
+    )
+    bucketed = li.crossJoin(F.broadcast(bounds)).select(
+        F.expr("size(filter(bs, b -> l_extendedprice > b))").alias("bucket"),
+        "l_extendedprice",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+SQL_EQUIDEPTH = f"""
+WITH b AS (
+  SELECT list_transform(quantile_cont(l_extendedprice, [{', '.join(str(q) for q in HIST_QS)}]),
+                        x -> round(x, 6)) AS bs
+  FROM lineitem
+)
+SELECT len(list_filter(bs, x -> l_extendedprice > x)) AS bucket,
+       count(*) AS n_rows,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem, b
+GROUP BY 1
+"""
+
+
 def percentiles_by_flag_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB variant of :func:`percentiles_by_flag`: one-pass
     ``approx_percentile`` whose GK sketch is MERGEABLE -- map-side
@@ -1074,6 +1125,12 @@ def register(reg: Registry) -> None:
         percentile_cont_by_flag,
         SQL_PERCENTILE_CONT,
         "exact interpolated (percentile_cont) quartiles via ObjectHashAggregate",
+    )
+    reg.add(
+        "equidepth_histogram",
+        equidepth_histogram,
+        SQL_EQUIDEPTH,
+        "decile equi-depth histogram without a global ntile sort",
     )
     # rows-only BY DESIGN: the sketch's values equal the exact-quantile SQL
     # only while each group stays under ~accuracy/2 rows (sf < ~0.17) -- a

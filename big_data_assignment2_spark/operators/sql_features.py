@@ -183,6 +183,49 @@ LATERAL (
 """
 
 
+SESSVAR_CUSTOMER_V = "cust_sessvar_v"
+
+
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL **session variables** + **EXECUTE IMMEDIATE**: a
+    scalar threshold is computed once into ``DECLARE``d variable state,
+    then a parameterized query string executes against it -- the
+    script-style workflow (compute config -> run parameterized query)
+    that previously forced driver-side string formatting. The threshold
+    is the decimal-exact average balance (double avg would be partition-
+    order dependent and could flip boundary rows between engines); the
+    oracle inlines it as a scalar subquery with identical arithmetic.
+
+    Scale: the variable holds a SCALAR (driver-side, metadata-sized);
+    the data path is one scan + one two-phase aggregate -- the variable
+    reference compiles to a literal in the plan, so predicate pushdown
+    still applies."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(SESSVAR_CUSTOMER_V)
+    spark.sql("DECLARE OR REPLACE VARIABLE bal_floor DOUBLE")
+    spark.sql(
+        "SET VAR bal_floor = (SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(18,2)))"
+        f" AS DOUBLE) FROM {SESSVAR_CUSTOMER_V})"
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE"
+        " 'SELECT c_mktsegment, count(*) AS n_above, CAST(min(c_acctbal) AS DOUBLE)"
+        f" AS min_above FROM {SESSVAR_CUSTOMER_V} WHERE c_acctbal > ? GROUP BY"
+        " c_mktsegment' USING bal_floor"
+    )
+
+
+SQL_SESSION_VARIABLES = """
+WITH floor_v AS (
+  SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_floor
+  FROM customer
+)
+SELECT c_mktsegment, count(*) AS n_above, CAST(min(c_acctbal) AS DOUBLE) AS min_above
+FROM customer, floor_v
+WHERE c_acctbal > bal_floor
+GROUP BY c_mktsegment
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "recursive_order_chains",
@@ -201,4 +244,10 @@ def register(reg: Registry) -> None:
         lateral_topn_customers,
         SQL_LATERAL_TOPN,
         "correlated LATERAL top-K per group (de-correlated by Catalyst)",
+    )
+    reg.add(
+        "sql_session_variables",
+        sql_session_variables,
+        SQL_SESSION_VARIABLES,
+        "DECLARE/SET VAR + EXECUTE IMMEDIATE parameterized query",
     )

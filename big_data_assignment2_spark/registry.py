@@ -126,6 +126,9 @@ _PRIORITY: tuple[str, ...] = (
     "table_diff",
     "footer_agg_pushdown",
     "skew_join_aqe",
+    "sql_session_variables",
+    "equidepth_histogram",
+    "nested_lineitems_roundtrip",
     # --- remaining r3-green block ---
     "q21_waiting_suppliers",
     "doc_pack_greedy",

@@ -349,7 +349,110 @@ GROUP BY 1
 """
 
 
+_WRITTEN_NESTED: dict[str, str] = {}
+
+
+def write_lineitem_nested(spark: SparkSession, sf_dir: str) -> str:
+    """Write lineitem as a NESTED parquet table: one row per order with
+    an ``items array<struct<...>>`` column -- the event-log / document
+    shape (order header + line array) that columnar formats store as
+    repeated groups. The ``collect_list(struct(...))`` agg runs under a
+    scoped object-hash fallback threshold (Spark's 128-entries-per-
+    partition default demotes every large collect_* to sort-based
+    aggregation -- the triangle_count lesson); sort_array on the
+    linenumber-first struct makes the array order deterministic."""
+    if sf_dir not in _WRITTEN_NESTED:
+        from ..operators._util import scratch_root, scratch_slug
+
+        out = f"{scratch_root()}/lineitem_nested_{scratch_slug(sf_dir)}"
+        _FBT = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+        before = spark.conf.get(_FBT, None)
+        try:
+            spark.conf.set(_FBT, "1000000")
+            (
+                load_table(spark, sf_dir, "lineitem")
+                .groupBy("l_orderkey")
+                .agg(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                "l_linenumber",
+                                "l_partkey",
+                                "l_returnflag",
+                                "l_quantity",
+                                "l_extendedprice",
+                            )
+                        )
+                    ).alias("items")
+                )
+                .write.mode("overwrite")
+                .parquet(out)
+            )
+        finally:
+            if before is None:
+                spark.conf.unset(_FBT)
+            else:
+                spark.conf.set(_FBT, before)
+        _WRITTEN_NESTED[sf_dir] = out
+    return _WRITTEN_NESTED[sf_dir]
+
+
+def nested_lineitems_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the nested layout: per-returnflag count and
+    exact revenue computed by exploding the ``items`` array back out,
+    plus per-order array functions (basket size filter) on the way --
+    the query pattern every nested event log serves. Nested SCHEMA
+    PRUNING matters at 100 TB: the explode touches only the three
+    subfields the query needs, and the scan's ReadSchema must not
+    materialize the full struct (plan-asserted in tests/test_plans.py).
+    Oracle: the same aggregate over the FLAT table with the basket-size
+    predicate spelled as a per-order count."""
+    path = write_lineitem_nested(spark, sf_dir)
+    # Explicit NARROWED read schema: Catalyst's automatic nested pruning
+    # (GeneratorNestedColumnAliasing) only fires when a generator's
+    # output has exactly ONE subfield extracted -- measured here: a
+    # 3-subfield explode reads the full 5-field struct, and higher-order
+    # rewrites (transform to a narrower struct) block pruning entirely
+    # because lambda variables hide the access. Pinning the read schema
+    # is the reliable way to keep a multi-subfield nested scan narrow,
+    # and the plan test asserts the dropped subfields stay out of
+    # ReadSchema.
+    narrow = (
+        "l_orderkey bigint, items array<struct<"
+        "l_returnflag:string, l_quantity:double, l_extendedprice:double>>"
+    )
+    nested = spark.read.schema(narrow).parquet(path).where(F.size("items") >= 2)
+    ex = nested.select(F.explode("items").alias("it")).select(
+        F.col("it.l_returnflag").alias("l_returnflag"),
+        F.col("it.l_quantity").alias("l_quantity"),
+        F.col("it.l_extendedprice").alias("l_extendedprice"),
+    )
+    return ex.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice"), 2).alias("revenue"),
+        dsum(F.col("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+SQL_NESTED_ROUNDTRIP = f"""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT l_returnflag, count(*) AS n_items,
+       {sql_dsum('l_extendedprice', 2)} AS revenue,
+       {sql_dsum('l_quantity', 2)} AS total_qty
+FROM lineitem JOIN big USING (l_orderkey)
+GROUP BY l_returnflag
+"""
+
+
 def register(reg: Registry) -> None:
+    reg.add(
+        "nested_lineitems_roundtrip",
+        nested_lineitems_roundtrip,
+        SQL_NESTED_ROUNDTRIP,
+        "nested array<struct> layout roundtrip with subfield pruning",
+    )
     reg.add(
         "schema_evolution_read",
         schema_evolution_read,

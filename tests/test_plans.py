@@ -553,3 +553,24 @@ def test_cbo_restores_session_flags(spark, sf_dir):
     after_collect = {k: spark.conf.get(k) for k in keys}
     assert after_build == before
     assert after_collect == before
+
+
+def test_nested_roundtrip_reads_narrow_schema(spark, sf_dir):
+    """The nested roundtrip must scan only the three subfields it uses:
+    automatic nested pruning can't handle a multi-subfield explode
+    (single-field-only in GeneratorNestedColumnAliasing), so the
+    operator pins an explicit read schema -- this asserts the dropped
+    subfields never reach the parquet reader."""
+    from big_data_assignment2_spark.sources.text_formats import (
+        nested_lineitems_roundtrip,
+    )
+
+    df = nested_lineitems_roundtrip(spark, sf_dir)
+    plan = str(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    import re
+
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas, plan
+    for s in schemas:
+        assert "l_partkey" not in s and "l_linenumber" not in s, s
+        assert "l_extendedprice" in s, s
