@@ -333,6 +333,41 @@ WHERE NOT EXISTS (
 """
 
 
+def join_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``NOT IN (subquery)`` -- the null-aware anti join, a genuinely
+    different operator from NOT EXISTS (``join_anti``): SQL's three-valued
+    logic makes ``x NOT IN (S)`` UNKNOWN (row dropped) whenever S contains
+    a single NULL or x is NULL, so Catalyst cannot plan a plain anti join;
+    it plans a **null-aware** anti join (single-column broadcast case:
+    BroadcastHashJoin with the isnull disjunct) that checks the
+    null-presence of the whole build side. Engines that get this wrong
+    return plausible-but-incorrect rows the moment a NULL lands in the
+    subquery -- the semantics are the point of carrying the operator.
+
+    Query: parts never shipped by any 1-QTY line item, counted per brand.
+    DuckDB implements identical three-valued NOT IN semantics, so the
+    oracle is the literal same query."""
+    part = load_table(spark, sf_dir, "part")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_nin_v")
+    part.createOrReplaceTempView("part_nin_v")
+    return spark.sql(
+        """
+SELECT p_brand, count(*) AS n_parts
+FROM part_nin_v
+WHERE p_partkey NOT IN (SELECT l_partkey FROM li_nin_v WHERE l_quantity = 1)
+GROUP BY p_brand
+"""
+    )
+
+
+SQL_NOT_IN = """
+SELECT p_brand, count(*) AS n_parts
+FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity = 1)
+GROUP BY p_brand
+"""
+
+
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact count-distinct per group (expand + two-phase aggregate)."""
     return (
@@ -1111,6 +1146,12 @@ def register(reg: Registry) -> None:
         "SHUFFLE_HASH-hinted fact-fact join (skips both SMJ sorts)",
     )
     reg.add("join_anti", join_anti, SQL_ANTI, "left-anti join (NOT EXISTS)")
+    reg.add(
+        "join_not_in_null_aware",
+        join_not_in_null_aware,
+        SQL_NOT_IN,
+        "NOT IN subquery: null-aware anti join, three-valued semantics",
+    )
     reg.add("agg_count_distinct", agg_count_distinct, SQL_COUNT_DISTINCT, "exact count-distinct")
     reg.add("window_rank_topn", window_rank_topn, SQL_WINDOW_RANK, "K3 window row_number")
     reg.add("distinct_projection", distinct_projection, SQL_DISTINCT, "distinct projection")

@@ -129,6 +129,7 @@ _PRIORITY: tuple[str, ...] = (
     "sql_session_variables",
     "equidepth_histogram",
     "nested_lineitems_roundtrip",
+    "join_not_in_null_aware",
     # --- remaining r3-green block ---
     "q21_waiting_suppliers",
     "doc_pack_greedy",

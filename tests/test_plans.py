@@ -574,3 +574,25 @@ def test_nested_roundtrip_reads_narrow_schema(spark, sf_dir):
     for s in schemas:
         assert "l_partkey" not in s and "l_linenumber" not in s, s
         assert "l_extendedprice" in s, s
+
+
+def test_not_in_is_null_aware(spark, sf_dir):
+    """NOT IN must plan the null-aware anti join (not a plain LeftAnti on
+    the key), and must honor three-valued logic: one NULL in the subquery
+    empties the result."""
+    from big_data_assignment2_spark.operators.relational import (
+        join_not_in_null_aware,
+    )
+
+    df = join_not_in_null_aware(spark, sf_dir)
+    plan = str(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    assert "LeftAnti" in plan, plan
+    # BroadcastHashJoin prints isNullAwareAntiJoin as the trailing flag
+    assert "LeftAnti, BuildRight, true" in plan, plan
+    # semantics: a NULL on the right empties the result entirely
+    left = spark.createDataFrame([(1,), (2,)], "k long")
+    right = spark.createDataFrame([(2,), (None,)], "k long")
+    left.createOrReplaceTempView("nin_l")
+    right.createOrReplaceTempView("nin_r")
+    out = spark.sql("SELECT k FROM nin_l WHERE k NOT IN (SELECT k FROM nin_r)")
+    assert out.count() == 0
