@@ -19,6 +19,9 @@ ROWS_ONLY_ALLOWED = {
     # GK-sketch values equal exact quantiles only below ~sf0.17; the
     # scale-proof value check is percentiles_approx_rank_check
     "percentiles_by_flag_approx",
+    # DataSketches HLL estimates are sketch-implementation-specific;
+    # 5%-error-bound + union-overlap property test in test_properties.py
+    "hll_union_by_source",
 }
 
 
