@@ -514,6 +514,49 @@ def hll_union_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_source.unionByName(union_all)
 
 
+CMS_EPS = 0.0001  # over-estimate slack: eps * total_count
+CMS_CONF = 0.99
+CMS_SEED = 20240814
+CMS_PROBE_KEYS = tuple(range(10))  # partkeys to report (exist at every sf)
+
+
+def cms_partkey_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for a fixed probe set of
+    part keys over ``lineitem`` -- the point-lookup frequency sketch that
+    completes the engine's sketch family (HLL distincts, GK quantiles,
+    runtime bloom membership, MinHash/SimHash similarity): "how often
+    does key X occur in 100 TB" answered from a kilobyte summary.
+
+    Scale shape: ``count_min_sketch`` is a MERGEABLE aggregate -- each
+    partition builds a local table, partials merge cell-wise map-side,
+    and ONE sketch (not the keys) crosses the wire. The probe step
+    deserializes that single sketch driver-side (public
+    ``org.apache.spark.util.sketch.CountMinSketch`` API) and reads
+    |probe| counters -- the bounded-cardinality driver class (like the
+    ANN probe cells). Deterministic: fixed seed, integer counters.
+
+    No DuckDB oracle (sketch layout is implementation-specific); the
+    property test bounds every estimate in [exact, exact + eps*N]."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sk_bytes = (
+        li.agg(
+            F.count_min_sketch(
+                "l_partkey", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
+            ).alias("sk")
+        ).collect()[0]["sk"]
+    )
+    jvm = spark.sparkContext._jvm
+    bis = jvm.java.io.ByteArrayInputStream(bytes(sk_bytes))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    rows = [
+        (int(k), int(cms.estimateCount(k)), int(cms.totalCount()))
+        for k in CMS_PROBE_KEYS
+    ]
+    return spark.createDataFrame(
+        rows, "l_partkey long, est_count long, total_rows long"
+    )
+
+
 # dataset_split: cumulative per-mille thresholds for train/val/test
 SPLIT_TRAIN_PERMILLE = 800
 SPLIT_VAL_PERMILLE = 900  # val = [800, 900), test = [900, 1000)
@@ -841,6 +884,12 @@ def register(reg: Registry) -> None:
         hll_union_by_source,
         None,  # sketch estimates are implementation-specific; bounded in tests
         "DataSketches HLL vocabulary sketches per source + re-mergeable union",
+    )
+    reg.add(
+        "cms_partkey_counts",
+        cms_partkey_counts,
+        None,  # sketch layout is implementation-specific; bounded in tests
+        "count-min-sketch point-frequency estimates (mergeable, kilobyte summary)",
     )
     reg.add(
         "dataset_split",

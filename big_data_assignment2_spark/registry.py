@@ -130,6 +130,7 @@ _PRIORITY: tuple[str, ...] = (
     "equidepth_histogram",
     "nested_lineitems_roundtrip",
     "join_not_in_null_aware",
+    "cms_partkey_counts",
     # --- remaining r3-green block ---
     "q21_waiting_suppliers",
     "doc_pack_greedy",

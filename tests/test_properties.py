@@ -134,3 +134,32 @@ def test_bmp_codec_roundtrip_property(w, h, seed):
     out = decode_bmp(encode_bmp(arr))
     assert out.shape == (h, w, 3)
     assert (out == arr).all()
+
+
+def test_cms_estimates_bounded(spark, sf_dir):
+    """cms_partkey_counts has no SQL oracle (sketch layout is
+    implementation-specific); pin the CMS guarantee instead: every
+    estimate sits in [exact, exact + eps * total], and totals equal the
+    scanned row count. Deterministic (fixed seed), so this is a fixed
+    arithmetic check, not a statistical one."""
+    from big_data_assignment2_spark.operators.pipeline import (
+        CMS_EPS,
+        cms_partkey_counts,
+    )
+    from big_data_assignment2_spark.sources.catalog import load_table
+
+    est = {
+        r["l_partkey"]: (r["est_count"], r["total_rows"])
+        for r in cms_partkey_counts(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    exact = {
+        r["l_partkey"]: r["c"]
+        for r in li.where(F.col("l_partkey").isin(*est.keys()))
+        .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for k, (e, tot) in est.items():
+        x = exact.get(k, 0)
+        assert tot == n
+        assert x <= e <= x + CMS_EPS * n + 1, (k, e, x)
