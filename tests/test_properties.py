@@ -163,3 +163,23 @@ def test_cms_estimates_bounded(spark, sf_dir):
         x = exact.get(k, 0)
         assert tot == n
         assert x <= e <= x + CMS_EPS * n + 1, (k, e, x)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet=st.characters(codec="ascii", min_codepoint=1, max_codepoint=127), max_size=8), min_size=2, max_size=12))
+def test_enc_fw_roundtrips_and_preserves_order(spark, texts):
+    """enc_fw/dec_fw contract (the HashAggregate-keeping surrogate used by
+    profile_table and the activity max_by aggregates): exact round-trip
+    for <=8-byte ASCII values, and the surrogate's integer order equals
+    bytewise string order."""
+    from big_data_assignment2_spark.operators._util import dec_fw, enc_fw
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, s string")
+    out = df.select("i", "s", enc_fw(F.col("s")).alias("c")).select(
+        "i", "s", "c", dec_fw(F.col("c")).alias("back")
+    )
+    rows = out.collect()
+    for r in rows:
+        assert r["back"] == r["s"], (r["s"], r["back"])
+    by_str = [r["c"] for r in sorted(rows, key=lambda r: r["s"].encode())]
+    assert by_str == sorted(by_str)
