@@ -682,6 +682,44 @@ def dedup_apply_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-grade near-dup dedup: per connected component keep the
+    member with the HIGHEST quality score (ties: lowest doc_id) -- the
+    policy real corpus pipelines use instead of min-id representatives
+    (:func:`dedup_apply_neardup`): when two crawls of one page near-dup,
+    you keep the cleaner one, not the earlier-numbered one.
+
+    Shape: component labels (shared/memoized propagation) join the
+    quality features, then a two-pass argmax per component -- per-comp
+    max(quality) hash-aggregate, equi-join back on (comp, score), then
+    min(doc_id) to break exact score ties -- every step a plain
+    HashAggregate / equi-join (a one-pass max_by(struct) spelling would
+    put a var-width struct in the aggregation buffer and demote to
+    SortAggregate; the two-pass form is the scale-safe spelling when the
+    tie-break makes the key compound). Output: the kept corpus rows with
+    their scores."""
+    from .textstats import text_quality
+
+    labels = _components_labels(spark, sf_dir)
+    q = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    member = labels.join(q, "doc_id").select("doc_id", "comp", "quality_score")
+    best = member.groupBy("comp").agg(F.max("quality_score").alias("best_q"))
+    winners = (
+        member.alias("m")
+        .join(
+            best.alias("b"),
+            (F.col("m.comp") == F.col("b.comp"))
+            & (F.col("m.quality_score") == F.col("b.best_q")),
+        )
+        .groupBy(F.col("m.comp"))
+        .agg(F.min("m.doc_id").alias("doc_id"), F.max("m.quality_score").alias("quality_score"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return winners.join(docs, "doc_id").select(
+        "doc_id", "lang", "source", "quality_score"
+    )
+
+
 _SQL_CC_PREFIX = f"""
 WITH RECURSIVE
 pairs AS ({SQL_MINHASH_LSH}),
@@ -706,6 +744,26 @@ SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
 FROM documents d JOIN comp c ON d.doc_id = c.doc_id AND d.doc_id = c.component_id
 """
 )
+
+
+def _sql_dedup_keep_best() -> str:
+    from .textstats import _sql_text_quality
+
+    return (
+        _SQL_CC_PREFIX
+        + f""", comp AS (SELECT doc_id, min(comp) AS comp FROM reach GROUP BY doc_id),
+q AS (SELECT doc_id, quality_score FROM ({_sql_text_quality()})),
+member AS (SELECT c.doc_id, c.comp, q.quality_score FROM comp c JOIN q USING (doc_id)),
+best AS (SELECT comp, max(quality_score) AS best_q FROM member GROUP BY comp),
+winners AS (
+  SELECT m.comp, min(m.doc_id) AS doc_id, max(m.quality_score) AS quality_score
+  FROM member m JOIN best b ON m.comp = b.comp AND m.quality_score = b.best_q
+  GROUP BY m.comp
+)
+SELECT w.doc_id, d.lang, d.source, w.quality_score
+FROM winners w JOIN documents d USING (doc_id)
+"""
+    )
 
 
 def neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -829,6 +887,12 @@ def register(reg: Registry) -> None:
         neardup_cluster_sizes,
         SQL_NEARDUP_CLUSTER_SIZES,
         "near-dup cluster-size distribution (dedup QA report)",
+    )
+    reg.add(
+        "dedup_keep_best",
+        dedup_keep_best,
+        _sql_dedup_keep_best(),
+        "near-dup dedup keeping the highest-quality member per component",
     )
     reg.add("simhash", simhash, SQL_SIMHASH, "64-bit SimHash sketch per doc")
     reg.add(

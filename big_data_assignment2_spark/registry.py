@@ -131,6 +131,7 @@ _PRIORITY: tuple[str, ...] = (
     "nested_lineitems_roundtrip",
     "join_not_in_null_aware",
     "cms_partkey_counts",
+    "dedup_keep_best",
     # --- remaining r3-green block ---
     "q21_waiting_suppliers",
     "doc_pack_greedy",
