@@ -250,18 +250,29 @@ def main() -> None:
         picks = tuple(n for n in picks if n in reg.queries) if scaled_dir else ()
         per_q: dict[str, dict] = {}
         for name in picks:
-            scaled_times: dict[str, float] = {}
+            # Re-time the BASE back-to-back with the scaled run: the main
+            # loop's timing was taken at a different JVM warmth, and a
+            # warm-vs-cold base silently inflates/deflates the ratio
+            # (observed 4x ratio swings on identical scaled times).
+            pair_times: dict[str, float] = {}
+            _run_isolated(
+                spark,
+                f"base:{name}",
+                lambda name=name: _force(reg.queries[name].fn(spark, sf_dir)),
+                pair_times,
+                errors,
+            )
             _run_isolated(
                 spark,
                 f"scale:{name}",
                 lambda name=name: _force(reg.queries[name].fn(spark, scaled_dir)),
-                scaled_times,
+                pair_times,
                 errors,
             )
-            if f"scale:{name}" not in scaled_times or name not in timings:
+            if f"scale:{name}" not in pair_times or f"base:{name}" not in pair_times:
                 continue
-            scaled_t = scaled_times[f"scale:{name}"]
-            base_t = timings[name]
+            scaled_t = pair_times[f"scale:{name}"]
+            base_t = pair_times[f"base:{name}"]
             per_q[name] = {
                 "base": base_t,
                 "scaled": scaled_t,
