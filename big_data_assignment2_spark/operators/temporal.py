@@ -503,6 +503,128 @@ FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.bucket_s = s.bucket_
 """
 
 
+def gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling with LINEAR INTERPOLATION -- the other half of the
+    TimescaleDB ``time_bucket_gapfill`` pair (:func:`gapfill_locf` is the
+    step-function fill; this is the ``interpolate()`` fill for
+    continuously-varying gauges): each missing hourly bucket gets the
+    time-weighted blend of the nearest observed gauge before and after
+    it; buckets outside the observed range carry the nearest edge value.
+
+    Shape: identical to the LOCF operator up to the spine left-join (one
+    per-user min/max aggregate -> sequence spine, one join), then TWO
+    per-key ordered windows -- last-non-null looking back, first-non-null
+    looking forward -- give (prev_s, prev_v, next_s, next_v) and the
+    blend is a narrow projection. Still two shuffles total.
+
+    Determinism: bucket epochs are exact integers; the blend is the same
+    three IEEE double ops on identical inputs in both engines, rounded
+    to 6."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("s"), "value"
+    ).where(F.col("s") < GAP_CUTOFF_S)
+    bucketed = ev.select(
+        "user_id",
+        (F.floor(F.col("s") / GAP_STEP_S) * GAP_STEP_S).cast("long").alias("bucket_s"),
+        "value",
+    )
+    obs = bucketed.groupBy("user_id", "bucket_s").agg(
+        F.count(F.lit(1)).alias("n_obs"), F.max("value").alias("gauge")
+    )
+    spine = (
+        bucketed.groupBy("user_id")
+        .agg(F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.lit(GAP_STEP_S).cast("long"))).alias(
+                "bucket_s"
+            ),
+        )
+    )
+    j = spine.join(obs, ["user_id", "bucket_s"], "left")
+    obs_s = F.when(F.col("gauge").isNotNull(), F.col("bucket_s"))
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_s = F.last(obs_s, ignorenulls=True).over(back)
+    prev_v = F.last("gauge", ignorenulls=True).over(back)
+    next_s = F.first(obs_s, ignorenulls=True).over(fwd)
+    next_v = F.first("gauge", ignorenulls=True).over(fwd)
+    blend = F.when(
+        prev_s.isNotNull() & next_s.isNotNull() & (next_s != prev_s),
+        prev_v
+        + (next_v - prev_v)
+        * ((F.col("bucket_s") - prev_s) / (next_s - prev_s)),
+    ).otherwise(F.coalesce(prev_v, next_v))
+    # micro-unit BIGINT, not round(double, 6): a linear blend with a
+    # dyadic fraction (gap/2, gap/4...) lands exactly on .5*10^-6 decimal
+    # ties, where Spark's HALF_UP and DuckDB's float rounding disagree in
+    # the last digit; floor(x*1e6 + 0.5) is the identical IEEE op chain
+    # on both engines and the integer result renders identically.
+    return j.select(
+        "user_id",
+        "bucket_s",
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_events"),
+        F.floor(blend * 1_000_000 + F.lit(0.5)).cast("long").alias("gauge_interp_micro"),
+    )
+
+
+SQL_GAPFILL_LINEAR = f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, value
+  FROM events WHERE CAST(floor(epoch(ts)) AS BIGINT) < {GAP_CUTOFF_S}
+),
+bucketed AS (
+  SELECT user_id, (s // {GAP_STEP_S}) * {GAP_STEP_S} AS bucket_s, value FROM ev
+),
+obs AS (
+  SELECT user_id, bucket_s, count(*) AS n_obs, max(value) AS gauge
+  FROM bucketed GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id,
+         unnest(generate_series(min(bucket_s), max(bucket_s), {GAP_STEP_S})) AS bucket_s
+  FROM bucketed GROUP BY user_id
+),
+j AS (
+  SELECT s.user_id, s.bucket_s, o.n_obs, o.gauge,
+         CASE WHEN o.gauge IS NOT NULL THEN s.bucket_s END AS obs_s
+  FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.bucket_s = s.bucket_s
+),
+w AS (
+  SELECT user_id, bucket_s, n_obs,
+         last_value(obs_s IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bucket_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_s,
+         last_value(gauge IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bucket_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         first_value(obs_s IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bucket_s
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_s,
+         first_value(gauge IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bucket_s
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v
+  FROM j
+)
+SELECT user_id, bucket_s,
+       CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_events,
+       CAST(floor((CASE WHEN prev_s IS NOT NULL AND next_s IS NOT NULL AND next_s <> prev_s
+                  THEN prev_v + (next_v - prev_v)
+                       * ((bucket_s - prev_s) / CAST(next_s - prev_s AS DOUBLE))
+                  ELSE COALESCE(prev_v, next_v) END) * 1000000 + 0.5) AS BIGINT)
+         AS gauge_interp_micro
+FROM w
+"""
+
+
 SESSION_PAD_S = 600  # each event opens a 10-minute activity interval
 
 
@@ -587,6 +709,12 @@ def register(reg: Registry) -> None:
         gapfill_locf,
         SQL_GAPFILL,
         "hourly time-bucket gap fill with last-observation-carried-forward",
+    )
+    reg.add(
+        "gapfill_linear",
+        gapfill_linear,
+        SQL_GAPFILL_LINEAR,
+        "time-bucket gap fill by linear interpolation between neighbors",
     )
     reg.add(
         "intervals_consolidate",

@@ -132,6 +132,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_not_in_null_aware",
     "cms_partkey_counts",
     "dedup_keep_best",
+    "gapfill_linear",
     # --- remaining r3-green block ---
     "q21_waiting_suppliers",
     "doc_pack_greedy",
