@@ -279,11 +279,36 @@ def main() -> None:
                 "ratio": round(scaled_t / base_t, 2) if base_t > 0 else None,
             }
         ratios = sorted(v["ratio"] for v in per_q.values() if v["ratio"])
+        # The replica corpus makes every document a 10-way EXACT clone, so
+        # content-similarity pair operators' TRUE OUTPUT grows ~x45 per doc
+        # by construction -- their wall-clock ratio measures that output
+        # explosion, not candidate-generation behavior (SCALE.md details;
+        # the banded candidate paths are separately bucket-audited there).
+        output_quadratic = (
+            "minhash_lsh_pairs",
+            "minhash_lsh_pairs_fast",
+            "simhash_neardup_pairs",
+            "prefix_hamming_pairs",
+            "prefix_edit_pairs",
+            "embedding_neardup_lsh",
+        )
+        for n in output_quadratic:
+            if n in per_q:
+                per_q[n]["note"] = "output ~x45/doc on the clone corpus (true near-dups by construction)"
         scale_check = {
             "factor": factor,
             "base_sf": sf,
             "gen_sec": gen_sec,
             "median_ratio": ratios[len(ratios) // 2] if ratios else None,
+            "median_ratio_excl_output_quadratic": (
+                lambda rr: rr[len(rr) // 2] if rr else None
+            )(
+                sorted(
+                    v["ratio"]
+                    for k, v in per_q.items()
+                    if v.get("ratio") and k not in output_quadratic
+                )
+            ),
             "queries": per_q,
         }
 
