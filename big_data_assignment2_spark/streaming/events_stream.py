@@ -587,6 +587,66 @@ GROUP BY window_start_epoch, event_type
 """
 
 
+RUNNING_FILES = 3  # stage the projection as 3 files -> 3 genuine micro-batches
+
+
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed RUNNING aggregate in COMPLETE output mode: all-time per-user
+    totals accumulated across ``RUNNING_FILES`` genuine micro-batches.
+
+    The streaming shape the other demos don't pin down:
+    ``streaming_tumbling`` is complete-mode but WINDOWED (state keyed by
+    event-time bucket); ``streaming_dedup`` is keyed state but
+    append-mode (each key emitted at most once). Here an UNWINDOWED
+    ``groupBy(user_id)`` must MERGE partial aggregates into per-key state
+    batch over batch -- the running materialized-aggregate shape (a
+    revenue-by-account leaderboard) -- and complete mode re-emits the
+    whole state snapshot every trigger, so the memory sink's final table
+    is the last snapshot, which for an ``availableNow`` run over a
+    bounded drop zone equals the batch aggregate: exactly what the DuckDB
+    oracle checks. ``tests/test_streaming_batches.py`` asserts the run
+    really consumed >= 2 non-empty input batches (so count/sum/max state
+    demonstrably merged across triggers).
+
+    The drop zone holds the epoch-normalized projection ``(user_id,
+    value, us)`` staged as ``RUNNING_FILES`` parquet files read back with
+    ``maxFilesPerTrigger=1`` -- the multi-batch keyed-state mechanics
+    under test stay isolated from the ts-decode adaptivity that
+    ``_events_stream`` already exercises. Scale shape: state is bounded
+    by |users| spread over the state-store partitions, not by event
+    volume; the sum rides the exact DECIMAL accumulation (associative, so
+    batch boundaries cancel); ``last_us`` is pure epoch arithmetic
+    (tz-proof). A live deployment would run this in update mode into a
+    key-updatable sink instead of re-emitting the full snapshot."""
+    from ..operators._util import scratch_root
+    from ..sources.catalog import load_events
+
+    stage = f"{scratch_root()}/run_totals_{uuid.uuid4().hex[:8]}"
+    (
+        load_events(spark, sf_dir)
+        .select("user_id", "value", F.unix_micros("ts").alias("us"))
+        .repartition(RUNNING_FILES)
+        .write.parquet(stage)
+    )
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(stage)
+    )
+    totals = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), 6).alias("sum_value"),
+        F.max("us").alias("last_us"),
+    )
+    return _run_to_table(spark, totals, "stream_run_totals", output_mode="complete")
+
+
+SQL_STREAM_RUNNING = f"""
+SELECT user_id, count(*) AS n_events, {sql_dsum('value', 6)} AS sum_value,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+FROM events GROUP BY user_id
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "streaming_tumbling",
@@ -635,6 +695,12 @@ def register(reg: Registry) -> None:
         streaming_late_data,
         SQL_STREAM_LATE,
         "watermark late-row drop + append-mode finalization, 3 micro-batches",
+    )
+    reg.add(
+        "streaming_running_totals",
+        streaming_running_totals,
+        SQL_STREAM_RUNNING,
+        "complete-mode unwindowed keyed running aggregate, 3 micro-batches",
     )
 
 

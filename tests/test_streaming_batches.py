@@ -119,6 +119,39 @@ def test_sessionize_timeout_boundary(spark, tmp_path):
     assert oracle == {(base_us, 1, 1), (base_us + 700, 2, 1)}
 
 
+def test_running_totals_state_spans_batches(spark, sf_dir):
+    """The complete-mode running aggregate must really accumulate across
+    micro-batches: >= 2 non-empty input batches ran, every batch after
+    the first re-emitted the (growing) full snapshot, and the final
+    snapshot equals the batch aggregate for a spot-checked user."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment2_spark.sources.catalog import load_events
+    from big_data_assignment2_spark.streaming import events_stream as es
+
+    out = es.streaming_running_totals(spark, sf_dir)
+    progress = [p for p in es._LAST_PROGRESS if p["numInputRows"] > 0]
+    assert len(progress) >= 2, [p["batchId"] for p in es._LAST_PROGRESS]
+    # complete mode: each trigger's state row count is monotone non-
+    # decreasing (keys only ever accumulate)
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"] for p in progress if p["stateOperators"]
+    ]
+    assert state_rows == sorted(state_rows), state_rows
+    ev = load_events(spark, sf_dir)
+    uid = ev.agg(F.min("user_id")).collect()[0][0]
+    want = (
+        ev.where(F.col("user_id") == uid)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .collect()[0]
+    )
+    got = out.where(F.col("user_id") == uid).collect()[0]
+    assert (got["n_events"], got["last_us"]) == (want["n"], want["last_us"])
+
+
 def test_late_rows_are_dropped_by_watermark(spark, sf_dir):
     """The late-data demo must show GENUINE watermark drops: the run's
     numRowsDroppedByWatermark across batches equals the late-slice size
