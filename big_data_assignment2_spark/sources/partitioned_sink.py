@@ -252,6 +252,156 @@ GROUP BY l_returnflag
 """
 
 
+HILBERT_BITS = 8  # 256 x 256 grid -- plenty of resolution for ~32 files
+HILBERT_FILES = 32
+
+_HILBERT_WRITTEN: dict[str, str] = {}
+
+
+def _with_hilbert(df: DataFrame, sx, sy, out: str) -> DataFrame:
+    """Append the Hilbert-curve index of grid cell ``(sx, sy)`` on the
+    ``2^HILBERT_BITS`` grid as column ``out`` -- pure Column arithmetic,
+    no UDF. The classic top-down xy2d bit loop (public-domain Wikipedia
+    formulation): each level tests one bit of each coordinate,
+    accumulates the visited quadrant's contribution, then
+    rotates/reflects the frame for the next level:
+
+        for s = n/2 .. 1:  rx = (x & s) > 0;  ry = (y & s) > 0
+                           d += s*s * ((3*rx) XOR ry)
+                           if ry == 0:
+                               if rx == 1: x, y = s-1-x, s-1-y
+                               swap(x, y)
+
+    Why Hilbert over the Morton interleave already demoed by
+    ``zorder_clustered_roundtrip``: the rotation makes the mapping
+    CONTINUOUS -- consecutive d values are always grid-adjacent cells
+    (|dx|+|dy| = 1, asserted exhaustively over all 65,536 cells in
+    tests/test_bucketing.py), where z-order takes long diagonal jumps at
+    every quadrant seam. A contiguous d-range (= one clustered file)
+    therefore spans a tighter (x, y) bounding box on average -- tighter
+    per-file min/max stats -- better 2-D box pruning.
+
+    Implementation note: the per-level x/y rewrites reference the
+    previous level's x and y from several CaseWhen branches, so each
+    level is emitted as its OWN select() stage; CollapseProject's
+    duplicate-non-cheap-expression guard then keeps the ladder as
+    chained projections instead of inlining it into one exponentially
+    sized expression. All levels stay inside a single WholeStageCodegen
+    span."""
+    x, y, d = f"{out}_x", f"{out}_y", out
+    df = df.withColumns({x: sx.cast("long"), y: sy.cast("long"), d: F.lit(0).cast("long")})
+    keep = [c for c in df.columns if c not in (x, y, d)]
+    for i in range(HILBERT_BITS - 1, -1, -1):
+        s = 1 << i
+        rx = F.col(x).bitwiseAND(F.lit(s)) > 0
+        ry = F.col(y).bitwiseAND(F.lit(s)) > 0
+        quad = (
+            F.when(rx, F.lit(3)).otherwise(F.lit(0)).bitwiseXOR(
+                F.when(ry, F.lit(1)).otherwise(F.lit(0))
+            )
+        )
+        nd = (F.col(d) + F.lit(s) * F.lit(s) * quad).alias(d)
+        # ry=1: frame unchanged; ry=0 & rx=1: reflect both then swap;
+        # ry=0 & rx=0: plain swap
+        nx = (
+            F.when(ry, F.col(x))
+            .when(rx, F.lit(s - 1) - F.col(y))
+            .otherwise(F.col(y))
+            .alias(x)
+        )
+        ny = (
+            F.when(ry, F.col(y))
+            .when(rx, F.lit(s - 1) - F.col(x))
+            .otherwise(F.col(x))
+            .alias(y)
+        )
+        df = df.select(*keep, nx, ny, nd)
+    return df.drop(x, y)
+
+
+def write_lineitem_hilbert(spark: SparkSession, sf_dir: str) -> str:
+    """Hilbert-curve clustered layout on ``(l_partkey, l_suppkey)``: both
+    keys min-max scaled to HILBERT_BITS bits, mapped through the curve
+    index, and range-clustered on it -- same write shape as the Morton
+    layout, different (continuous) space-filling curve. The curve value
+    is layout-only; results never depend on it."""
+    if sf_dir not in _HILBERT_WRITTEN:
+        from ..operators._util import scratch_root, scratch_slug
+
+        out = f"{scratch_root()}/lineitem_hilbert_{scratch_slug(sf_dir)}"
+        li = load_table(spark, sf_dir, "lineitem")
+        b = li.agg(
+            F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+        ).collect()[0]
+        pmin, pmax, smin, smax = (int(v) for v in b)
+        scale = (1 << HILBERT_BITS) - 1
+        sx = ((F.col("l_partkey") - pmin) * scale / F.lit(max(pmax - pmin, 1))).cast("long")
+        sy = ((F.col("l_suppkey") - smin) * scale / F.lit(max(smax - smin, 1))).cast("long")
+        (
+            _with_hilbert(li, sx, sy, "_h")
+            .repartitionByRange(HILBERT_FILES, F.col("_h"))
+            .sortWithinPartitions("_h")
+            .drop("_h")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        _HILBERT_WRITTEN[sf_dir] = out
+    return _HILBERT_WRITTEN[sf_dir]
+
+
+def _hilbert_box(spark: SparkSession, sf_dir: str) -> tuple[int, int, int, int]:
+    """The registered 2-D box predicate: the [1/8, 3/8) sub-range of each
+    key's span (deliberately different from the Morton demo's box);
+    integer arithmetic so both engines draw identical boundaries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).collect()[0]
+    pmin, pmax, smin, smax = (int(v) for v in b)
+    return (
+        pmin + (pmax - pmin) // 8,
+        pmin + 3 * (pmax - pmin) // 8,
+        smin + (smax - smin) // 8,
+        smin + 3 * (smax - smin) // 8,
+    )
+
+
+def hilbert_clustered_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the Hilbert-clustered layout: 2-D box filter
+    (pushed to the scan; prunes via per-file min/max on BOTH columns) +
+    aggregate. Oracle = the same box over the ORIGINAL table."""
+    path = write_lineitem_hilbert(spark, sf_dir)
+    plo, phi, slo, shi = _hilbert_box(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .where(
+            (F.col("l_partkey") >= plo)
+            & (F.col("l_partkey") < phi)
+            & (F.col("l_suppkey") >= slo)
+            & (F.col("l_suppkey") < shi)
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+SQL_HILBERT_ROUNDTRIP = f"""
+WITH b AS (
+  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         min(l_suppkey) AS smin, max(l_suppkey) AS smax
+  FROM lineitem
+)
+SELECT l_linestatus, count(*) AS n_rows, {sql_dsum('l_extendedprice', 2)} AS sum_price
+FROM lineitem, b
+WHERE l_partkey >= pmin + (pmax - pmin) // 8 AND l_partkey < pmin + 3 * (pmax - pmin) // 8
+  AND l_suppkey >= smin + (smax - smin) // 8 AND l_suppkey < smin + 3 * (smax - smin) // 8
+GROUP BY l_linestatus
+"""
+
+
 DPP_KEEP = 2  # dim filter keeps the bottom-2 event types by avg value
 
 
@@ -522,6 +672,12 @@ def register(reg: Registry) -> None:
         zorder_clustered_roundtrip,
         SQL_ZORDER_ROUNDTRIP,
         "Morton-curve (Z-order) 2-D clustering + box-predicate pruned read-back",
+    )
+    reg.add(
+        "hilbert_clustered_roundtrip",
+        hilbert_clustered_roundtrip,
+        SQL_HILBERT_ROUNDTRIP,
+        "Hilbert-curve 2-D clustering (continuous curve) + box-pruned read-back",
     )
     reg.add(
         "dpp_pruned_join",

@@ -176,6 +176,95 @@ def test_zorder_files_are_2d_local(spark, sf_dir):
     assert "PushedFilters" in plan and "l_partkey" in plan and "l_suppkey" in plan
 
 
+def test_hilbert_curve_exhaustive_properties(spark):
+    """The Column-ladder Hilbert index must BE a Hilbert curve, checked
+    exhaustively over all 2^(2*HILBERT_BITS) grid cells: (1) bijection
+    onto [0, n*n) and (2) continuity -- consecutive curve positions are
+    grid-adjacent (|dx| + |dy| == 1), the property that distinguishes it
+    from the Morton interleave (whose quadrant seams jump diagonally
+    across the grid) and that makes contiguous curve ranges cover tight
+    2-D boxes."""
+    from pyspark.sql import Window
+
+    from big_data_assignment2_spark.sources.partitioned_sink import (
+        HILBERT_BITS,
+        _with_hilbert,
+    )
+
+    n = 1 << HILBERT_BITS
+    grid = spark.range(n * n).select(
+        (F.col("id") / n).cast("long").alias("x"), (F.col("id") % n).alias("y")
+    )
+    h = _with_hilbert(grid, F.col("x"), F.col("y"), "_h")
+    lo, hi, nd = h.agg(
+        F.min("_h"), F.max("_h"), F.count_distinct("_h")
+    ).collect()[0]
+    assert (lo, hi, nd) == (0, n * n - 1, n * n)  # bijection
+    w = Window.orderBy("_h")
+    jumps = (
+        h.select(
+            (
+                F.abs(F.col("x") - F.lag("x").over(w))
+                + F.abs(F.col("y") - F.lag("y").over(w))
+            ).alias("step")
+        )
+        .where(F.col("step") != 1)
+        .count()
+    )
+    assert jumps == 0  # continuity: every curve step moves one cell
+
+
+def test_hilbert_files_are_2d_local(spark, sf_dir):
+    """Hilbert clustering must bound BOTH key ranges within each file
+    (same footer-stats assertion as the Morton layout), and the
+    registered 2-D box predicate must prune to a strict file subset."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from big_data_assignment2_spark.sources.partitioned_sink import (
+        _hilbert_box,
+        hilbert_clustered_roundtrip,
+        write_lineitem_hilbert,
+    )
+
+    path = write_lineitem_hilbert(spark, sf_dir)
+    boxes = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        stats: dict[str, list[int]] = {"l_partkey": [], "l_suppkey": []}
+        for rg in range(md.num_row_groups):
+            for i in range(md.num_columns):
+                c = md.row_group(rg).column(i)
+                if c.path_in_schema in stats:
+                    stats[c.path_in_schema] += [c.statistics.min, c.statistics.max]
+        if stats["l_partkey"]:
+            boxes.append(
+                (
+                    min(stats["l_partkey"]),
+                    max(stats["l_partkey"]),
+                    min(stats["l_suppkey"]),
+                    max(stats["l_suppkey"]),
+                )
+            )
+    assert len(boxes) > 4, "expected many hilbert-clustered files"
+    p_glob = (min(b[0] for b in boxes), max(b[1] for b in boxes))
+    s_glob = (min(b[2] for b in boxes), max(b[3] for b in boxes))
+    p_spans = sorted(b[1] - b[0] for b in boxes)
+    s_spans = sorted(b[3] - b[2] for b in boxes)
+    assert p_spans[len(p_spans) // 2] <= (p_glob[1] - p_glob[0]) * 0.6, p_spans
+    assert s_spans[len(s_spans) // 2] <= (s_glob[1] - s_glob[0]) * 0.6, s_spans
+
+    plo, phi, slo, shi = _hilbert_box(spark, sf_dir)
+    hit = [
+        b for b in boxes if not (b[1] < plo or b[0] >= phi or b[3] < slo or b[2] >= shi)
+    ]
+    assert len(hit) < len(boxes), "2-D box predicate pruned nothing"
+
+    plan = explain_formatted(hilbert_clustered_roundtrip(spark, sf_dir))
+    assert "PushedFilters" in plan and "l_partkey" in plan and "l_suppkey" in plan
+
+
 def test_small_files_compaction_collapses_files(spark, sf_dir):
     """Compaction must reduce the debris to ceil(bytes/target) files and
     change nothing about the content."""
