@@ -282,7 +282,13 @@ def build_registry() -> Registry:
         textstats,
         windows,
     )
-    from .sources import doc_export, partitioned_sink, reference_corpus, text_formats
+    from .sources import (
+        doc_export,
+        partitioned_sink,
+        reference_corpus,
+        secondary_index,
+        text_formats,
+    )
     from .streaming import events_stream, index_ingest
 
     reg = Registry()
@@ -310,6 +316,7 @@ def build_registry() -> Registry:
         index_ingest,
         reference_corpus,
         partitioned_sink,
+        secondary_index,
         text_formats,
         doc_export,
     ):

@@ -265,6 +265,59 @@ def test_hilbert_files_are_2d_local(spark, sf_dir):
     assert "PushedFilters" in plan and "l_partkey" in plan and "l_suppkey" in plan
 
 
+def test_secondary_index_skips_files_in_both_steps(spark, sf_dir):
+    """Both halves of the index lookup must be able to skip files on
+    parquet footer stats alone: the index probe (custkey-clustered) and
+    the primary point fetch (orderkey-clustered). Asserted by replaying
+    the min/max skip arithmetic the reader performs, plus the pushed
+    filters on the fetch plan."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from big_data_assignment2_spark.sources.secondary_index import (
+        build_orders_secondary_index,
+        secondary_index_lookup,
+    )
+
+    primary, index = build_orders_secondary_index(spark, sf_dir)
+    out = secondary_index_lookup(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 1
+    target = rows[0]["o_custkey"]
+    keys = sorted(r["o_orderkey"] for r in rows)
+
+    def _ranges(path: str, col: str) -> list[tuple[int, int]]:
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            vals = []
+            for rg in range(md.num_row_groups):
+                for i in range(md.num_columns):
+                    c = md.row_group(rg).column(i)
+                    if c.path_in_schema == col:
+                        vals += [c.statistics.min, c.statistics.max]
+            if vals:
+                spans.append((min(vals), max(vals)))
+        return spans
+
+    idx_spans = _ranges(index, "o_custkey")
+    assert len(idx_spans) > 1
+    idx_hit = [s for s in idx_spans if s[0] <= target <= s[1]]
+    assert len(idx_hit) < len(idx_spans), "index probe pruned nothing"
+
+    prim_spans = _ranges(primary, "o_orderkey")
+    assert len(prim_spans) > 2
+    prim_hit = [s for s in prim_spans if any(s[0] <= k <= s[1] for k in keys)]
+    assert len(prim_hit) < len(prim_spans), "primary fetch pruned nothing"
+
+    plan = explain_formatted(
+        spark.read.parquet(primary).where(F.col("o_orderkey").isin(keys))
+    )
+    assert "PushedFilters" in plan and "In(o_orderkey" in plan
+
+
 def test_small_files_compaction_collapses_files(spark, sf_dir):
     """Compaction must reduce the debris to ceil(bytes/target) files and
     change nothing about the content."""
