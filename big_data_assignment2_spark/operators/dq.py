@@ -461,7 +461,73 @@ FROM sums
 """
 
 
+Z_THRESH = 3.0  # |z| at or above this is reported
+
+
+def outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier report: events whose ``value`` sits
+    ``Z_THRESH`` population standard deviations or more from their
+    event_type's mean -- the first-pass anomaly screen of a metrics
+    pipeline.
+
+    Two-pass shape that scales: (1) one mergeable aggregate computes the
+    per-group moment sums (n, sum(x), sum(x^2)) -- map-side partials, 5
+    groups; (2) the 5-row stats frame broadcast-joins back onto the event
+    scan, so the fact table is read twice but never shuffled. Determinism
+    across engines: the moment sums ride exact DECIMAL accumulation
+    (order-independent), and mean/variance/z are then a fixed sequence of
+    double ops on identical inputs -- so even the >= threshold comparison
+    lands identically. Population (not sample) variance, computed as
+    E[x^2] - E[x]^2 from the exact sums."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = F.col("s2").cast("double") / n - mean * mean
+    stats = stats.select("event_type", mean.alias("mean"), F.sqrt(var).alias("sd"))
+    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) >= Z_THRESH)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
+SQL_OUTLIER_Z = f"""
+WITH s AS (
+  SELECT event_type, count(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM events GROUP BY 1
+),
+st AS (
+  SELECT event_type, s1 / n AS mean, sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd
+  FROM s
+)
+SELECT event_id, user_id, event_type, round(value, 6) AS value,
+       round((value - mean) / sd, 6) AS z
+FROM events JOIN st USING (event_type)
+WHERE abs((value - mean) / sd) >= {Z_THRESH}
+"""
+
+
 def register(reg: Registry) -> None:
+    reg.add(
+        "outlier_zscore",
+        outlier_zscore,
+        SQL_OUTLIER_Z,
+        "per-group z-score outliers from exact moment sums + broadcast stats",
+    )
     reg.add(
         "table_checksum",
         table_checksum,

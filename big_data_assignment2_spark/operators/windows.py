@@ -526,8 +526,66 @@ WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT)
 """
 
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition table of the per-user event-type
+    sequence: for every ordered pair of consecutive events of one user,
+    count (from_type -> to_type) transitions, how many distinct users
+    made each, and the conditional transition probability
+    P(to | from) = n / sum(n) over from_type.
+
+    The sequence-mining primitive (clickstream path analysis, funnel
+    leakage, next-action models): one shuffle on user_id + per-partition
+    sort for the lag, then a 25-row aggregate -- event volume only flows
+    through the first window, so the shape scales exactly like the other
+    per-user windows. Ties in ts break on event_id (same convention as
+    every sequence op here). The probability divides two exact integer
+    counts in double -- bit-identical across engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).where(F.col("from_type").isNotNull())
+    tr = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    wt = Window.partitionBy("from_type")
+    return tr.withColumn(
+        "p",
+        F.round(
+            F.col("n_transitions") * F.lit(1.0) / F.sum("n_transitions").over(wt), 6
+        ),
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+  FROM events
+), tr AS (
+  SELECT from_type, to_type, count(*) AS n_transitions,
+         count(DISTINCT user_id) AS n_users
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions, n_users,
+       round(n_transitions * 1.0 / sum(n_transitions) OVER (PARTITION BY from_type), 6) AS p
+FROM tr
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("window_tumbling", window_tumbling, SQL_TUMBLING, "5-min tumbling windows")
+    reg.add(
+        "event_transitions",
+        event_transitions,
+        SQL_EVENT_TRANSITIONS,
+        "per-user event-type Markov transition counts + P(to|from)",
+    )
     reg.add(
         "window_trailing_range",
         window_trailing_range,

@@ -402,6 +402,88 @@ GROUP BY l_linestatus
 """
 
 
+BLOOM_FILES = 8  # orders clustered by DATE -> orderkey scattered everywhere
+BLOOM_NDV = 200_000  # expected distinct orderkeys per row group (upper bound)
+BLOOM_TOPK = 5  # point-fetch the keys of the 5 priciest orders
+
+_BLOOM_WRITTEN: dict[str, str] = {}
+
+
+def write_orders_bloom(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders clustered by ``o_orderdate`` with a PARQUET BLOOM
+    FILTER on ``o_orderkey`` -- the skipping index for the case min/max
+    stats fundamentally cannot handle: a point lookup on a column
+    UNCORRELATED with the layout. Date-clustered files each span nearly
+    the full orderkey range (every file's [min, max] contains every key),
+    so stats prune nothing; the per-row-group bloom answers "definitely
+    not here" for every row group but the one actually holding the key.
+    Write-side knobs are the official parquet-mr ones
+    (``parquet.bloom.filter.enabled#column``, ``...expected.ndv#column``);
+    the read side needs nothing -- Spark's pushed-down point predicates
+    are checked against the bloom by parquet-mr during row-group
+    selection (``parquet.filter.bloom.enabled``, default true).
+    tests/test_bucketing.py reads the blooms back through the public
+    parquet-mr API and asserts the skip arithmetic: stats overlap
+    everywhere, bloom hits only where the key really lives. Note
+    parquet-mr only writes a bloom for column chunks that are not fully
+    dictionary-encoded (a dictionary already answers exact membership)."""
+    if sf_dir not in _BLOOM_WRITTEN:
+        from ..operators._util import scratch_root, scratch_slug
+
+        out = f"{scratch_root()}/orders_bloom_{scratch_slug(sf_dir)}"
+        (
+            load_table(spark, sf_dir, "orders")
+            .repartitionByRange(BLOOM_FILES, F.col("o_orderdate"))
+            .sortWithinPartitions("o_orderdate")
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+            .option("parquet.bloom.filter.expected.ndv#o_orderkey", str(BLOOM_NDV))
+            .parquet(out)
+        )
+        _BLOOM_WRITTEN[sf_dir] = out
+    return _BLOOM_WRITTEN[sf_dir]
+
+
+def parquet_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-fetch the ``BLOOM_TOPK`` priciest orders (totalprice desc,
+    orderkey tie-break) by key from the bloom-indexed date-clustered
+    layout. The IN-list pushes to the scan; row-group selection consults
+    the o_orderkey bloom, so each key costs ~1 row group instead of a
+    full-table scan that min/max stats can't avoid on this layout.
+    Oracle = the same top-K subselect joined back on the original table."""
+    path = write_orders_bloom(spark, sf_dir)
+    orders = spark.read.parquet(path)
+    keys = [
+        r["o_orderkey"]
+        for r in orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(BLOOM_TOPK)
+        .select("o_orderkey")
+        .collect()
+    ]
+    return (
+        orders.where(F.col("o_orderkey").isin(keys))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+        )
+    )
+
+
+SQL_BLOOM_SKIPPING = f"""
+WITH top AS (
+  SELECT o_orderkey FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT {BLOOM_TOPK}
+)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 2) AS totalprice,
+       CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch
+FROM orders JOIN top USING (o_orderkey)
+"""
+
+
 DPP_KEEP = 2  # dim filter keeps the bottom-2 event types by avg value
 
 
@@ -672,6 +754,12 @@ def register(reg: Registry) -> None:
         zorder_clustered_roundtrip,
         SQL_ZORDER_ROUNDTRIP,
         "Morton-curve (Z-order) 2-D clustering + box-predicate pruned read-back",
+    )
+    reg.add(
+        "parquet_bloom_skipping",
+        parquet_bloom_skipping,
+        SQL_BLOOM_SKIPPING,
+        "parquet bloom-filter row-group skipping for layout-uncorrelated keys",
     )
     reg.add(
         "hilbert_clustered_roundtrip",

@@ -318,6 +318,88 @@ def test_secondary_index_skips_files_in_both_steps(spark, sf_dir):
     assert "PushedFilters" in plan and "In(o_orderkey" in plan
 
 
+def test_bloom_filter_skips_where_stats_cannot(spark, sf_dir):
+    """The bloom layout must show exactly the division of labor the
+    docstring claims: (1) every file carries a bloom on o_orderkey and
+    none on other columns; (2) min/max stats are USELESS for key point
+    lookups on this date-clustered layout (every file's key range
+    contains the probed keys); (3) the blooms, read back through the
+    public parquet-mr API, report 'definitely absent' for every row
+    group except where each key really lives -- the skip decision the
+    reader makes for the pushed IN-list. Membership is probed through
+    the Binary overload over the 8-byte little-endian plain encoding
+    (identical bytes, hence identical xxhash, to the writer's
+    hash(long) path; py4j cannot reliably pick the primitive-long
+    overload from Python ints)."""
+    import glob
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from big_data_assignment2_spark.sources.partitioned_sink import (
+        parquet_bloom_skipping,
+        write_orders_bloom,
+    )
+
+    path = write_orders_bloom(spark, sf_dir)
+    out = parquet_bloom_skipping(spark, sf_dir)
+    keys = sorted(r["o_orderkey"] for r in out.collect())
+    assert len(keys) > 1
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    assert len(files) > 2
+    stats_hits = {k: 0 for k in keys}
+    bloom_hits = {k: 0 for k in keys}
+    n_groups = 0
+    for f in files:
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(f), conf
+        )
+        r = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        try:
+            blocks = r.getRowGroups()
+            for bi in range(blocks.size()):
+                block = blocks.get(bi)
+                n_groups += 1
+                cols = block.getColumns()
+                cc = None
+                for ci in range(cols.size()):
+                    c = cols.get(ci)
+                    dot = c.getPath().toDotString()
+                    if dot == "o_orderkey":
+                        cc = c
+                        assert c.getBloomFilterOffset() >= 0, f
+                    elif dot == "o_custkey":
+                        assert c.getBloomFilterOffset() == -1, f
+                st = cc.getStatistics()
+                lo, hi = st.genericGetMin(), st.genericGetMax()
+                bf = r.getBloomFilterDataReader(block).readBloomFilter(cc)
+                for k in keys:
+                    if lo <= k <= hi:
+                        stats_hits[k] += 1
+                    payload = jvm.org.apache.parquet.io.api.Binary.fromConstantByteArray(
+                        struct.pack("<q", k)
+                    )
+                    if bf.findHash(bf.hash(payload)):
+                        bloom_hits[k] += 1
+        finally:
+            r.close()
+    assert n_groups > 2
+    for k in keys:
+        # stats: the key range of (nearly) every row group contains k
+        assert stats_hits[k] > n_groups // 2, (k, stats_hits[k], n_groups)
+        # bloom: at least one possibly-present (it IS present somewhere),
+        # and most row groups are definitively skipped
+        assert 1 <= bloom_hits[k] <= n_groups // 2, (k, bloom_hits[k], n_groups)
+
+    plan = explain_formatted(
+        spark.read.parquet(path).where(F.col("o_orderkey").isin(keys))
+    )
+    assert "PushedFilters" in plan and "In(o_orderkey" in plan
+
+
 def test_small_files_compaction_collapses_files(spark, sf_dir):
     """Compaction must reduce the debris to ceil(bytes/target) files and
     change nothing about the content."""
