@@ -156,6 +156,19 @@ def main() -> None:
     )
 
     _build("debris_and_compaction", lambda: ensure_compacted_debris(spark, sf_dir))
+    from big_data_assignment2_spark.operators.dedup import _neardup_store
+    from big_data_assignment2_spark.sources.partitioned_sink import (
+        write_lineitem_hilbert,
+        write_orders_bloom,
+    )
+    from big_data_assignment2_spark.sources.secondary_index import (
+        build_orders_secondary_index,
+    )
+
+    _build("hilbert_clustered", lambda: write_lineitem_hilbert(spark, sf_dir))
+    _build("orders_bloom", lambda: write_orders_bloom(spark, sf_dir))
+    _build("orders_secondary_index", lambda: build_orders_secondary_index(spark, sf_dir))
+    _build("neardup_store", lambda: _neardup_store(spark, sf_dir))
     from big_data_assignment2_spark.sources.text_formats import write_orders_evolved
 
     _build("orders_evolved", lambda: write_orders_evolved(spark, sf_dir))
@@ -242,6 +255,9 @@ def main() -> None:
             # new window / two-feed joins (r5 additions)
             "window_trailing_range",
             "full_outer_reconcile",
+            # r6 event analytics (events-only, no persisted fixture)
+            "event_transitions",
+            "outlier_zscore",
             # embedding family
             "ann_topk_bruteforce",
             "ann_topk_lsh",

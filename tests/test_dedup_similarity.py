@@ -432,3 +432,37 @@ def test_prefix_edit_pairs_catches_shifts_hamming_misses(spark, tmp_path):
     }
     assert ham <= set(edit)  # substitution-only pairs are covered
     assert ("d1", "d2") not in ham  # ...and the shift is the edit-only win
+
+
+def test_incremental_lsh_touches_only_the_delta_corpus(spark, sf_dir):
+    """The admission check must be INCREMENTAL in plan shape: once the
+    fingerprint store exists, the query's physical plan reads the
+    documents table only for the new batch (one scan) and gets the
+    existing half exclusively from the store's parquet tables -- plus it
+    finds real cross-half pairs (non-trivial evidence, not 0 == 0)."""
+    from big_data_assignment2_spark.operators.dedup import (
+        _neardup_store,
+        dedup_incremental_lsh,
+    )
+    from big_data_assignment2_spark.plans.audit import explain_formatted
+
+    root = _neardup_store(spark, sf_dir)
+    out = dedup_incremental_lsh(spark, sf_dir)
+    plan = explain_formatted(out)
+    # the store's three tables feed the plan...
+    assert "neardup_store" in plan
+    # ...and the EXISTING half is never recomputed from raw text: the
+    # even-doc predicate (the store build's filter) must not appear
+    # anywhere in the admission plan -- only the odd-half batch filter.
+    # (A plain scan count is unreliable: cached relations print their
+    # child plan, so documents.parquet shows up inside InMemoryRelation
+    # blocks too.)
+    import re
+
+    assert not re.search(r"% 2\) = 0", plan), "even half recomputed from raw text"
+    assert re.search(r"% 2\) = 1", plan), "expected the odd-half batch filter"
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["doc_a"] % 2 == 0 and r["doc_b"] % 2 == 1
+        assert r["jaccard"] >= 0.5
