@@ -269,8 +269,73 @@ SELECT CAST((SELECT sum(freq) FROM freqs) AS BIGINT) AS total_tokens,
 """
 
 
+def token_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report: per-source unigram KL divergence
+    KL(P_source || P_corpus) = sum_t p_s(t) * ln(p_s(t) / p(t)) -- the
+    mixture-QA number that flags a source whose token distribution has
+    drifted from the corpus it feeds (scraper broke, boilerplate crept
+    in, language mix shifted).
+
+    Shape at scale: one (source, term) count aggregate (map-side partials
+    absorb hot terms), one term-keyed global count, an equi-join on term,
+    and a per-source reduce -- all linear in vocabulary size, never in
+    pair space. Every probability comes from exact integer counts;
+    each term's contribution is one double expression rounded into a
+    DECIMAL(18,15) before the final sum, so the cross-engine sum is
+    order-independent (the dsum trick at divergence scale -- raw double
+    sums of ~1e4 tiny contributions WILL differ in late digits between
+    engines). P(t) > 0 wherever p_s(t) > 0 by construction (the corpus
+    contains every source's tokens), so the log is total."""
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = tokenize(docs, id_col="source")  # (source, term) per occurrence
+    per = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    tot_s = per.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    glob = per.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    n_tot = glob.agg(F.sum("c_t").alias("n_tot"))
+    p_s = F.col("c_st") / F.col("n_s")
+    p_g = F.col("c_t") / F.col("n_tot")
+    contrib = (p_s * F.log(p_s / p_g)).cast("decimal(18,15)")
+    return (
+        per.join(glob, "term")
+        .join(F.broadcast(tot_s), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum(contrib).cast("double"), 6).alias("kl_vs_corpus"),
+        )
+        .withColumn("n_tokens", F.col("n_tokens").cast("long"))
+    )
+
+
+SQL_TOKEN_KL = f"""
+WITH toks AS (
+  SELECT source, unnest({SQL_TOKENS.format(col='text')}) AS term FROM documents
+),
+per AS (SELECT source, term, count(*) AS c_st FROM toks GROUP BY 1, 2),
+tot_s AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM per GROUP BY 1),
+gl AS (SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM per GROUP BY 1),
+n AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_tot FROM gl)
+SELECT source, max(n_s) AS n_tokens, count(*) AS n_terms,
+       round(CAST(sum(CAST(
+           (c_st * 1.0 / n_s) * ln((c_st * 1.0 / n_s) / (c_t * 1.0 / n_tot))
+           AS DECIMAL(18,15))) AS DOUBLE), 6) AS kl_vs_corpus
+FROM per JOIN gl USING (term) JOIN tot_s USING (source), n
+GROUP BY source
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("text_quality", text_quality, _sql_text_quality(), "quality features per doc")
+    reg.add(
+        "token_kl_by_source",
+        token_kl_by_source,
+        SQL_TOKEN_KL,
+        "per-source unigram KL divergence vs corpus (drift report)",
+    )
     reg.add("lang_id", lang_id, _sql_lang_id(), "marker-token language ID")
     reg.add("token_counts", token_counts, SQL_TOKEN_COUNTS, "3 tokenizer counts per doc")
     reg.add("doc_fingerprint", doc_fingerprint, _sql_doc_fingerprint(), "min-md5-shingle fingerprint")
