@@ -794,7 +794,76 @@ FROM documents
 """
 
 
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: every near-dup pair whose two members
+    landed in different dataset splits is an eval-contamination path (the
+    test doc has a ~duplicate in train). Composes the two primitives the
+    pipeline already trusts -- the exact-verified LSH pair set
+    (``minhash_lsh_pairs_fast``) and the deterministic hash split
+    (``dataset_split``) -- into the QA matrix: pair counts and mean
+    Jaccard per unordered split pair, with cross-split rows flagged.
+
+    Scale shape: the pair set is the banded-LSH output (linear via bucket
+    caps), the split label is a narrow projection, and the report is two
+    broadcast-friendly joins (pairs x tiny split frame per side) plus a
+    9-row aggregate. This is the check a curation run gates promotion on:
+    is_leak rows should drive re-assignment (move near-dup clusters into
+    one split, cf. dedup_apply_neardup) before training."""
+    from .dedup import minhash_lsh_pairs_fast
+
+    pairs = minhash_lsh_pairs_fast(spark, sf_dir)
+    splits = dataset_split(spark, sf_dir).select("doc_id", "split")
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    lo = F.least("split_a", "split_b")
+    hi = F.greatest("split_a", "split_b")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            lo.alias("split_lo"),
+            hi.alias("split_hi"),
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+            "jaccard",
+        )
+        .groupBy("split_lo", "split_hi", "is_leak")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_jaccard"),
+        )
+    )
+
+
+def _sql_split_leakage() -> str:
+    from .dedup import SQL_NGRAM_JACCARD
+
+    return f"""
+WITH pairs AS ({SQL_NGRAM_JACCARD}),
+sp AS ({SQL_DATASET_SPLIT})
+SELECT least(sa.split, sb.split) AS split_lo,
+       greatest(sa.split, sb.split) AS split_hi,
+       sa.split <> sb.split AS is_leak,
+       count(*) AS n_pairs,
+       round(CAST(sum(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS avg_jaccard
+FROM pairs
+JOIN sp sa ON sa.doc_id = pairs.doc_a
+JOIN sp sb ON sb.doc_id = pairs.doc_b
+GROUP BY 1, 2, 3
+"""
+
+
 def register(reg: Registry) -> None:
+    reg.add(
+        "split_leakage_report",
+        split_leakage_report,
+        _sql_split_leakage(),
+        "near-dup pairs straddling train/val/test: eval-leakage audit matrix",
+    )
     reg.add(
         "global_row_ids",
         global_row_ids,
