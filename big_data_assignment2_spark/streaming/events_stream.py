@@ -587,6 +587,103 @@ GROUP BY window_start_epoch, event_type
 """
 
 
+DEDUP_WM_DELAY_S = 604_800  # 7-day dedup horizon (span is 30 days)
+REPLAY_MOD, REPLAY_REM = 89, 7  # ~1% replayed slice (at-least-once redelivery)
+DD_NUDGE_MOD, DD_NUDGE_REM = 997, 11  # tiny batch that activates the watermark
+
+
+def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STATE streaming dedup: ``dropDuplicatesWithinWatermark``,
+    the API that makes streaming dedup viable on an unbounded stream --
+    plain ``dropDuplicates`` (the ``streaming_dedup`` demo) keeps every
+    key forever, which no 100 TB deployment survives; here a key's state
+    lives only ``DEDUP_WM_DELAY_S`` of event time and is then evicted,
+    so state is bounded by the horizon's key arrival rate, not stream
+    age.
+
+    The demo stages the at-least-once redelivery scenario this API
+    exists for: (A) the corpus minus a nudge slice, (B) the nudge slice
+    (fresh keys that advance the watermark one batch before the
+    stragglers -- same trick as ``streaming_late_data``), then (C) an
+    exact REPLAY of a ~1% slice of A keyed by event_id. Semantics pinned
+    empirically from the state metrics: a replayed row is either
+    SUPPRESSED by live key state (``numDroppedDuplicateRows``) or,
+    if its key was already evicted, necessarily DROPPED AS LATE
+    (``numRowsDroppedByWatermark``) -- eviction happens at
+    expiry = event ms + delay ms <= watermark, which implies the event
+    time is older than the watermark itself, so an EXACT replay of an
+    evicted key can never be re-emitted. That is precisely the API's
+    guarantee: exactly-once output under at-least-once redelivery with
+    BOUNDED state (duplication only becomes possible when the redelivery
+    carries a fresh event time beyond the horizon). The oracle is
+    therefore every distinct event exactly once; the mechanism evidence
+    lives in tests/test_streaming_batches.py, which asserts >0 states
+    evicted at the nudge batch and that the replay batch splits into
+    >0 state-suppressed plus >0 late-dropped rows, with the three
+    counts summing to the replay size."""
+    import glob
+    import os
+    import shutil
+
+    from ..operators._util import scratch_root
+
+    replay_c = F.col("event_id") % REPLAY_MOD == REPLAY_REM
+    nudge_c = (F.col("event_id") % DD_NUDGE_MOD == DD_NUDGE_REM) & ~replay_c
+    root = f"{scratch_root()}/stream_ddwm_{uuid.uuid4().hex[:8]}"
+    drop = f"{root}/drop"
+    os.makedirs(drop)
+    from ..sources.catalog import _read_events_raw
+
+    try:
+        raw = _read_events_raw(spark, f"{sf_dir}/events.parquet")
+        batches = (
+            ("a_main", ~nudge_c),
+            ("b_nudge", nudge_c),
+            ("c_replay", replay_c),
+        )
+        for i, (nm, cond) in enumerate(batches):
+            raw.where(cond).coalesce(1).write.mode("overwrite").parquet(
+                f"{root}/in_{nm}"
+            )
+            src = glob.glob(f"{root}/in_{nm}/*.parquet")[0]
+            dst = f"{drop}/{nm}.parquet"
+            shutil.copy(src, dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+        schema = raw.schema
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(drop)
+        )
+        from pyspark.sql.types import LongType
+
+        if isinstance(schema["ts"].dataType, LongType):
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        deduped = (
+            stream.withWatermark("ts", f"{DEDUP_WM_DELAY_S} seconds")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.unix_micros("ts").alias("us"),
+                F.round("value", 6).alias("value"),
+            )
+        )
+        return _run_to_table(spark, deduped, "stream_ddwm")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_STREAM_DEDUP_WM = """
+SELECT event_id, user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS us, round(value, 6) AS value
+FROM events
+"""
+
+
 RUNNING_FILES = 3  # stage the projection as 3 files -> 3 genuine micro-batches
 
 
@@ -701,6 +798,12 @@ def register(reg: Registry) -> None:
         streaming_running_totals,
         SQL_STREAM_RUNNING,
         "complete-mode unwindowed keyed running aggregate, 3 micro-batches",
+    )
+    reg.add(
+        "streaming_dedup_watermarked",
+        streaming_dedup_watermarked,
+        SQL_STREAM_DEDUP_WM,
+        "bounded-state dedup (dropDuplicatesWithinWatermark) vs replayed slice",
     )
 
 

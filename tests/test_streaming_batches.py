@@ -152,6 +152,39 @@ def test_running_totals_state_spans_batches(spark, sf_dir):
     assert (got["n_events"], got["last_us"]) == (want["n"], want["last_us"])
 
 
+def test_dedup_within_watermark_bounds_state(spark, sf_dir):
+    """dropDuplicatesWithinWatermark must show its whole contract on the
+    staged redelivery run: (1) state is BOUNDED -- the nudge batch evicts
+    expired keys; (2) the replayed batch splits exactly into
+    state-suppressed duplicates plus late-dropped rows (an exact replay
+    of an evicted key is necessarily late, so nothing is re-emitted);
+    (3) the output is every distinct event exactly once."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment2_spark.sources.catalog import load_events
+    from big_data_assignment2_spark.streaming import events_stream as es
+
+    out = es.streaming_dedup_watermarked(spark, sf_dir)
+    n_events = load_events(spark, sf_dir).count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
+
+    progress = es._LAST_PROGRESS
+    assert len(progress) >= 3, [p["batchId"] for p in progress]
+    nudge = progress[1]["stateOperators"][0]
+    assert nudge["numRowsRemoved"] > 0, "no state eviction -- state unbounded"
+    replay = progress[2]["stateOperators"][0]
+    suppressed = replay["customMetrics"]["numDroppedDuplicateRows"]
+    late = replay["numRowsDroppedByWatermark"]
+    n_replay = (
+        load_events(spark, sf_dir)
+        .where(F.col("event_id") % es.REPLAY_MOD == es.REPLAY_REM)
+        .count()
+    )
+    assert suppressed > 0 and late > 0
+    assert suppressed + late == n_replay, (suppressed, late, n_replay)
+
+
 def test_late_rows_are_dropped_by_watermark(spark, sf_dir):
     """The late-data demo must show GENUINE watermark drops: the run's
     numRowsDroppedByWatermark across batches equals the late-slice size
