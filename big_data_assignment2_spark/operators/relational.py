@@ -662,6 +662,49 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+WINSOR_LO, WINSOR_HI = 0.05, 0.95  # clamp the tails outside [p5, p95]
+
+
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization -- the feature-prep twin of ``outlier_zscore``:
+    instead of REPORTING tail rows, clamp every value into its group's
+    exact [p5, p95] interval, the standard robust-scaling step before a
+    heavy-tailed feature feeds a model. Two-pass shape that scales: one
+    exact interpolated-percentile aggregate per event_type (5 rows,
+    ObjectHashAggregate with mergeable value-count maps -- see
+    ``percentile_cont_by_flag``), broadcast back onto the scan, then a
+    narrow per-row clamp; the fact table is never shuffled. Both engines
+    interpolate the same sorted multiset and clamp with identical IEEE
+    comparisons, so values hash-match at round(6)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(value, {WINSOR_HI})").alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round(clamped, 6).alias("value_w"),
+        (F.col("value") != clamped).alias("clipped"),
+    )
+
+
+SQL_WINSORIZE = f"""
+WITH st AS (
+  SELECT event_type,
+         quantile_cont(value, {WINSOR_LO}) AS lo,
+         quantile_cont(value, {WINSOR_HI}) AS hi
+  FROM events GROUP BY 1
+)
+SELECT event_id, event_type, round(value, 6) AS value,
+       round(least(greatest(value, lo), hi), 6) AS value_w,
+       value <> least(greatest(value, lo), hi) AS clipped
+FROM events JOIN st USING (event_type)
+"""
+
+
 HIST_QS = tuple(round(0.1 * i, 1) for i in range(1, 10))  # decile bounds
 
 
@@ -1166,6 +1209,12 @@ def register(reg: Registry) -> None:
         percentile_cont_by_flag,
         SQL_PERCENTILE_CONT,
         "exact interpolated (percentile_cont) quartiles via ObjectHashAggregate",
+    )
+    reg.add(
+        "winsorize_values",
+        winsorize_values,
+        SQL_WINSORIZE,
+        "per-group [p5, p95] winsorization: broadcast stats + narrow clamp",
     )
     reg.add(
         "equidepth_histogram",

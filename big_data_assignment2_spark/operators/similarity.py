@@ -709,8 +709,56 @@ FROM e GROUP BY 1, 2
 """
 
 
+def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram (uncentered covariance) matrix of the embedding column:
+    G[i][j] = sum over vectors of e_i * e_j, upper triangle only -- the
+    one-pass distributed building block of PCA / whitening / OJA-style
+    subspace methods. The O(n * D^2) multiply work is the irreducible
+    FLOP count of a Gram matrix; what makes it 100 TB-shaped is that the
+    aggregate is MERGEABLE: map-side partials collapse each partition to
+    <= D*(D+1)/2 rows before the single exchange, so shuffle volume is
+    D^2 (here 2,080 rows), independent of corpus size. The downstream
+    eigen-decomposition of a 64 x 64 matrix is driver-trivial and out of
+    scope -- the distributed part IS this operator.
+
+    Determinism: each product is computed in DOUBLE (a float x float
+    product is exactly representable in double, so both engines get the
+    identical value) and accumulated through the exact DECIMAL path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e1 = emb.select(F.posexplode("embedding").alias("i", "vi"), "embedding")
+    e2 = e1.select(
+        "i", "vi", F.posexplode("embedding").alias("j", "vj")
+    ).where(F.col("j") >= F.col("i"))
+    prod = F.col("vi").cast("double") * F.col("vj").cast("double")
+    return e2.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum(prod.cast("decimal(18,10)")).cast("double"), 6).alias("gram"),
+    )
+
+
+SQL_GRAM = """
+WITH e AS (
+  SELECT embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings
+),
+p AS (
+  SELECT embedding, i, unnest(range(i, len(embedding) + 1)) AS j FROM e
+)
+SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j, count(*) AS n_vecs,
+       round(CAST(sum(CAST(
+           CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)
+           AS DECIMAL(18,10))) AS DOUBLE), 6) AS gram
+FROM p GROUP BY 1, 2
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("ann_topk_bruteforce", ann_topk_bruteforce, SQL_ANN_BRUTE, "exact cosine top-k")
+    reg.add(
+        "embedding_gram",
+        embedding_gram,
+        SQL_GRAM,
+        "one-pass mergeable Gram/covariance matrix (PCA building block)",
+    )
     reg.add(
         "embedding_centroids",
         embedding_centroids,
