@@ -269,6 +269,7 @@ def build_registry() -> Registry:
         graph,
         index_build,
         merge,
+        mining,
         multimodal,
         pipeline,
         relational,
@@ -300,6 +301,7 @@ def build_registry() -> Registry:
         dq,
         merge,
         graph,
+        mining,
         search,
         textstats,
         dedup,

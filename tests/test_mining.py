@@ -1,0 +1,69 @@
+"""Semantic invariants for the mining operators (basket association
+rules, RFM segmentation, time-decay attribution) beyond the DuckDB
+oracle equality that tests/test_oracle.py already enforces."""
+
+from __future__ import annotations
+
+import math
+
+from big_data_assignment2_spark.operators import mining
+
+
+def test_basket_pair_lift_invariants(spark, sf_dir):
+    rows = mining.basket_pair_lift(spark, sf_dir).collect()
+    assert rows, "expected at least one rule at test scale"
+    for r in rows:
+        assert r.part_u < r.part_v, "pairs must be canonical u < v"
+        assert r.n_both >= mining.MIN_SUPPORT
+        assert r.n_both <= min(r.n_u, r.n_v), "pair support bounded by items"
+        assert math.isclose(r.confidence, round(r.n_both / r.n_u, 6))
+        assert r.lift > 0
+    # descending-support order with lift tie-break is total
+    keys = [(-r.n_both, -r.lift, r.part_u, r.part_v) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_rfm_scores_quartile_balanced(spark, sf_dir):
+    rows = mining.rfm_segments(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    for r in rows:
+        assert 1 <= r.r_score <= 4 and 1 <= r.f_score <= 4 and 1 <= r.m_score <= 4
+        assert r.segment == f"{r.r_score}{r.f_score}{r.m_score}"
+        assert r.recency_days >= 0 and r.frequency >= 1 and r.monetary > 0
+    # threshold-bucket scoring must roughly quarter the population on the
+    # continuous metric (monetary has no mass ties at test scale)
+    for s in (1, 2, 3, 4):
+        frac = sum(1 for r in rows if r.m_score == s) / n
+        assert 0.10 <= frac <= 0.40, (s, frac)
+
+
+def test_time_decay_credit_conserved(spark, sf_dir):
+    """Each purchase with >= 1 touch hands out exactly one unit of credit
+    (weights are dyadic so the normalization is exact): channel totals
+    must sum to the number of attributed purchases."""
+    df = mining.time_decay_attribution(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    total_credit = sum(r.credit for r in rows)
+    from pyspark.sql import functions as F
+
+    from big_data_assignment2_spark.sources.catalog import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.expr("unix_micros(ts)").alias("us")
+    )
+    p = ev.where(F.col("event_type") == "purchase").alias("p")
+    t = ev.where(F.col("event_type").isin(*mining._TOUCH_TYPES)).alias("t")
+    win_us = mining.ATTRIBUTION_WINDOW_DAYS * mining._US_PER_DAY
+    attributed = (
+        p.join(
+            t,
+            (F.col("p.user_id") == F.col("t.user_id"))
+            & (F.col("t.us") <= F.col("p.us"))
+            & (F.col("p.us") - F.col("t.us") < win_us),
+            "left_semi",
+        )
+        .count()
+    )
+    assert math.isclose(total_credit, attributed, rel_tol=0, abs_tol=1e-6)
