@@ -344,6 +344,78 @@ FROM norm GROUP BY channel
 """
 
 
+# --------------------------------------------------------------------------
+# quantile_normalize_by_source
+# --------------------------------------------------------------------------
+
+_GRID_POINTS = 101  # percent grid: 0.00, 0.01, ..., 1.00
+
+
+def quantile_normalize_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length across sources: each
+    document's ``n_chars`` is replaced by the GLOBAL length distribution's
+    value at the document's within-source percentile, so every source's
+    normalized length histogram matches the corpus -- the standard move
+    for mixing corpora whose raw length distributions differ (a training
+    pipeline normalizing quality/length scores before thresholding).
+
+    Shape: the within-source percentile is one window sort PARTITIONED BY
+    source (distributes across sources; no global sort), and the global
+    distribution is compressed to a ``_GRID_POINTS``-value equi-spaced
+    quantile grid computed in one aggregate and broadcast back via 1-row
+    crossJoin; each row then maps through the grid by linear
+    interpolation in pure column arithmetic. At 100 TB the grid stays
+    101 doubles regardless of data size -- this is exactly how
+    distributed quantile normalization avoids a global rank join.
+
+    Determinism: percent_rank with a unique (n_chars, doc_id) order is
+    (row_number-1)/(n-1), an identical double in both engines; grid
+    interpolation differences between engines are below the output's
+    6-decimal rounding.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    probs = ", ".join(f"{i / 100.0!r}" for i in range(_GRID_POINTS))
+    grid = d.select(F.expr(f"percentile(n_chars, array({probs}))").alias("g"))
+    from pyspark.sql.window import Window
+
+    p = F.percent_rank().over(
+        Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    )
+    r = d.withColumn("p", p).crossJoin(F.broadcast(grid))
+    k = F.least(F.floor(F.col("p") * 100).cast("int"), F.lit(_GRID_POINTS - 2))
+    frac = F.col("p") * 100 - k
+    lo = F.element_at(F.col("g"), k + 1)
+    hi = F.element_at(F.col("g"), k + 2)
+    return r.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(lo + frac * (hi - lo), 6).alias("norm_chars"),
+    )
+
+
+_SQL_K = f"CAST(least(floor(p * 100), {_GRID_POINTS - 2}) AS INT)"
+
+SQL_QUANTILE_NORMALIZE = f"""
+WITH grid AS (
+  SELECT quantile_cont(n_chars,
+    [{", ".join(f"{i / 100.0!r}" for i in range(_GRID_POINTS))}]) AS g
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, n_chars,
+         percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+           AS p
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       round(g[{_SQL_K} + 1]
+             + (p * 100 - {_SQL_K}) * (g[{_SQL_K} + 2] - g[{_SQL_K} + 1]),
+             6) AS norm_chars
+FROM r CROSS JOIN grid
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "basket_pair_lift",
@@ -362,4 +434,10 @@ def register(reg: Registry) -> None:
         time_decay_attribution,
         SQL_TIME_DECAY,
         "half-life time-decay multi-touch attribution, dyadic-exact weights",
+    )
+    reg.add(
+        "quantile_normalize_by_source",
+        quantile_normalize_by_source,
+        SQL_QUANTILE_NORMALIZE,
+        "per-source quantile normalization onto the global length distribution",
     )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import fingerprint_pd, sql_shingles
 from ..functions.text import SQL_TOKENS, tokenize, tokens
 from ..registry import Registry
+from ..sources.catalog import load_table
 from .index_build import documents_with_title
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
@@ -328,6 +329,76 @@ GROUP BY source
 """
 
 
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source characteristic vocabulary: the ``TFIDF_TOP_K`` terms
+    with the highest summed tf-idf within each source, where the summed
+    score collapses algebraically to ``n_occ * ln(N / df)`` (n_occ =
+    occurrences of the term in the source, N = corpus doc count, df =
+    docs containing the term) -- two hash aggregates, one vocab-keyed
+    join, and a per-source top-k window; no per-document score
+    materialization is ever needed, which is what makes the per-source
+    report one aggregation pass at 100 TB.
+
+    ``ln`` of an integer ratio is a single libm call on identical
+    operands in both engines (the bm25 family already pins this class
+    bit-exact); the rank orders by the 6-decimal-rounded score with the
+    term as a unique tie-break, so stop-terms (df = N, score 0) rank
+    deterministically too.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.explode(tokens("text")).alias("term")
+    )
+    n_docs = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    df_t = d.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    st = d.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n_occ"))
+    scored = (
+        st.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "source",
+            "term",
+            "n_occ",
+            "df",
+            F.round(
+                F.col("n_occ") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("score"), "term")
+    )
+    return scored.withColumn("rk", rk).where(F.col("rk") <= TFIDF_TOP_K)
+
+
+SQL_TFIDF_TOP = f"""
+WITH ex AS (
+  SELECT doc_id, source, unnest({SQL_TOKENS.format(col='text')}) AS term
+  FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+df_t AS (SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY term),
+st AS (SELECT source, term, count(*) AS n_occ FROM ex GROUP BY source, term),
+scored AS (
+  SELECT source, st.term, n_occ, df,
+         round(n_occ * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+  FROM st JOIN df_t ON st.term = df_t.term CROSS JOIN n
+)
+SELECT source, term, n_occ, df, score, rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY source
+            ORDER BY score DESC, term) AS INT) AS rk
+  FROM scored
+) WHERE rk <= {TFIDF_TOP_K}
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("text_quality", text_quality, _sql_text_quality(), "quality features per doc")
     reg.add(
@@ -341,3 +412,9 @@ def register(reg: Registry) -> None:
     reg.add("doc_fingerprint", doc_fingerprint, _sql_doc_fingerprint(), "min-md5-shingle fingerprint")
     reg.add("doc_term_list", doc_term_list, SQL_DOC_TERM_LIST, "deterministic collect_list")
     reg.add("vocab_coverage", vocab_coverage, SQL_VOCAB_COVERAGE, "top-K vocab token coverage")
+    reg.add(
+        "tfidf_top_terms",
+        tfidf_top_terms,
+        SQL_TFIDF_TOP,
+        "per-source top-k terms by summed tf-idf (algebraic collapse)",
+    )

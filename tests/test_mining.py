@@ -38,6 +38,50 @@ def test_rfm_scores_quartile_balanced(spark, sf_dir):
         assert 0.10 <= frac <= 0.40, (s, frac)
 
 
+def test_quantile_normalize_aligns_distributions(spark, sf_dir):
+    """After normalization every source's values are drawn from the SAME
+    global grid, so per-source means must be far closer together than
+    the raw per-source means, and the normalized range stays inside the
+    observed global [min, max]."""
+    import statistics
+
+    rows = mining.quantile_normalize_by_source(spark, sf_dir).collect()
+    assert rows
+    lo = min(r.n_chars for r in rows)
+    hi = max(r.n_chars for r in rows)
+    by_source: dict[str, list[float]] = {}
+    raw_by_source: dict[str, list[float]] = {}
+    for r in rows:
+        assert lo <= r.norm_chars <= hi
+        by_source.setdefault(r.source, []).append(r.norm_chars)
+        raw_by_source.setdefault(r.source, []).append(float(r.n_chars))
+    if len(by_source) > 1:
+        norm_spread = statistics.pstdev(
+            [statistics.mean(v) for v in by_source.values()]
+        )
+        raw_spread = statistics.pstdev(
+            [statistics.mean(v) for v in raw_by_source.values()]
+        )
+        assert norm_spread <= raw_spread + 1e-9
+
+
+def test_tfidf_top_terms_shape(spark, sf_dir):
+    from big_data_assignment2_spark.operators import textstats
+
+    rows = textstats.tfidf_top_terms(spark, sf_dir).collect()
+    assert rows
+    per_source: dict[str, list] = {}
+    for r in rows:
+        assert 1 <= r.rk <= textstats.TFIDF_TOP_K
+        assert r.n_occ >= 1 and r.df >= 1
+        assert r.score >= 0, "df <= N implies non-negative idf"
+        per_source.setdefault(r.source, []).append(r)
+    for source, rs in per_source.items():
+        rs.sort(key=lambda r: r.rk)
+        keys = [(-r.score, r.term) for r in rs]
+        assert keys == sorted(keys), (source, keys)
+
+
 def test_time_decay_credit_conserved(spark, sf_dir):
     """Each purchase with >= 1 touch hands out exactly one unit of credit
     (weights are dyadic so the normalization is exact): channel totals
