@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import SQL_DOT, cosine, dot, sql_cosine
 from ..registry import Registry
 from ..sources.catalog import load_table
-from ._util import davg, sql_davg
+from ._util import davg, dsum, sql_davg, sql_dsum
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -751,6 +751,161 @@ FROM p GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Product quantization: ann_topk_pq
+# --------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = DIM // PQ_M  # 8 dims each
+PQ_K = 16  # codes per subspace: vec_ids 1..PQ_K donate their subvectors
+
+
+def _sqdist(a, b) -> F.Column:
+    """Squared L2 distance via the dot identity |a|^2 - 2<a,b> + |b|^2 --
+    the SAME algebraic shape the oracle uses, so cross-engine drift is
+    bounded by the dot products' final ulps."""
+    return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+
+
+def _sql_sqdist(a: str, b: str) -> str:
+    return (
+        f"({SQL_DOT.format(a=a, b=a)} - 2 * {SQL_DOT.format(a=a, b=b)}"
+        f" + {SQL_DOT.format(a=b, b=b)})"
+    )
+
+
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC): vectors are compressed to ``PQ_M`` one-byte codes (each
+    subspace's nearest codebook entry), and the query ranks candidates
+    by the sum of subspace distances between its EXACT subvectors and
+    the candidates' code centroids -- the memory layout that lets a
+    1000-executor cluster hold a 100 TB corpus's index in RAM
+    (16 bytes/vector here vs 256 bytes raw).
+
+    Everything is relational, no literal codebooks: the codebook is a
+    deterministic data sample (subvectors of vec_ids 1..PQ_K; production
+    k-means these offline -- embedding_centroids is that training step),
+    encoding is a broadcast join + per-(vector, subspace) argmin with a
+    (distance, code) tie-break, and ADC is a join from codes back to the
+    codebook. Scale shape: encode touches each vector once against a
+    PQ_M x PQ_K broadcast table; the ADC scan reads codes, not raw
+    vectors. Per-candidate distance sums 8 doubles through DECIMAL(18,9)
+    so partition order can't move totals; argmin ties break to the
+    smallest code identically in both engines (min_by struct here,
+    min-then-min there).
+
+    Reference parity: beyond-reference surface (SURVEY.md section 2.10,
+    similarity-search family; cites reference app/query.py:92 top-10
+    convention for the result shape).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sub = emb.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "label", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    cb = sub.where(F.col("vec_id").between(1, PQ_K)).select(
+        "m", F.col("vec_id").alias("code"), F.col("sv").alias("cvec")
+    )
+    # argmin as min-distance-then-min-code (two hash aggregates + an
+    # equi-join), the exact shape of the oracle's dmin/enc CTEs. A
+    # min_by(code, struct(d, code)) spelling is one aggregate but the
+    # struct ordering key is var-width in the agg buffer and demotes
+    # HashAggregate -> SortAggregate (the plan-gate class of bug).
+    # |sv|^2 is folded ONCE per (vector, subspace) row before the
+    # PQ_K-way fan-out, not once per candidate pair (the interpreted
+    # higher-order fold is the unit of cost here); the value and the
+    # a^2 - 2ab + b^2 summation order are identical either way, so the
+    # oracle's inline spelling still matches bit-for-bit.
+    dists = (
+        sub.where(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("svn", dot("sv", "sv"))
+        .join(F.broadcast(cb.withColumn("cvn", dot("cvec", "cvec"))), "m")
+        .withColumn(
+            "d",
+            F.col("svn") - F.lit(2.0) * dot("sv", "cvec") + F.col("cvn"),
+        )
+        .select("vec_id", "label", "m", "code", "d")
+    )
+    dmin = dists.groupBy("vec_id", "m").agg(F.min("d").alias("dm"))
+    enc = (
+        dists.join(dmin, ["vec_id", "m"])
+        .where(F.col("d") == F.col("dm"))
+        .groupBy("vec_id", "label", "m")
+        .agg(F.min("code").alias("code"))
+    )
+    q = sub.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        "m", F.col("sv").alias("qsv")
+    )
+    adc = (
+        enc.join(F.broadcast(cb), ["m", "code"])
+        .join(F.broadcast(q), "m")
+        .withColumn("term", _sqdist("qsv", "cvec"))
+        .groupBy("vec_id", "label")
+        .agg(dsum(F.col("term"), 9).alias("raw"))
+    )
+    return (
+        adc.select("vec_id", "label", F.round("raw", 6).alias("approx_dist"))
+        .orderBy("approx_dist", "vec_id")
+        .limit(TOP_K)
+    )
+
+
+SQL_ANN_PQ = f"""
+WITH emb AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sub AS (
+  SELECT vec_id, label, m,
+         v[m * {PQ_SUBDIM} + 1 : m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
+  FROM emb CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) ms
+),
+cb AS (
+  SELECT m, vec_id AS code, sv AS cvec FROM sub
+  WHERE vec_id BETWEEN 1 AND {PQ_K}
+),
+dists AS (
+  SELECT s.vec_id, s.label, s.m, cb.code,
+         {_sql_sqdist('s.sv', 'cb.cvec')} AS d
+  FROM sub s JOIN cb USING (m)
+  WHERE s.vec_id <> {QUERY_VEC_ID}
+),
+dmin AS (
+  SELECT vec_id, m, min(d) AS dm FROM dists GROUP BY vec_id, m
+),
+enc AS (
+  SELECT d.vec_id, d.label, d.m, min(d.code) AS code
+  FROM dists d JOIN dmin ON d.vec_id = dmin.vec_id AND d.m = dmin.m
+  WHERE d.d = dmin.dm
+  GROUP BY d.vec_id, d.label, d.m
+),
+q AS (SELECT m, sv AS qsv FROM sub WHERE vec_id = {QUERY_VEC_ID}),
+adc AS (
+  SELECT enc.vec_id, enc.label,
+         {sql_dsum(_sql_sqdist('q.qsv', 'cb.cvec'), 9)} AS raw
+  FROM enc
+  JOIN cb ON enc.m = cb.m AND enc.code = cb.code
+  JOIN q ON enc.m = q.m
+  GROUP BY enc.vec_id, enc.label
+)
+SELECT vec_id, label, round(raw, 6) AS approx_dist
+FROM adc ORDER BY approx_dist, vec_id LIMIT {TOP_K}
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("ann_topk_bruteforce", ann_topk_bruteforce, SQL_ANN_BRUTE, "exact cosine top-k")
     reg.add(
@@ -766,6 +921,12 @@ def register(reg: Registry) -> None:
         "per-label centroid (the IVF training step as an operator)",
     )
     reg.add("ann_topk_lsh", ann_topk_lsh, SQL_ANN_LSH, "LSH-bucketed approx top-k")
+    reg.add(
+        "ann_topk_pq",
+        ann_topk_pq,
+        SQL_ANN_PQ,
+        "product-quantization ADC top-k (16-byte codes, relational codebook)",
+    )
     reg.add("ann_topk_ivf", ann_topk_ivf, SQL_ANN_IVF, "IVF 2-probe approx top-k")
     reg.add(
         "ann_recall_eval",

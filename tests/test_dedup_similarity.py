@@ -466,3 +466,59 @@ def test_incremental_lsh_touches_only_the_delta_corpus(spark, sf_dir):
     for r in rows:
         assert r["doc_a"] % 2 == 0 and r["doc_b"] % 2 == 1
         assert r["jaccard"] >= 0.5
+
+
+def test_pq_codebook_donors_encode_to_self(spark, sf_dir):
+    """Vectors that donate their subvectors to the PQ codebook must
+    quantize to their own code in every subspace (self-distance 0 is the
+    unique minimum up to exact duplicates, which tie-break to the lower
+    code), and ADC output must be TOP_K non-negative rows."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment2_spark.operators import similarity as sim
+    from big_data_assignment2_spark.sources.catalog import load_table
+
+    out = sim.ann_topk_pq(spark, sf_dir).collect()
+    assert len(out) == sim.TOP_K
+    assert all(r.approx_dist >= 0 for r in out)
+    ds = [r.approx_dist for r in out]
+    assert ds == sorted(ds)
+
+    # rebuild the encode stage alone for the donor check
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(
+                            "v", m * sim.PQ_SUBDIM + 1, sim.PQ_SUBDIM
+                        ).alias("sv"),
+                    )
+                    for m in range(sim.PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    cb = sub.where(F.col("vec_id").between(1, sim.PQ_K)).select(
+        "m", F.col("vec_id").alias("code"), F.col("sv").alias("cvec")
+    )
+    from big_data_assignment2_spark.functions.vectors import dot
+
+    donors = (
+        sub.where(F.col("vec_id").between(1, sim.PQ_K))
+        .join(F.broadcast(cb), "m")
+        .withColumn(
+            "d",
+            dot("sv", "sv") - F.lit(2.0) * dot("sv", "cvec") + dot("cvec", "cvec"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("code", F.struct("d", "code")).alias("best"))
+        .where(F.col("best") != F.col("vec_id"))
+        .count()
+    )
+    assert donors == 0
