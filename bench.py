@@ -262,6 +262,12 @@ def main() -> None:
             "ann_topk_bruteforce",
             "ann_topk_lsh",
             "embedding_centroids",
+            "ann_topk_pq",
+            # r6 mining additions (replicated-table inputs only)
+            "basket_pair_lift",
+            "time_decay_attribution",
+            "quantile_normalize_by_source",
+            "tfidf_top_terms",
         )
         picks = tuple(n for n in picks if n in reg.queries) if scaled_dir else ()
         per_q: dict[str, dict] = {}
