@@ -774,7 +774,7 @@ def _sql_sqdist(a: str, b: str) -> str:
     )
 
 
-def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (ADC): vectors are compressed to ``PQ_M`` one-byte codes (each
     subspace's nearest codebook entry), and the query ranks candidates
@@ -857,14 +857,101 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label")
         .agg(dsum(F.col("term"), 9).alias("raw"))
     )
-    return (
-        adc.select("vec_id", "label", F.round("raw", 6).alias("approx_dist"))
-        .orderBy("approx_dist", "vec_id")
-        .limit(TOP_K)
+    return adc.select(
+        "vec_id", "label", F.round("raw", 6).alias("approx_dist")
     )
 
 
-SQL_ANN_PQ = f"""
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k of the PQ/ADC compressed-domain scan (:func:`_pq_adc`),
+    ranked by approximate distance with a vec_id tie-break."""
+    return _pq_adc(spark, sf_dir).orderBy("approx_dist", "vec_id").limit(TOP_K)
+
+
+PQ_RERANK_L = 50  # ADC shortlist size for the exact rerank stage
+
+
+def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k against the EXACT L2 ground truth (the metric the
+    quantizer approximates) for BOTH deployment shapes: the raw ADC
+    top-k, and the production shortlist-then-rerank (exact distances
+    computed only for the ADC top-``PQ_RERANK_L``). These synthetic
+    near-uniform 64-dim vectors are ANN's hardest case -- pairwise
+    distances concentrate, so quantization noise swamps the tiny
+    neighbor gaps and raw-ADC recall is LOW by the data's nature; the
+    eval exists to measure exactly that, and to show the rerank stage
+    recovering a multiple of it for the price of ``PQ_RERANK_L`` exact
+    distance computations per query."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+
+    def _topk_exact(pool: DataFrame) -> DataFrame:
+        return (
+            pool.crossJoin(F.broadcast(q))
+            .select("vec_id", F.round(_sqdist("v", "qv"), 6).alias("d"))
+            .orderBy("d", "vec_id")
+            .limit(TOP_K)
+            .select("vec_id")
+        )
+
+    truth = _topk_exact(emb.where(F.col("vec_id") != QUERY_VEC_ID))
+    adc = _pq_adc(spark, sf_dir)
+    adc_topk = adc.orderBy("approx_dist", "vec_id").limit(TOP_K).select("vec_id")
+    shortlist = (
+        adc.orderBy("approx_dist", "vec_id").limit(PQ_RERANK_L).select("vec_id")
+    )
+    reranked = _topk_exact(emb.join(shortlist, "vec_id"))
+
+    def _row(variant: str, approx: DataFrame) -> DataFrame:
+        return (
+            truth.join(F.broadcast(approx), "vec_id", "semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.lit(variant).alias("variant"),
+                F.lit(TOP_K).cast("long").alias("k"),
+                "n_hits",
+                F.round(F.col("n_hits") / TOP_K, 6).alias("recall"),
+            )
+        )
+
+    return _row("adc_topk", adc_topk).unionByName(
+        _row(f"rerank{PQ_RERANK_L}", reranked)
+    )
+
+
+def _sql_ann_pq_recall() -> str:
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+qq AS (SELECT v AS qv FROM emb WHERE vec_id = {QUERY_VEC_ID}),
+truth AS (
+  SELECT vec_id, round({_sql_sqdist('v', 'qv')}, 6) AS d
+  FROM emb CROSS JOIN qq WHERE vec_id <> {QUERY_VEC_ID}
+  ORDER BY d, vec_id LIMIT {TOP_K}
+),
+adc AS ({_SQL_PQ_ADC}),
+a1 AS (SELECT vec_id FROM adc ORDER BY approx_dist, vec_id LIMIT {TOP_K}),
+short AS (SELECT vec_id FROM adc ORDER BY approx_dist, vec_id
+          LIMIT {PQ_RERANK_L}),
+rr AS (
+  SELECT e.vec_id, round({_sql_sqdist('e.v', 'qq.qv')}, 6) AS d
+  FROM emb e JOIN short USING (vec_id) CROSS JOIN qq
+  ORDER BY d, vec_id LIMIT {TOP_K}
+)
+SELECT 'adc_topk' AS variant, CAST({TOP_K} AS BIGINT) AS k,
+       count(*) AS n_hits, round(count(*) / {TOP_K}, 6) AS recall
+FROM truth WHERE vec_id IN (SELECT vec_id FROM a1)
+UNION ALL
+SELECT 'rerank{PQ_RERANK_L}' AS variant, CAST({TOP_K} AS BIGINT) AS k,
+       count(*) AS n_hits, round(count(*) / {TOP_K}, 6) AS recall
+FROM truth WHERE vec_id IN (SELECT vec_id FROM rr)
+"""
+
+
+_SQL_PQ_ADC = f"""
 WITH emb AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
@@ -902,7 +989,12 @@ adc AS (
   GROUP BY enc.vec_id, enc.label
 )
 SELECT vec_id, label, round(raw, 6) AS approx_dist
-FROM adc ORDER BY approx_dist, vec_id LIMIT {TOP_K}
+FROM adc
+"""
+
+SQL_ANN_PQ = f"""
+SELECT * FROM ({_SQL_PQ_ADC})
+ORDER BY approx_dist, vec_id LIMIT {TOP_K}
 """
 
 
@@ -926,6 +1018,12 @@ def register(reg: Registry) -> None:
         ann_topk_pq,
         SQL_ANN_PQ,
         "product-quantization ADC top-k (16-byte codes, relational codebook)",
+    )
+    reg.add(
+        "ann_pq_recall_eval",
+        ann_pq_recall_eval,
+        _sql_ann_pq_recall(),
+        "recall@k of PQ/ADC vs exact-L2 ground truth",
     )
     reg.add("ann_topk_ivf", ann_topk_ivf, SQL_ANN_IVF, "IVF 2-probe approx top-k")
     reg.add(
