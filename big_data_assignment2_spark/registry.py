@@ -285,6 +285,7 @@ def build_registry() -> Registry:
     )
     from .sources import (
         doc_export,
+        manifest,
         partitioned_sink,
         reference_corpus,
         secondary_index,
@@ -318,6 +319,7 @@ def build_registry() -> Registry:
         index_ingest,
         reference_corpus,
         partitioned_sink,
+        manifest,
         secondary_index,
         text_formats,
         doc_export,
