@@ -399,7 +399,103 @@ SELECT source, term, n_occ, df, score, rk FROM (
 """
 
 
+# --- PII redaction: the scrub step of a training-corpus pipeline ---
+#
+# The synthetic corpus carries no real PII, so the query PLANTS a
+# deterministic set (emails/phones derived from doc_id, mirrored
+# verbatim in the oracle) into its own staging and then scrubs it --
+# the planted-positives pattern this repo uses wherever absence would
+# otherwise make a test vacuous. Regexes are restricted to the
+# Java-regex/RE2 common subset (character classes, +, {m,}) so Spark
+# and DuckDB compile the SAME pattern.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"555-[0-9]{4}"
+
+
+def _planted(doc_id, text):
+    """Deterministic plant: docs with doc_id%3==0 stay clean; others get
+    one email; doc_id%5==1 adds a second email; doc_id%2==1 adds a
+    phone. Gives the redactor 0/1/2-occurrence cases per document."""
+    email1 = F.concat(F.lit(" contact user"), doc_id.cast("string"), F.lit("@example.com"))
+    email2 = F.concat(F.lit(" cc admin"), doc_id.cast("string"), F.lit("@corp.example.org"))
+    phone = F.concat(F.lit(" call 555-"), F.lpad((doc_id % 10000).cast("string"), 4, "0"))
+    return F.concat(
+        text,
+        F.when(doc_id % 3 == 0, F.lit("")).otherwise(email1),
+        F.when((doc_id % 3 != 0) & (doc_id % 5 == 1), email2).otherwise(F.lit("")),
+        F.when(doc_id % 2 == 1, phone).otherwise(F.lit("")),
+    )
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub emails/phones from document text and report, per source,
+    how much was removed: doc count, redaction counts by kind, and the
+    total character delta. Pure Column regex work (regexp_extract_all /
+    regexp_replace are JVM-side, whole-stage codegen) -- the per-row
+    scrub is embarrassingly parallel at 100 TB and the report is one
+    map-side-combinable aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", _planted(F.col("doc_id"), F.col("text")).alias("t")
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    per_doc = docs.select(
+        "source",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_EMAIL_RE), F.lit(0))).alias("n_em"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_PHONE_RE), F.lit(0))).alias("n_ph"),
+        (F.length("t") - F.length(scrubbed)).alias("delta"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_em").alias("n_emails"),
+        F.sum("n_ph").alias("n_phones"),
+        F.sum("delta").alias("chars_removed"),
+    )
+
+
+_SQL_PLANTED = """
+  text
+  || CASE WHEN doc_id % 3 = 0 THEN ''
+          ELSE ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' END
+  || CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 = 1
+          THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@corp.example.org' ELSE '' END
+  || CASE WHEN doc_id % 2 = 1
+          THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+"""
+
+SQL_PII_REDACT = f"""
+WITH planted AS (
+  SELECT source, {_SQL_PLANTED} AS t FROM documents
+),
+per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_em,
+         len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS n_ph,
+         length(t) - length(
+           regexp_replace(
+             regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g')
+         ) AS delta
+  FROM planted
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_em) AS BIGINT) AS n_emails,
+       CAST(sum(n_ph) AS BIGINT) AS n_phones,
+       CAST(sum(delta) AS BIGINT) AS chars_removed
+FROM per_doc GROUP BY source
+"""
+
+
 def register(reg: Registry) -> None:
+    reg.add(
+        "pii_redact",
+        pii_redact,
+        SQL_PII_REDACT,
+        "PII scrub report: planted emails/phones redacted, per-source counts",
+    )
     reg.add("text_quality", text_quality, _sql_text_quality(), "quality features per doc")
     reg.add(
         "token_kl_by_source",
