@@ -170,6 +170,11 @@ def main() -> None:
 
     _build("hilbert_clustered", lambda: write_lineitem_hilbert(spark, sf_dir))
     _build("orders_bloom", lambda: write_orders_bloom(spark, sf_dir))
+    from big_data_assignment2_spark.sources.partitioned_sink import (
+        write_orders_bloom_str,
+    )
+
+    _build("orders_bloom_str", lambda: write_orders_bloom_str(spark, sf_dir))
     _build("orders_secondary_index", lambda: build_orders_secondary_index(spark, sf_dir))
     _build("neardup_store", lambda: _neardup_store(spark, sf_dir))
     from big_data_assignment2_spark.sources.text_formats import write_orders_evolved

@@ -484,6 +484,86 @@ FROM orders JOIN top USING (o_orderkey)
 """
 
 
+# --- string-key bloom: the Binary path ---
+
+_BLOOM_STR_WRITTEN: dict[str, str] = {}
+
+
+def _o_ref(col):
+    """External-reference string for an order: the UUID/URL/doc-id shape
+    a training-data pipeline actually point-looks-up by."""
+    return F.concat(F.lit("ORD-"), F.lpad(col.cast("string"), 10, "0"))
+
+
+def write_orders_bloom_str(spark: SparkSession, sf_dir: str) -> str:
+    """The string-key twin of :func:`write_orders_bloom`: orders carry a
+    derived reference string ``o_ref`` (``ORD-<orderkey>``), the layout
+    is date-clustered, and a parquet bloom is written on ``o_ref``.
+    Strings hash into the bloom through parquet-mr's Binary path (xxhash
+    of the UTF-8 bytes), so the reader can skip row groups for string
+    point lookups exactly as for longs.
+
+    One extra knob vs the long variant: ``parquet.enable.dictionary#o_ref``
+    is turned OFF for this column. parquet-mr deliberately drops the bloom
+    for column chunks that end up FULLY dictionary-encoded (the dictionary
+    already answers exact membership); production-scale reference strings
+    overflow the dictionary page and fall back to plain encoding, but this
+    sf's ~15k short strings would still fit, so the column opts out to
+    reproduce the encoding the bloom exists for."""
+    if sf_dir not in _BLOOM_STR_WRITTEN:
+        from ..operators._util import scratch_root, scratch_slug
+
+        out = f"{scratch_root()}/orders_bloom_str_{scratch_slug(sf_dir)}"
+        (
+            load_table(spark, sf_dir, "orders")
+            .withColumn("o_ref", _o_ref(F.col("o_orderkey")))
+            .repartitionByRange(BLOOM_FILES, F.col("o_orderdate"))
+            .sortWithinPartitions("o_orderdate")
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#o_ref", "true")
+            .option("parquet.bloom.filter.expected.ndv#o_ref", str(BLOOM_NDV))
+            .option("parquet.enable.dictionary#o_ref", "false")
+            .parquet(out)
+        )
+        _BLOOM_STR_WRITTEN[sf_dir] = out
+    return _BLOOM_STR_WRITTEN[sf_dir]
+
+
+def parquet_bloom_skipping_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-fetch the ``BLOOM_TOPK`` priciest orders BY REFERENCE STRING
+    from the string-bloomed layout. The IN-list of strings pushes to the
+    scan and row-group selection consults the o_ref bloom --
+    tests/test_bucketing.py replays the footers and asserts the skip
+    arithmetic on the Binary (UTF-8) hash path. Oracle recomputes the
+    same reference strings relationally."""
+    path = write_orders_bloom_str(spark, sf_dir)
+    orders = spark.read.parquet(path)
+    refs = [
+        r["o_ref"]
+        for r in orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(BLOOM_TOPK)
+        .select("o_ref")
+        .collect()
+    ]
+    return orders.where(F.col("o_ref").isin(refs)).select(
+        "o_ref",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+
+SQL_BLOOM_SKIPPING_STR = f"""
+WITH top AS (
+  SELECT o_orderkey FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT {BLOOM_TOPK}
+)
+SELECT 'ORD-' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS o_ref,
+       o_custkey, o_orderstatus, round(o_totalprice, 2) AS totalprice
+FROM orders JOIN top USING (o_orderkey)
+"""
+
+
 DPP_KEEP = 2  # dim filter keeps the bottom-2 event types by avg value
 
 
@@ -760,6 +840,12 @@ def register(reg: Registry) -> None:
         parquet_bloom_skipping,
         SQL_BLOOM_SKIPPING,
         "parquet bloom-filter row-group skipping for layout-uncorrelated keys",
+    )
+    reg.add(
+        "parquet_bloom_skipping_str",
+        parquet_bloom_skipping_str,
+        SQL_BLOOM_SKIPPING_STR,
+        "string-key bloom skipping (Binary/UTF-8 hash path, dictionary opt-out)",
     )
     reg.add(
         "hilbert_clustered_roundtrip",

@@ -423,3 +423,64 @@ def test_small_files_compaction_collapses_files(spark, sf_dir):
     got = {tuple(r) for r in spark.read.parquet(path).collect()}
     ref = {tuple(r) for r in load_events(spark, sf_dir).collect()}
     assert got == ref
+
+
+def test_string_bloom_skips_on_binary_hash_path(spark, sf_dir):
+    """String-key twin of the long-bloom replay: every file carries a
+    bloom on o_ref (plain-encoded by the dictionary opt-out), stats
+    cannot prune the date-clustered layout for ref point lookups, and
+    the blooms -- probed with Binary.fromString, the exact bytes the
+    writer hashed -- definitively skip most row groups per key."""
+    import glob
+
+    from big_data_assignment2_spark.sources.partitioned_sink import (
+        parquet_bloom_skipping_str,
+        write_orders_bloom_str,
+    )
+
+    path = write_orders_bloom_str(spark, sf_dir)
+    refs = sorted(r["o_ref"] for r in parquet_bloom_skipping_str(spark, sf_dir).collect())
+    assert len(refs) > 1
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    assert len(files) > 2
+    stats_hits = {k: 0 for k in refs}
+    bloom_hits = {k: 0 for k in refs}
+    n_groups = 0
+    for f in files:
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(f), conf
+        )
+        r = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        try:
+            blocks = r.getRowGroups()
+            for bi in range(blocks.size()):
+                block = blocks.get(bi)
+                n_groups += 1
+                cols = block.getColumns()
+                cc = None
+                for ci in range(cols.size()):
+                    c = cols.get(ci)
+                    if c.getPath().toDotString() == "o_ref":
+                        cc = c
+                        assert c.getBloomFilterOffset() >= 0, f
+                st = cc.getStatistics()
+                lo = st.genericGetMin().toStringUsingUTF8()
+                hi = st.genericGetMax().toStringUsingUTF8()
+                bf = r.getBloomFilterDataReader(block).readBloomFilter(cc)
+                for k in refs:
+                    if lo <= k <= hi:
+                        stats_hits[k] += 1
+                    payload = jvm.org.apache.parquet.io.api.Binary.fromString(k)
+                    if bf.findHash(bf.hash(payload)):
+                        bloom_hits[k] += 1
+        finally:
+            r.close()
+    assert n_groups > 2
+    for k in refs:
+        # zero-padded refs order like orderkeys: uncorrelated with the
+        # date layout, so (nearly) every row group's range contains k
+        assert stats_hits[k] > n_groups // 2, (k, stats_hits[k], n_groups)
+        assert 1 <= bloom_hits[k] <= n_groups // 2, (k, bloom_hits[k], n_groups)
