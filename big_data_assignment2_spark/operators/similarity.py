@@ -998,6 +998,113 @@ ORDER BY approx_dist, vec_id LIMIT {TOP_K}
 """
 
 
+# --- k-means: the unsupervised counterpart of the IVF cell trainer ---
+
+KM_K = 4  # clusters; seeds are vec_id 0..3 (deterministic init)
+KM_DEC = "decimal(18,10)"  # per-term distance accumulator
+
+
+def kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations of k-means over the embedding
+    column: assign to nearest of ``KM_K`` centroids, recompute centroids
+    as exact decimal means, reassign, report per-cluster size and
+    inertia. ``embedding_centroids`` is the supervised mean and
+    ``ensure_ann_index`` consumes a fixed partition; this operator is
+    the LEARNING loop itself, unrolled so the whole computation stays
+    one declarative plan (the fixed-iteration-count idiom of
+    ``pagerank_3iter`` -- at scale each iteration is a broadcast join
+    against a K x D centroid table plus one map-side-combinable
+    aggregate, so per-iteration shuffle volume is n*K rows, never pair
+    space).
+
+    Cross-engine determinism: distances accumulate per-dimension double
+    terms through DECIMAL (order-independent, exact argmin ties broken
+    by cid); iteration-1 centroids go through the same
+    ``round(davg(., 8), 6)`` as ``embedding_centroids`` so both engines
+    feed bit-identical doubles into iteration 2."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.posexplode("embedding").alias("dim", "fval")).select(
+        "vec_id", "dim", F.col("fval").cast("double").alias("val")
+    )
+    c0 = e.where(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("val").alias("cval")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        diff = F.col("val") - F.col("cval")
+        d = (
+            e.join(F.broadcast(cents), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((diff * diff).cast(KM_DEC)).alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cid", "dist")
+        )
+
+    a1 = assign(c0)
+    c1 = (
+        e.join(a1.select("vec_id", "cid"), "vec_id")
+        .groupBy("cid", "dim")
+        .agg(F.round(davg(F.col("val"), 8), 6).alias("cval"))
+    )
+    a2 = assign(c1)
+    return a2.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("dist").cast("double"), 6).alias("inertia"),
+    )
+
+
+_SQL_KM_VAL = "CAST(embedding[i] AS DOUBLE)"
+
+SQL_KMEANS = f"""
+WITH e AS (
+  SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cid, i, {_SQL_KM_VAL} AS cval FROM e WHERE vec_id < {KM_K}
+),
+d1 AS (
+  SELECT e.vec_id, c0.cid,
+         sum(CAST(({_SQL_KM_VAL} - c0.cval) * ({_SQL_KM_VAL} - c0.cval)
+             AS DECIMAL(18,10))) AS dist
+  FROM e JOIN c0 USING (i) GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+c1 AS (
+  SELECT a1.cid, e.i, round({sql_davg(_SQL_KM_VAL, 8)}, 6) AS cval
+  FROM e JOIN a1 USING (vec_id) GROUP BY 1, 2
+),
+d2 AS (
+  SELECT e.vec_id, c1.cid,
+         sum(CAST(({_SQL_KM_VAL} - c1.cval) * ({_SQL_KM_VAL} - c1.cval)
+             AS DECIMAL(18,10))) AS dist
+  FROM e JOIN c1 USING (i) GROUP BY 1, 2
+),
+a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2
+  ) WHERE rn = 1
+)
+SELECT cid, count(*) AS n_vecs,
+       round(CAST(sum(dist) AS DOUBLE), 6) AS inertia
+FROM a2 GROUP BY cid
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("ann_topk_bruteforce", ann_topk_bruteforce, SQL_ANN_BRUTE, "exact cosine top-k")
     reg.add(
@@ -1026,6 +1133,12 @@ def register(reg: Registry) -> None:
         "recall@k of PQ/ADC vs exact-L2 ground truth",
     )
     reg.add("ann_topk_ivf", ann_topk_ivf, SQL_ANN_IVF, "IVF 2-probe approx top-k")
+    reg.add(
+        "kmeans_2iter",
+        kmeans_2iter,
+        SQL_KMEANS,
+        "two unrolled Lloyd iterations over embeddings: sizes + inertia",
+    )
     reg.add(
         "ann_recall_eval",
         ann_recall_eval,

@@ -399,6 +399,71 @@ SELECT source, term, n_occ, df, score, rk FROM (
 """
 
 
+# --- character entropy: the compressibility quality signal ---
+
+
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) -- the
+    classic compressibility signal a training-corpus quality filter
+    cuts on: near-zero entropy flags degenerate repetition (one char
+    dominating), unusually high entropy flags binary/garbage spills
+    into a text field.
+
+    Shape at 100 TB: ZERO shuffle. The whole computation is per-row
+    Column arithmetic over higher-order functions -- char array via
+    ``split``, first-occurrence distinct, per-char counts via
+    ``transform``+``filter``, and the entropy sum via ``aggregate``
+    into an exact DECIMAL accumulator -- so each document is finished
+    where it is read (contrast the oracle, which recomputes the same
+    number relationally by exploding one row per CHARACTER and
+    re-aggregating: a fine independent check at test scale, exactly
+    the shuffle you must not ship). Per-term determinism follows the
+    ``token_kl_by_source`` rule: each (c/n)*ln(n/c) term is one double
+    expression rounded into DECIMAL before the order-independent sum."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") > 0)
+        .select("doc_id", F.split("text", "").alias("ch"))
+    )
+    n = F.size("ch")
+    dis = F.array_distinct("ch")
+
+    def _contrib(d):
+        c = F.size(F.filter(F.col("ch"), lambda x: x == d))
+        return ((c / n) * F.log(n / c)).cast("decimal(28,15)")
+
+    ent = F.aggregate(
+        F.transform(dis, _contrib),
+        F.lit(0).cast("decimal(28,15)"),
+        lambda acc, x: (acc + x).cast("decimal(28,15)"),
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        F.size(dis).cast("long").alias("n_distinct_chars"),
+        F.round(ent.cast("double"), 6).alias("entropy_nats"),
+    )
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, n, substr(text, CAST(pos AS INT), 1) AS c
+  FROM (
+    SELECT doc_id, text, length(text) AS n,
+           unnest(range(1, length(text) + 1)) AS pos
+    FROM documents WHERE length(text) > 0
+  )
+),
+per AS (SELECT doc_id, n, c, count(*) AS cnt FROM ch GROUP BY 1, 2, 3)
+SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+       count(*) AS n_distinct_chars,
+       round(CAST(sum(CAST(
+           (cnt * 1.0 / n) * ln(n * 1.0 / cnt) AS DECIMAL(28,15))) AS DOUBLE), 6
+       ) AS entropy_nats
+FROM per GROUP BY doc_id
+"""
+
+
 # --- PII redaction: the scrub step of a training-corpus pipeline ---
 #
 # The synthetic corpus carries no real PII, so the query PLANTS a
@@ -495,6 +560,12 @@ def register(reg: Registry) -> None:
         pii_redact,
         SQL_PII_REDACT,
         "PII scrub report: planted emails/phones redacted, per-source counts",
+    )
+    reg.add(
+        "doc_char_entropy",
+        doc_char_entropy,
+        SQL_CHAR_ENTROPY,
+        "per-doc character Shannon entropy, zero-shuffle higher-order Columns",
     )
     reg.add("text_quality", text_quality, _sql_text_quality(), "quality features per doc")
     reg.add(
