@@ -276,6 +276,13 @@ def main() -> None:
             "time_decay_attribution",
             "quantile_normalize_by_source",
             "tfidf_top_terms",
+            # r6 final wave (replicated-table inputs only; the manifest /
+            # bloom-str queries are excluded -- they read per-sf_dir
+            # persisted fixtures, which the scaled run must not rebuild)
+            "ann_pq_recall_eval",
+            "kmeans_2iter",
+            "doc_char_entropy",
+            "pii_redact",
         )
         picks = tuple(n for n in picks if n in reg.queries) if scaled_dir else ()
         per_q: dict[str, dict] = {}
