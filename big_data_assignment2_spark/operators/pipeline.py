@@ -237,6 +237,89 @@ LIMIT {NGRAM_TOP}
 """
 
 
+PMI_MIN_COUNT = 5  # collocations need support before PMI is meaningful
+PMI_TOP = 20
+
+
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``PMI_TOP`` bigram collocations by pointwise mutual
+    information, PMI(a,b) = ln( p(ab) / (p(a) p(b)) ) -- the classic
+    corpus-linguistics association score that separates real phrases
+    from chance co-occurrence (raw counts, `ngram_counts`, rank "of the"
+    first; PMI ranks the pairs that co-occur MORE than their unigram
+    frequencies predict). Bigrams below ``PMI_MIN_COUNT`` occurrences
+    are excluded (low-support PMI is noise -- the standard guard).
+
+    Unigrams come from the SAME tokenizer as the bigram pieces
+    (``ngrams_pd(text, 1)``), so probabilities share one vocabulary by
+    construction. Shape at scale: two count aggregates (bigram-keyed,
+    term-keyed), two equi-joins of the filtered bigram table against the
+    unigram table, two scalar totals broadcast -- all linear in corpus
+    size; the support filter keeps the joined relation to the frequent
+    tail. Every probability is a ratio of exact counts; the PMI is one
+    double expression rounded to 6, ordered with the bigram itself as
+    the unique tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg_all = (
+        docs.select(F.explode(ngrams_pd("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ug = (
+        docs.select(F.explode(ngrams_pd("text", 1)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    b_tot = bg_all.agg(F.sum("n_ab").alias("b"))
+    n_tot = ug.agg(F.sum("n_t").alias("n"))
+    bg = bg_all.where(F.col("n_ab") >= PMI_MIN_COUNT).select(
+        "bigram",
+        "n_ab",
+        F.split("bigram", " ")[0].alias("w1"),
+        F.split("bigram", " ")[1].alias("w2"),
+    )
+    a = ug.select(F.col("term").alias("w1"), F.col("n_t").alias("n_a"))
+    c = ug.select(F.col("term").alias("w2"), F.col("n_t").alias("n_b"))
+    pmi = F.log(
+        (F.col("n_ab") / F.col("b"))
+        / ((F.col("n_a") / F.col("n")) * (F.col("n_b") / F.col("n")))
+    )
+    return (
+        bg.join(a, "w1")
+        .join(c, "w2")
+        .crossJoin(F.broadcast(b_tot))
+        .crossJoin(F.broadcast(n_tot))
+        .select("bigram", "n_ab", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(PMI_TOP)
+    )
+
+
+SQL_COLLOCATIONS_PMI = f"""
+WITH bgc AS (
+  SELECT bigram, count(*) AS n_ab
+  FROM (SELECT unnest({sql_ngrams('text', 2)}) AS bigram FROM documents)
+  GROUP BY bigram
+),
+ugc AS (
+  SELECT term, count(*) AS n_t
+  FROM (SELECT unnest({sql_ngrams('text', 1)}) AS term FROM documents)
+  GROUP BY term
+),
+btot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS b FROM bgc),
+ntot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n FROM ugc)
+SELECT bigram, n_ab,
+       round(ln((n_ab * 1.0 / b) /
+                ((a.n_t * 1.0 / n) * (c.n_t * 1.0 / n))), 6) AS pmi
+FROM bgc
+JOIN ugc a ON a.term = split_part(bigram, ' ', 1)
+JOIN ugc c ON c.term = split_part(bigram, ' ', 2), btot, ntot
+WHERE n_ab >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, bigram ASC
+LIMIT {PMI_TOP}
+"""
+
+
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition signals, the token-level form of the
     Gopher/Dolma repetitious-text rules: ``top_bigram_frac`` (occurrences
@@ -905,6 +988,12 @@ def register(reg: Registry) -> None:
         decontaminate,
         SQL_DECONTAMINATE,
         "benchmark-overlap contamination flags (broadcast shingle join)",
+    )
+    reg.add(
+        "collocations_pmi",
+        collocations_pmi,
+        SQL_COLLOCATIONS_PMI,
+        "top-20 bigram collocations by PMI with a min-support guard",
     )
     reg.add(
         "ngram_counts",
