@@ -464,6 +464,66 @@ FROM per GROUP BY doc_id
 """
 
 
+# --- per-doc LM cross-entropy: the perplexity quality filter ---
+
+
+def doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy against the corpus unigram LM,
+    H(doc) = -sum_t (c_dt/n_d) * ln(p_corpus(t)) -- the per-document
+    twin of ``token_kl_by_source`` and the relational skeleton of the
+    CCNet/Gopher perplexity filter: documents whose token distribution
+    the corpus LM finds surprising (high H) are boilerplate/garbage
+    candidates, suspiciously low H flags degenerate repetition of
+    frequent tokens. The corpus LM here is the unigram MLE (every doc
+    token appears in the corpus by construction, so the log is total);
+    a production filter swaps in a trained LM via the same per-token
+    join shape.
+
+    Shape at scale: one (doc, term) count aggregate, a term-keyed join
+    against the global count table (vocabulary-sized, naturally
+    broadcast-able when small; a plain equi-join at web vocabulary),
+    one scalar total, one per-doc reduce -- linear end to end. Each
+    token's contribution is one double expression rounded into DECIMAL
+    before the order-independent per-doc sum (the ``token_kl`` rule)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokenize(docs)  # (doc_id, term) per occurrence
+    per = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c_dt"))
+    glob = per.groupBy("term").agg(F.sum("c_dt").alias("c_t"))
+    n_tot = glob.agg(F.sum("c_t").alias("n_tot"))
+    n_d = per.groupBy("doc_id").agg(F.sum("c_dt").alias("n_d"))
+    contrib = (
+        (F.col("c_dt") / F.col("n_d")) * F.log(F.col("n_tot") / F.col("c_t"))
+    ).cast("decimal(18,15)")
+    return (
+        per.join(glob, "term")
+        .join(n_d, "doc_id")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_d").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum(contrib).cast("double"), 6).alias("cross_entropy_nats"),
+        )
+    )
+
+
+SQL_DOC_LM_XENT = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKENS.format(col='text')}) AS term FROM documents
+),
+per AS (SELECT doc_id, term, count(*) AS c_dt FROM toks GROUP BY 1, 2),
+gl AS (SELECT term, CAST(sum(c_dt) AS BIGINT) AS c_t FROM per GROUP BY 1),
+nd AS (SELECT doc_id, CAST(sum(c_dt) AS BIGINT) AS n_d FROM per GROUP BY 1),
+n AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_tot FROM gl)
+SELECT doc_id, max(n_d) AS n_tokens, count(*) AS n_terms,
+       round(CAST(sum(CAST(
+           (c_dt * 1.0 / n_d) * ln(n_tot * 1.0 / c_t)
+           AS DECIMAL(18,15))) AS DOUBLE), 6) AS cross_entropy_nats
+FROM per JOIN gl USING (term) JOIN nd USING (doc_id), n
+GROUP BY doc_id
+"""
+
+
 # --- PII redaction: the scrub step of a training-corpus pipeline ---
 #
 # The synthetic corpus carries no real PII, so the query PLANTS a
@@ -566,6 +626,12 @@ def register(reg: Registry) -> None:
         doc_char_entropy,
         SQL_CHAR_ENTROPY,
         "per-doc character Shannon entropy, zero-shuffle higher-order Columns",
+    )
+    reg.add(
+        "doc_lm_cross_entropy",
+        doc_lm_cross_entropy,
+        SQL_DOC_LM_XENT,
+        "per-doc cross-entropy vs corpus unigram LM (perplexity filter skeleton)",
     )
     reg.add("text_quality", text_quality, _sql_text_quality(), "quality features per doc")
     reg.add(

@@ -578,7 +578,101 @@ FROM tr
 """
 
 
+M4_BUCKET_S = 6 * 3600  # 6-hour buckets for the M4 downsample
+
+
+def minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling: per time bucket keep the FOUR
+    extremal points -- min-value, max-value, first, last -- the
+    error-free reduction for line-chart rendering (M4, PVLDB 7(10):
+    within a pixel column, only those four points change the drawn
+    line). A dashboard over a 100 TB event stream renders from
+    4 x n_buckets rows instead of the table.
+
+    Shape: ONE hash exchange on the bucket key, then four in-partition
+    sort orders (Catalyst chains the window sorts after the shared
+    shuffle; no second exchange -- the same one-Exchange discipline as
+    `scd2_history`). Each extremum is a row_number()==1 pick with a
+    total (ts, user_id, value) tie-break so both engines select the
+    identical row; bucket starts are integer epoch math, timezone-proof.
+    The value is ordered RAW (doubles compare exactly) and only rounded
+    for output."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    epoch_s = F.unix_timestamp("ts")
+    base = ev.select(
+        (F.floor(epoch_s / M4_BUCKET_S) * M4_BUCKET_S)
+        .cast("long")
+        .alias("bucket_epoch"),
+        epoch_s.cast("long").alias("ts_epoch"),
+        "user_id",
+        "value",
+    )
+
+    def _pick(kind: str, *order) -> DataFrame:
+        w = Window.partitionBy("bucket_epoch").orderBy(*order)
+        return (
+            base.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "bucket_epoch",
+                F.lit(kind).alias("kind"),
+                "ts_epoch",
+                "user_id",
+                F.round("value", 6).alias("value"),
+            )
+        )
+
+    tie = (F.asc("ts_epoch"), F.asc("user_id"))
+    return (
+        _pick("min", F.asc("value"), *tie)
+        .unionByName(_pick("max", F.desc("value"), *tie))
+        .unionByName(_pick("first", F.asc("ts_epoch"), F.asc("user_id"), F.asc("value")))
+        .unionByName(_pick("last", F.desc("ts_epoch"), F.asc("user_id"), F.asc("value")))
+    )
+
+
+SQL_M4_DOWNSAMPLE = f"""
+WITH base AS (
+  -- floor(epoch(.)), not CAST(... AS BIGINT): epoch() is DOUBLE with the
+  -- sub-second fraction, and the BIGINT cast ROUNDS while Spark's
+  -- unix_timestamp() truncates -- off-by-one on any event past .5 s
+  SELECT CAST(floor(epoch(ts) / {M4_BUCKET_S}) * {M4_BUCKET_S} AS BIGINT)
+             AS bucket_epoch,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, user_id, value
+  FROM events
+),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY bucket_epoch
+                       ORDER BY value ASC, ts_epoch, user_id) AS rmin,
+    row_number() OVER (PARTITION BY bucket_epoch
+                       ORDER BY value DESC, ts_epoch, user_id) AS rmax,
+    row_number() OVER (PARTITION BY bucket_epoch
+                       ORDER BY ts_epoch ASC, user_id, value) AS rfirst,
+    row_number() OVER (PARTITION BY bucket_epoch
+                       ORDER BY ts_epoch DESC, user_id, value) AS rlast
+  FROM base
+)
+SELECT bucket_epoch, 'min' AS kind, ts_epoch, user_id, round(value, 6) AS value
+FROM r WHERE rmin = 1
+UNION ALL
+SELECT bucket_epoch, 'max', ts_epoch, user_id, round(value, 6) FROM r WHERE rmax = 1
+UNION ALL
+SELECT bucket_epoch, 'first', ts_epoch, user_id, round(value, 6) FROM r WHERE rfirst = 1
+UNION ALL
+SELECT bucket_epoch, 'last', ts_epoch, user_id, round(value, 6) FROM r WHERE rlast = 1
+"""
+
+
 def register(reg: Registry) -> None:
+    reg.add(
+        "minmax_downsample",
+        minmax_downsample,
+        SQL_M4_DOWNSAMPLE,
+        "M4 chart downsampling: per-bucket min/max/first/last extremal rows",
+    )
     reg.add("window_tumbling", window_tumbling, SQL_TUMBLING, "5-min tumbling windows")
     reg.add(
         "event_transitions",
