@@ -589,14 +589,19 @@ def minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     line). A dashboard over a 100 TB event stream renders from
     4 x n_buckets rows instead of the table.
 
-    Shape: ONE hash exchange on the bucket key, then four in-partition
-    sort orders (Catalyst chains the window sorts after the shared
-    shuffle; no second exchange -- the same one-Exchange discipline as
-    `scd2_history`). Each extremum is a row_number()==1 pick with a
-    total (ts, user_id, value) tie-break so both engines select the
-    identical row; bucket starts are integer epoch math, timezone-proof.
-    The value is ordered RAW (doubles compare exactly) and only rounded
-    for output."""
+    Shape: four independent rank-1 branches, and that is deliberate --
+    each ``row_number()==1`` filter lets Spark insert a MAP-SIDE
+    ``WindowGroupLimit`` (partial + final per branch, plan-asserted in
+    tests/test_plans.py), so every branch shuffles ~one candidate row
+    per map partition per bucket instead of the table. Four
+    skinny-shuffle scans beat the tempting "one exchange + four chained
+    window sorts" rewrite at 100 TB: that form must shuffle and sort
+    EVERY row (the OR-of-four-ranks filter defeats group-limit pushdown
+    for all of them), while here the exchanged volume is proportional to
+    buckets, not rows. Each extremum pick carries a total (ts, user_id,
+    value) tie-break so both engines select the identical row; bucket
+    starts are integer epoch math, timezone-proof. The value is ordered
+    RAW (doubles compare exactly) and only rounded for output."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")

@@ -596,3 +596,16 @@ def test_not_in_is_null_aware(spark, sf_dir):
     right.createOrReplaceTempView("nin_r")
     out = spark.sql("SELECT k FROM nin_l WHERE k NOT IN (SELECT k FROM nin_r)")
     assert out.count() == 0
+
+
+def test_m4_branches_use_window_group_limit(spark, sf_dir):
+    """Each of the four rank-1 extremum branches must carry a map-side
+    WindowGroupLimit (partial + final = 8 total): the rn==1 filter
+    prunes to ~one candidate row per map partition per bucket BEFORE
+    the exchange, so shuffle volume tracks buckets, not rows. If these
+    disappear, the branches are shuffling the whole table x4."""
+    from big_data_assignment2_spark.operators.windows import minmax_downsample
+
+    ops = operators(minmax_downsample(spark, sf_dir))
+    assert sum(1 for o in ops if o == "WindowGroupLimit") == 8, ops
+    assert sum(1 for o in ops if o.startswith("Exchange")) == 4, ops
