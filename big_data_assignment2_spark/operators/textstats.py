@@ -410,37 +410,54 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a text field.
 
     Shape at 100 TB: ZERO shuffle. The whole computation is per-row
-    Column arithmetic over higher-order functions -- char array via
-    ``split``, first-occurrence distinct, per-char counts via
-    ``transform``+``filter``, and the entropy sum via ``aggregate``
-    into an exact DECIMAL accumulator -- so each document is finished
-    where it is read (contrast the oracle, which recomputes the same
-    number relationally by exploding one row per CHARACTER and
-    re-aggregating: a fine independent check at test scale, exactly
-    the shuffle you must not ship). Per-term determinism follows the
-    ``token_kl_by_source`` rule: each (c/n)*ln(n/c) term is one double
-    expression rounded into DECIMAL before the order-independent sum."""
+    Column arithmetic over higher-order functions, so each document is
+    finished where it is read (contrast the oracle, which recomputes
+    the same number relationally by exploding one row per CHARACTER and
+    re-aggregating: a fine independent check at test scale, exactly the
+    shuffle you must not ship). Per-char counts come from the SORTED
+    char array's run boundaries -- ``array_sort`` then "positions where
+    the char differs from its predecessor" -- which is O(n log n) per
+    document; the first version counted each distinct char with its own
+    ``filter`` pass (O(n * n_distinct): 5-9 s at sf0.1 vs 0.8 s for
+    this run-length form, same oracle, ~7x). Per-term determinism follows the ``token_kl_by_source``
+    rule: each (c/n)*ln(n/c) term is one double expression rounded into
+    DECIMAL before the order-independent sum."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .where(F.length("text") > 0)
-        .select("doc_id", F.split("text", "").alias("ch"))
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.filter(F.split("text", ""), lambda x: x != F.lit(""))
+            ).alias("ch"),
+        )
     )
     n = F.size("ch")
-    dis = F.array_distinct("ch")
-
-    def _contrib(d):
-        c = F.size(F.filter(F.col("ch"), lambda x: x == d))
-        return ((c / n) * F.log(n / c)).cast("decimal(28,15)")
-
+    # run starts: position 1, plus every i where ch[i] != ch[i-1].
+    # The i==1 guard must be a CaseWhen (lazily evaluated per row), not a
+    # boolean OR: element_at(ch, 0) raises on the 1-based array.
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(i == 1, F.lit(True)).otherwise(
+            F.element_at(F.col("ch"), i) != F.element_at(F.col("ch"), i - 1)
+        ),
+    )
+    n_dis = F.size(starts)
+    # run lengths: next start (with an n+1 sentinel appended) minus start
+    ends = F.concat(F.slice(starts, F.lit(2), n_dis - 1), F.array(n + 1))
+    counts = F.zip_with(starts, ends, lambda s, e: e - s)
+    contribs = F.transform(
+        counts, lambda c: ((c / n) * F.log(n / c)).cast("decimal(28,15)")
+    )
     ent = F.aggregate(
-        F.transform(dis, _contrib),
+        contribs,
         F.lit(0).cast("decimal(28,15)"),
         lambda acc, x: (acc + x).cast("decimal(28,15)"),
     )
     return docs.select(
         "doc_id",
         n.cast("long").alias("n_chars"),
-        F.size(dis).cast("long").alias("n_distinct_chars"),
+        n_dis.cast("long").alias("n_distinct_chars"),
         F.round(ent.cast("double"), 6).alias("entropy_nats"),
     )
 
