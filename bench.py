@@ -144,9 +144,13 @@ def main() -> None:
     )
 
     _build("range_clustered", lambda: write_lineitem_range_clustered(spark, sf_dir))
-    from big_data_assignment2_spark.sources.manifest import ensure_manifest
+    from big_data_assignment2_spark.sources.manifest import (
+        ensure_append,
+        ensure_manifest,
+    )
 
     _build("lineitem_manifest", lambda: ensure_manifest(spark, sf_dir))
+    _build("lineitem_manifest_append", lambda: ensure_append(spark, sf_dir))
     from big_data_assignment2_spark.operators.merge import merged_orders_path
     from big_data_assignment2_spark.sources.partitioned_sink import (
         write_lineitem_zordered,

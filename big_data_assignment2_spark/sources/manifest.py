@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from ..operators._util import dsum, ntz_lit, sql_dsum
 from ..registry import Registry
+from .catalog import load_table
 from .partitioned_sink import RANGE_HI, RANGE_LO, write_lineitem_range_clustered
 
 MANIFEST_SCHEMA = (
@@ -60,6 +61,12 @@ def _iso_us(iso: str) -> int:
 
 
 def build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed footer scan of the base clustered layout -> manifest
+    DataFrame (see :func:`manifest_over_dir`)."""
+    return manifest_over_dir(spark, write_lineitem_range_clustered(spark, sf_dir))
+
+
+def manifest_over_dir(spark: SparkSession, path: str) -> DataFrame:
     """Distributed footer scan -> manifest DataFrame. One input row per
     data file; executors open only the parquet FOOTER (pyarrow reads
     metadata lazily -- ``ParquetFile(...).metadata`` decodes no data
@@ -67,7 +74,6 @@ def build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     micros). Defined-inside generator so cloudpickle ships it by value."""
     import os
 
-    path = write_lineitem_range_clustered(spark, sf_dir)
     files = sorted(
         f"{path}/{f}" for f in os.listdir(path) if f.endswith(".parquet")
     )
@@ -118,14 +124,18 @@ def ensure_manifest(spark: SparkSession, sf_dir: str) -> list[dict]:
     return _MANIFEST[sf_dir]
 
 
-def plan_files(spark: SparkSession, sf_dir: str, lo_iso: str, hi_iso: str) -> tuple[list[str], int]:
-    """The planning step: overlap-join the query interval against the
-    manifest, return (selected file paths, total file count). A file
-    survives iff [ship_min, ship_max] intersects [lo, hi)."""
+def _plan(man: list[dict], lo_iso: str, hi_iso: str) -> list[str]:
+    """Pure planning step: overlap-join the query interval against
+    manifest rows. A file survives iff [ship_min, ship_max] intersects
+    [lo, hi)."""
     lo, hi = _iso_us(lo_iso), _iso_us(hi_iso)
+    return [m["file_path"] for m in man if m["ship_min_us"] < hi and m["ship_max_us"] >= lo]
+
+
+def plan_files(spark: SparkSession, sf_dir: str, lo_iso: str, hi_iso: str) -> tuple[list[str], int]:
+    """Plan against the BASE table's manifest: (selected paths, total)."""
     man = ensure_manifest(spark, sf_dir)
-    keep = [m["file_path"] for m in man if m["ship_min_us"] < hi and m["ship_max_us"] >= lo]
-    return keep, len(man)
+    return _plan(man, lo_iso, hi_iso), len(man)
 
 
 def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,10 +164,95 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# --- incremental manifest maintenance: append = new footers only ---
+#
+# A late-arriving slice (the base-range's first quarter, shipdates
+# shifted by a FIXED day count -- pure epoch arithmetic, no calendar
+# functions) lands as ONE new parquet file in its own directory; the
+# manifest is extended by reading only that file's footer. The committed
+# table is thereafter the manifest's FILE SET, not a directory listing --
+# the defining property of Iceberg/Delta metadata (files can live
+# anywhere; old readers of the base directory are untouched, which the
+# tests assert).
+APPEND_SHIFT_DAYS = 7400  # any disjoint shift works; ~20y keeps it obvious
+APPEND_LO, APPEND_HI = RANGE_LO, "1995-04-01"
+
+_APPEND: dict[str, tuple[str, list[dict]]] = {}
+
+
+def _shift_iso(iso: str) -> str:
+    from datetime import timedelta
+
+    return (datetime.fromisoformat(iso) + timedelta(days=APPEND_SHIFT_DAYS)).strftime(
+        "%Y-%m-%d"
+    )
+
+
+def ensure_append(spark: SparkSession, sf_dir: str) -> tuple[str, list[dict]]:
+    """Write (once per process) the late-arriving file + its manifest
+    rows. Full lineitem schema (so multi-path reads need no schema
+    merging); one output file (it IS the unit of commit here)."""
+    if sf_dir not in _APPEND:
+        from ..operators._util import scratch_root, scratch_slug
+
+        out = f"{scratch_root()}/lineitem_late_{scratch_slug(sf_dir)}"
+        late = (
+            load_table(spark, sf_dir, "lineitem")
+            .where(
+                (F.col("l_shipdate") >= ntz_lit(APPEND_LO))
+                & (F.col("l_shipdate") < ntz_lit(APPEND_HI))
+            )
+            .withColumn(
+                "l_shipdate",
+                F.col("l_shipdate") + F.expr(f"INTERVAL {APPEND_SHIFT_DAYS} DAYS"),
+            )
+        )
+        late.coalesce(1).write.mode("overwrite").parquet(out)
+        rows = [r.asDict() for r in manifest_over_dir(spark, out).collect()]
+        _APPEND[sf_dir] = (out, rows)
+    return _APPEND[sf_dir]
+
+
+def manifest_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query the shifted (late-data) window through the COMBINED
+    manifest (base rows + the appended file's rows): planning selects
+    exactly the appended file -- the base files' 1995-2001 intervals
+    cannot overlap the shifted range -- so the scan reads one file
+    regardless of base table size. Row-level predicate re-applied as
+    always; the oracle aggregates the slice's PROVENANCE rows in the
+    original table (a fixed-day date shift changes no measure)."""
+    base_man = ensure_manifest(spark, sf_dir)
+    _, app_man = ensure_append(spark, sf_dir)
+    lo, hi = _shift_iso(APPEND_LO), _shift_iso(APPEND_HI)
+    keep = _plan(base_man + app_man, lo, hi)
+    li = spark.read.parquet(*keep).where(
+        (F.col("l_shipdate") >= ntz_lit(lo)) & (F.col("l_shipdate") < ntz_lit(hi))
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+SQL_MANIFEST_INCREMENTAL = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       {sql_dsum('l_extendedprice', 2)} AS sum_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{APPEND_LO}' AND l_shipdate < TIMESTAMP '{APPEND_HI}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "manifest_pruned_scan",
         manifest_pruned_scan,
         SQL_MANIFEST_PRUNED,
         "Iceberg-style manifest planning: footer-stats file pruning before the scan",
+    )
+    reg.add(
+        "manifest_incremental_scan",
+        manifest_incremental_scan,
+        SQL_MANIFEST_INCREMENTAL,
+        "incremental manifest: late-data append committed by new footers only",
     )

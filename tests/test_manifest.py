@@ -40,3 +40,34 @@ def test_plan_prunes_strict_subset(spark, sf_dir):
 def test_plan_empty_range_selects_nothing(spark, sf_dir):
     keep, _ = plan_files(spark, sf_dir, "1931-01-01", "1932-01-01")
     assert keep == []
+
+
+def test_incremental_append_is_one_file(spark, sf_dir):
+    from big_data_assignment2_spark.sources.manifest import ensure_append
+
+    path, rows = ensure_append(spark, sf_dir)
+    assert len(rows) == 1
+    assert rows[0]["n_rows"] > 0
+
+
+def test_incremental_plan_selects_only_the_append(spark, sf_dir):
+    """The shifted window must plan to exactly the appended file, and
+    the BASE window must still plan to base files only -- the append is
+    invisible to old readers."""
+    from big_data_assignment2_spark.sources.manifest import (
+        APPEND_LO,
+        _plan,
+        _shift_iso,
+        ensure_append,
+        ensure_manifest,
+    )
+    from big_data_assignment2_spark.sources.partitioned_sink import RANGE_HI, RANGE_LO
+
+    base = ensure_manifest(spark, sf_dir)
+    apath, app = ensure_append(spark, sf_dir)
+    lo, hi = _shift_iso(APPEND_LO), _shift_iso("1995-04-01")
+    keep = _plan(base + app, lo, hi)
+    assert keep == [app[0]["file_path"]]
+    base_keep = _plan(base + app, RANGE_LO, RANGE_HI)
+    assert app[0]["file_path"] not in base_keep
+    assert len(base_keep) >= 1
