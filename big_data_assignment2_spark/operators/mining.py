@@ -416,7 +416,89 @@ FROM r CROSS JOIN grid
 """
 
 
+SKYLINE_PARTS = 8  # range partitions for the parallel prefix-max
+
+
+def skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline over ``part`` (minimize retail price, maximize
+    size): the preference-query operator -- a part is on the skyline iff
+    no other part is at most as expensive AND at least as large with one
+    strict. Output is every part achieving its price's max size where
+    that size strictly beats everything cheaper (ties at the same
+    (price, size) are mutually non-dominating and ALL kept).
+
+    Scale shape: the textbook spelling is a running max over a global
+    price order -- an empty-PARTITION-BY window, the single-reducer
+    cliff. This uses the ``global_row_ids`` two-phase trick instead:
+    collapse to one row per price (hash aggregate), range-repartition on
+    price, LOCAL running max within each partition, then one
+    metadata-scale driver round-trip turns per-partition maxima into
+    prefix maxima mapped back as a literal CaseWhen. Skyline condition =
+    size > max(local running max, earlier-partitions' prefix max); the
+    winning (price, size) pairs (at most |distinct sizes| rows, <= 50
+    here) broadcast back onto the fact. Deterministic regardless of
+    where range-sampling lands the partition boundaries."""
+    from pyspark.sql import Window
+
+    parts = load_table(spark, sf_dir, "part")
+    per_price = parts.groupBy("p_retailprice").agg(F.max("p_size").alias("smax"))
+    ranged = per_price.repartitionByRange(SKYLINE_PARTS, "p_retailprice").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint()  # pin partitioning: pid must not be recomputed
+    w_local = Window.partitionBy("pid").orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = ranged.withColumn("prev_local", F.max("smax").over(w_local))
+    pmax = {
+        r["pid"]: r["m"]
+        for r in ranged.groupBy("pid").agg(F.max("smax").alias("m")).collect()
+    }
+    prefix, run = {}, None
+    for pid in sorted(pmax):
+        prefix[pid] = run
+        run = pmax[pid] if run is None else max(run, pmax[pid])
+    pre_expr = F.lit(None).cast("int")
+    for pid, pv in prefix.items():
+        pre_expr = F.when(F.col("pid") == pid, F.lit(pv).cast("int")).otherwise(pre_expr)
+    bound = F.greatest(
+        F.coalesce(F.col("prev_local"), F.lit(-1)), F.coalesce(pre_expr, F.lit(-1))
+    )
+    sky = local.where(F.col("smax") > bound).select(
+        "p_retailprice", F.col("smax").alias("p_size")
+    )
+    return parts.join(F.broadcast(sky), ["p_retailprice", "p_size"]).select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+
+
+SQL_SKYLINE = """
+WITH pp AS (
+  SELECT p_retailprice AS price, max(p_size) AS smax FROM part GROUP BY 1
+),
+sky AS (
+  SELECT price, smax FROM (
+    SELECT price, smax,
+           max(smax) OVER (ORDER BY price
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prevmax
+    FROM pp
+  ) WHERE prevmax IS NULL OR smax > prevmax
+)
+SELECT p_partkey, round(p_retailprice, 2) AS price, CAST(p_size AS BIGINT) AS size
+FROM part JOIN sky ON p_retailprice = sky.price AND p_size = sky.smax
+"""
+
+
 def register(reg: Registry) -> None:
+    reg.add(
+        "skyline_2d",
+        skyline_2d,
+        SQL_SKYLINE,
+        "Pareto skyline (price vs size) via parallel two-phase prefix max",
+    )
     reg.add(
         "basket_pair_lift",
         basket_pair_lift,

@@ -189,6 +189,98 @@ FROM px GROUP BY doc_id, w, h
 """
 
 
+# --- audio feature extraction: the signal-processing mapInPandas shape ---
+PCM_CENTER = 80  # subtract from byte values: letters go +, space/digits -
+PCM_FRAME = 256  # samples per analysis frame
+
+
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-'audio'-payload signal features -- total energy, zero
+    crossings, peak frame energy -- computed from the raw byte stream in
+    one Arrow-batched ``mapInPandas`` pass (numpy vectorized, zero
+    shuffle): the layout of a real 100 TB audio pipeline, where a codec
+    decode replaces ``frombuffer`` and the features become MFCC/VAD.
+
+    Payloads are the documents' utf-8 bytes interpreted as unsigned
+    8-bit PCM centered at ``PCM_CENTER`` (chosen INSIDE the corpus's
+    ascii range so the sign actually alternates at word boundaries --
+    centering at 128 would make every ascii sample negative and the
+    zero-crossing count vacuously 0). Every feature is an exact integer,
+    so the DuckDB oracle recomputes them from per-character code points
+    (``unicode(substr(...))`` == utf-8 byte for this ascii corpus) and
+    must match bit-for-bit. Same modality derivation as
+    ``multimodal_meta`` (doc_id % 3 == 1 -> audio)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = _np.frombuffer(text.encode("utf-8"), dtype=_np.uint8)
+                s = b.astype(_np.int64) - PCM_CENTER
+                neg = s < 0
+                zc = int((neg[1:] != neg[:-1]).sum())
+                sq = s * s
+                n = len(s)
+                peak = 0
+                for k in range(0, n, PCM_FRAME):
+                    peak = max(peak, int(sq[k : k + PCM_FRAME].sum()))
+                rows.append((int(doc_id), n, int(sq.sum()), zc, peak))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "energy", "zero_crossings", "peak_frame_energy"],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        feat_batches,
+        schema=(
+            "doc_id bigint, n_samples bigint, energy bigint, "
+            "zero_crossings bigint, peak_frame_energy bigint"
+        ),
+    )
+
+
+SQL_AUDIO_FEATURES = f"""
+WITH samples AS (
+  SELECT doc_id, pos,
+         unicode(substr(text, CAST(pos AS INT), 1)) - {PCM_CENTER} AS s,
+         (pos - 1) // {PCM_FRAME} AS frame
+  FROM (
+    SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos
+    FROM documents WHERE doc_id % 3 = 1
+  )
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(sum(s * s) AS BIGINT) AS energy
+  FROM samples GROUP BY 1
+),
+flips AS (
+  SELECT doc_id,
+         CASE WHEN (s < 0) <> (lag(s) OVER (PARTITION BY doc_id ORDER BY pos) < 0)
+              THEN 1 ELSE 0 END AS flip
+  FROM samples
+),
+zc AS (
+  SELECT doc_id, CAST(sum(flip) AS BIGINT) AS zero_crossings
+  FROM flips GROUP BY 1
+),
+frames AS (
+  SELECT doc_id, frame, CAST(sum(s * s) AS BIGINT) AS fe
+  FROM samples GROUP BY 1, 2
+),
+peaks AS (
+  SELECT doc_id, CAST(max(fe) AS BIGINT) AS peak_frame_energy
+  FROM frames GROUP BY 1
+)
+SELECT doc_id, n_samples, energy, zero_crossings, peak_frame_energy
+FROM agg JOIN zc USING (doc_id) JOIN peaks USING (doc_id)
+"""
+
+
 FRAME_BYTES = 100  # stub "frame" size
 FRAME_STRIDE = 2  # sample every 2nd frame
 
@@ -361,6 +453,12 @@ def register(reg: Registry) -> None:
         image_phash_clusters,
         SQL_IMAGE_PHASH_CLUSTERS,
         "perceptual-hash image dedup clusters: real decode, hash-groupBy",
+    )
+    reg.add(
+        "audio_features",
+        audio_features,
+        SQL_AUDIO_FEATURES,
+        "PCM-style audio features (energy/ZCR/peak frame) via mapInPandas",
     )
     reg.add(
         "multimodal_features",
