@@ -492,12 +492,104 @@ FROM part JOIN sky ON p_retailprice = sky.price AND p_size = sky.smax
 """
 
 
+# --- spatial radius join: the grid-cell decomposition ---
+#
+# The tables carry no coordinates, so both sides get PLANTED integer
+# positions on a 1000x1000 grid (pure modular arithmetic on the keys,
+# mirrored verbatim in the oracle -- the planted-positives rule). All
+# geometry stays in exact integers: coordinates, cell ids, squared
+# distances -- no trig, no floats, so the oracle is bit-exact.
+GEO_GRID = 1000
+GEO_R = 15
+GEO_R2 = GEO_R * GEO_R
+
+
+def _coords(key, a: int, b: int):
+    return ((key * a) % GEO_GRID, (key * b) % GEO_GRID)
+
+
+def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier count of customers within ``GEO_R`` grid units --
+    the spatial radius join, decomposed the way every distributed
+    spatial engine does it: snap points to ``GEO_R``-sized grid cells,
+    replicate ONE side to its 3x3 cell neighborhood (a 9x fan-out
+    bounded by the cell size = radius invariant: any point within R of
+    a supplier lies in one of those 9 cells), equi-join on the cell id,
+    then verify the exact squared distance. Candidate volume is
+    sum-over-cells(|cust_cell| x |supp_neighborhood|), never |cust| x
+    |supp| -- the all-pairs cross join a naive radius predicate would
+    plan. The oracle brute-forces the same predicate single-node, which
+    a test-scale DuckDB legitimately can."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37) % GEO_GRID).alias("cx"),
+        ((F.col("c_custkey") * 91) % GEO_GRID).alias("cy"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 53) % GEO_GRID).alias("sx"),
+        ((F.col("s_suppkey") * 17) % GEO_GRID).alias("sy"),
+    )
+    cust = cust.withColumn("gx", F.floor(F.col("cx") / GEO_R)).withColumn(
+        "gy", F.floor(F.col("cy") / GEO_R)
+    )
+    offsets = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    supp9 = supp.select(
+        "s_suppkey", "sx", "sy", F.explode(offsets).alias("o")
+    ).select(
+        "s_suppkey",
+        "sx",
+        "sy",
+        (F.floor(F.col("sx") / GEO_R) + F.col("o.dx")).alias("gx"),
+        (F.floor(F.col("sy") / GEO_R) + F.col("o.dy")).alias("gy"),
+    )
+    d2 = (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx")) + (
+        F.col("cy") - F.col("sy")
+    ) * (F.col("cy") - F.col("sy"))
+    pairs = (
+        cust.join(supp9, ["gx", "gy"])
+        .withColumn("d2", d2)
+        .where(F.col("d2") <= GEO_R2)
+    )
+    return pairs.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_nearby"),
+        F.min("d2").cast("long").alias("min_dist2"),
+    )
+
+
+SQL_SPATIAL_RADIUS = f"""
+WITH cust AS (
+  SELECT c_custkey, (c_custkey * 37) % {GEO_GRID} AS cx,
+         (c_custkey * 91) % {GEO_GRID} AS cy
+  FROM customer
+),
+supp AS (
+  SELECT s_suppkey, (s_suppkey * 53) % {GEO_GRID} AS sx,
+         (s_suppkey * 17) % {GEO_GRID} AS sy
+  FROM supplier
+)
+SELECT s_suppkey, count(*) AS n_nearby,
+       CAST(min((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)) AS BIGINT)
+           AS min_dist2
+FROM cust JOIN supp
+  ON (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= {GEO_R2}
+GROUP BY s_suppkey
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add(
         "skyline_2d",
         skyline_2d,
         SQL_SKYLINE,
         "Pareto skyline (price vs size) via parallel two-phase prefix max",
+    )
+    reg.add(
+        "spatial_radius_join",
+        spatial_radius_join,
+        SQL_SPATIAL_RADIUS,
+        "grid-cell radius join: 3x3 neighborhood equi-join + exact integer verify",
     )
     reg.add(
         "basket_pair_lift",
