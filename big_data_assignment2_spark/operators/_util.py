@@ -114,6 +114,29 @@ def enc_fw(c: Column, nbytes: int = 8) -> Column:
     ).cast("long")
 
 
+def enc_fw_checked(c: Column, nbytes: int = 8) -> Column:
+    """:func:`enc_fw` with its preconditions enforced per row: values must
+    fit *nbytes* bytes (so ``dec_fw`` is an exact round-trip, not a silent
+    prefix truncation) and, for nbytes=8, start with an ASCII byte (top
+    bit clear keeps the packed value inside signed 64-bit). Violations
+    ``raise_error`` instead of silently corrupting downstream equality
+    filters -- the guard is one predicted-perfectly branch per row on an
+    enum column, measured free inside codegen. NULLs pass through as NULL
+    (same as enc_fw)."""
+    ok = F.octet_length(c) <= F.lit(nbytes)
+    if nbytes >= 8:
+        # F.ascii = code point of the first CHARACTER; < 128 iff the first
+        # UTF-8 BYTE has its top bit clear
+        ok = ok & (F.ascii(c) < 128)
+    return F.when(c.isNull() | ok, enc_fw(c, nbytes)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"enc_fw(nbytes={nbytes}) precondition violated by value: "), c
+            )
+        )
+    )
+
+
 def dec_fw(m: Column, nbytes: int = 8) -> Column:
     """Inverse of :func:`enc_fw` back to the (<= *nbytes*-byte) prefix
     string; exact round-trip for values at most *nbytes* bytes long."""

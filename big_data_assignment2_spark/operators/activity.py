@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..registry import Registry
 from ..sources.catalog import load_table
-from ._util import dec_fw, dsum, enc_fw, sql_dsum
+from ._util import dec_fw, dsum, enc_fw_checked, sql_dsum
 
 # unique, time-ordered event key: micros since epoch shifted past any
 # event_id. Spark DECIMAL(28,0)*10^10 caps at precision 38 (values are
@@ -102,9 +102,12 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # event_type rides the aggregate as its enc_fw fixed-width surrogate:
     # max_by with a raw STRING value puts var-width data in the buffer and
     # demotes the whole agg to SortAggregate (event types are <=8-byte
-    # ASCII enums, so the 8-byte pack is an exact round-trip)
+    # ASCII enums, so the 8-byte pack is an exact round-trip). The
+    # _checked variant raises loudly if a future event_type breaks the
+    # <=8-byte/ASCII precondition instead of silently truncating the
+    # tombstone compare below.
     state = ev.groupBy("user_id").agg(
-        F.max_by(enc_fw(F.col("event_type")), key).alias("last_type_c"),
+        F.max_by(enc_fw_checked(F.col("event_type")), key).alias("last_type_c"),
         F.max_by("value", key).alias("last_value"),
         F.count(F.lit(1)).alias("n_ops"),
         F.count(F.when(F.col("event_type") == "error", 1)).alias("n_deletes"),
@@ -153,9 +156,10 @@ def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.expr(_ORD)
     is_purchase = F.col("event_type") == "purchase"
     # enc_fw surrogate for the same HashAggregate reason as cdc_apply
+    # (checked: a >8-byte or non-ASCII event_type fails loudly)
     agged = ev.groupBy("user_id").agg(
-        F.min_by(enc_fw(F.col("event_type")), key).alias("first_c"),
-        F.max_by(enc_fw(F.col("event_type")), key).alias("last_c"),
+        F.min_by(enc_fw_checked(F.col("event_type")), key).alias("first_c"),
+        F.max_by(enc_fw_checked(F.col("event_type")), key).alias("last_c"),
         F.count(F.when(is_purchase, 1)).alias("n_purchases"),
         dsum(F.when(is_purchase, F.col("value")).otherwise(F.lit(0.0)), 6).alias(
             "purchase_revenue"

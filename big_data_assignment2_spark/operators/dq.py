@@ -488,7 +488,15 @@ def outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n").cast("double")
     mean = F.col("s1").cast("double") / n
     var = F.col("s2").cast("double") / n - mean * mean
-    stats = stats.select("event_type", mean.alias("mean"), F.sqrt(var).alias("sd"))
+    # Zero-variance guard: a constant-valued group would give z = 0/0 =
+    # NaN, and Spark's NaN-is-largest ordering would then report EVERY
+    # row as an outlier (DuckDB differs -> cross-engine divergence). The
+    # guard is on VAR, not sd: float rounding can push var of a constant
+    # group slightly negative, where sqrt -> NaN and `NaN > 0` is TRUE
+    # under Spark's NaN semantics -- var > 0 is false in both engines.
+    stats = stats.where(var > 0).select(
+        "event_type", mean.alias("mean"), F.sqrt(var).alias("sd")
+    )
     z = (F.col("value") - F.col("mean")) / F.col("sd")
     return (
         ev.join(F.broadcast(stats), "event_type")
@@ -513,6 +521,7 @@ WITH s AS (
 st AS (
   SELECT event_type, s1 / n AS mean, sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd
   FROM s
+  WHERE s2 / n - (s1 / n) * (s1 / n) > 0  -- zero-variance guard, see Spark side
 )
 SELECT event_id, user_id, event_type, round(value, 6) AS value,
        round((value - mean) / sd, 6) AS z

@@ -207,10 +207,17 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     centering at 128 would make every ascii sample negative and the
     zero-crossing count vacuously 0). Every feature is an exact integer,
     so the DuckDB oracle recomputes them from per-character code points
-    (``unicode(substr(...))`` == utf-8 byte for this ascii corpus) and
-    must match bit-for-bit. Same modality derivation as
-    ``multimodal_meta`` (doc_id % 3 == 1 -> audio)."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    (``unicode(substr(...))`` == utf-8 byte ONLY for single-byte chars)
+    and must match bit-for-bit. Non-ASCII payloads would diverge (Spark
+    reads BYTES, the oracle reads CODE POINTS), so both engines exclude
+    them identically -- the same octet_length == length guard the prefix
+    ops use. Same modality derivation as ``multimodal_meta``
+    (doc_id % 3 == 1 -> audio)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 1)
+        .where(F.octet_length("text") == F.length("text"))
+    )
 
     def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
@@ -250,7 +257,9 @@ WITH samples AS (
          (pos - 1) // {PCM_FRAME} AS frame
   FROM (
     SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos
-    FROM documents WHERE doc_id % 3 = 1
+    FROM documents
+    WHERE doc_id % 3 = 1
+      AND strlen(text) = length(text)  -- ASCII guard, see Spark side
   )
 ),
 agg AS (

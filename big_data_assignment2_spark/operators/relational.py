@@ -675,7 +675,10 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile_cont_by_flag``), broadcast back onto the scan, then a
     narrow per-row clamp; the fact table is never shuffled. Both engines
     interpolate the same sorted multiset and clamp with identical IEEE
-    comparisons, so values hash-match at round(6)."""
+    comparisons, so values hash-match at round(6). Degenerate (constant)
+    groups need no guard here, unlike ``outlier_zscore``: lo == hi ==
+    value, the clamp is the identity, and no division exists to produce
+    NaN."""
     ev = load_table(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
         F.expr(f"percentile(value, {WINSOR_LO})").alias("lo"),

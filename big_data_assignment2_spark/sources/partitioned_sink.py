@@ -755,6 +755,37 @@ FROM lineitem
 """
 
 
+def _footer_pushdown_scope(spark: SparkSession):
+    """Context manager: the confs aggregate pushdown needs, restored on
+    exit (pushdown is a V2-only capability; V1 is the session default)."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def scope():
+        confs = {
+            "spark.sql.parquet.aggregatePushdown": "true",
+            "spark.sql.sources.useV1SourceList": "",
+        }
+        prev = {k: spark.conf.get(k) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            yield
+        finally:
+            for k, v in prev.items():
+                spark.conf.set(k, v)
+
+    return scope()
+
+
+def _footer_agg_df(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).agg(
+        F.expr("count(*)").alias("n_rows"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
 def footer_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT/MIN/MAX answered from parquet FOOTER statistics alone --
     Spark's parquet aggregate pushdown (``PushedAggregation`` on the
@@ -763,31 +794,33 @@ def footer_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a full scan. Runs over the range-clustered lineitem layout (same
     rows as the original table, so the oracle recomputes over the view).
 
-    Pushdown needs the V2 parquet source and the aggregatePushDown conf;
-    both are SCOPED here with the freeze-then-restore pattern
-    (runtime_bloom_join): the physical plan is materialized while they
-    are set, then session confs go back untouched.
-    ``tests/test_plans.py`` asserts the PushedAggregation scan shape."""
+    The pushed plan EXECUTES inside the conf scope (one-row collect) and
+    the result returns as a localized DataFrame. The earlier
+    freeze-then-restore spelling only froze THIS DataFrame's own
+    QueryExecution -- any consumer that re-plans (the bench's noop
+    ``write.save`` builds a fresh QueryExecution) silently executed
+    WITHOUT PushedAggregation after the confs were restored, so the
+    benched timing measured a full scan, not the footer path the operator
+    exists to demonstrate. Collecting the single result row inside the
+    scope makes every consumer see the footer-only cost; the collect is
+    bounded-cardinality (1 row) driver metadata, not a data path.
+    ``tests/test_plans.py`` asserts the PushedAggregation scan shape via
+    :func:`footer_agg_pushdown_plan`."""
     path = write_lineitem_range_clustered(spark, sf_dir)
-    confs = {
-        "spark.sql.parquet.aggregatePushdown": "true",
-        # aggregate pushdown is a V2-only capability; V1 is the default
-        "spark.sql.sources.useV1SourceList": "",
-    }
-    prev = {k: spark.conf.get(k) for k in confs}
-    for k, v in confs.items():
-        spark.conf.set(k, v)
-    try:
-        df = spark.read.parquet(path).agg(
-            F.expr("count(*)").alias("n_rows"),
-            F.min("l_extendedprice").alias("min_price"),
-            F.max("l_extendedprice").alias("max_price"),
-        )
-        df._jdf.queryExecution().executedPlan()  # noqa: SLF001 - freeze
-        return df
-    finally:
-        for k, v in prev.items():
-            spark.conf.set(k, v)
+    with _footer_pushdown_scope(spark):
+        df = _footer_agg_df(spark, path)
+        rows = df.collect()  # executes the footer-only plan NOW, in scope
+        schema = df.schema
+    return spark.createDataFrame(rows, schema)
+
+
+def footer_agg_pushdown_plan(spark: SparkSession, sf_dir: str) -> str:
+    """The executed-plan string of the pushed aggregate (for the plan
+    gate): same scope, same query, no execution."""
+    path = write_lineitem_range_clustered(spark, sf_dir)
+    with _footer_pushdown_scope(spark):
+        df = _footer_agg_df(spark, path)
+        return str(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
 
 
 SQL_FOOTER_AGG = """

@@ -134,3 +134,22 @@ def test_audio_features_subframe_docs(spark, tmp_path):
     assert out[4]["zero_crossings"] == 2
     assert out[4]["energy"] == 17 * 17 + 48 * 48 + 18 * 18
     assert out[4]["peak_frame_energy"] == out[4]["energy"]
+
+
+def test_audio_features_excludes_non_ascii_docs(spark, tmp_path):
+    """ASCII guard (round-6 ADVICE): Spark reads BYTES while the DuckDB
+    oracle reads CODE POINTS, so any non-ASCII audio-modality doc would
+    silently diverge n_samples/energy/ZCR between engines. Both sides
+    now exclude such docs identically (octet_length == length) -- the
+    same guard the prefix ops use."""
+    from big_data_assignment2_spark.operators.multimodal import audio_features
+
+    rows = [
+        (1, "ab"),        # ASCII audio doc -> kept
+        (4, "café"), # non-ASCII audio doc (4 chars, 5 bytes) -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path)
+    df.write.parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in audio_features(spark, d).collect()}
+    assert set(out) == {1}

@@ -524,19 +524,28 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
 
 def test_footer_agg_pushdown_shape(spark, sf_dir):
     """COUNT/MIN/MAX must reach the parquet scan as PushedAggregation
-    (footer-only answer), and the session confs the operator scopes must
-    be back to their defaults afterwards."""
+    (footer-only answer); the session confs the operator scopes must be
+    back to their defaults afterwards; and the operator's RESULT must be
+    localized (already executed in scope), so that a consumer re-planning
+    it -- the bench's noop write -- cannot silently fall back to a full
+    scan outside the conf scope (the round-6 ADVICE finding)."""
     from big_data_assignment2_spark.sources.partitioned_sink import (
         footer_agg_pushdown,
+        footer_agg_pushdown_plan,
     )
 
     keys = ("spark.sql.parquet.aggregatePushdown", "spark.sql.sources.useV1SourceList")
     before = {k: spark.conf.get(k) for k in keys}
-    df = footer_agg_pushdown(spark, sf_dir)
-    plan = str(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    plan = footer_agg_pushdown_plan(spark, sf_dir)
     assert "PushedAggregation: [COUNT(*)" in plan, plan
     assert "MIN(l_extendedprice)" in plan, plan
+    df = footer_agg_pushdown(spark, sf_dir)
     assert {k: spark.conf.get(k) for k in keys} == before
+    # the registry result carries no parquet scan at all: it was computed
+    # from footers inside the scope and localized
+    rplan = str(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    assert "FileScan" not in rplan and "BatchScan" not in rplan, rplan
+    assert df.count() == 1
 
 
 def test_cbo_restores_session_flags(spark, sf_dir):

@@ -183,3 +183,34 @@ def test_enc_fw_roundtrips_and_preserves_order(spark, texts):
         assert r["back"] == r["s"], (r["s"], r["back"])
     by_str = [r["c"] for r in sorted(rows, key=lambda r: r["s"].encode())]
     assert by_str == sorted(by_str)
+
+
+def test_enc_fw_checked_enforces_preconditions(spark):
+    """enc_fw_checked (round-6 ADVICE): values that break the nbytes=8
+    contract -- longer than 8 bytes, or a non-ASCII first byte -- must
+    raise LOUDLY instead of silently truncating/corrupting the surrogate;
+    valid enum-like values and NULLs behave exactly like enc_fw."""
+    import pytest
+
+    from big_data_assignment2_spark.operators._util import (
+        dec_fw,
+        enc_fw,
+        enc_fw_checked,
+    )
+
+    ok = spark.createDataFrame(
+        [("click",), ("purchase",), (None,)], "s string"
+    ).select(
+        enc_fw_checked(F.col("s")).alias("c"),
+        enc_fw(F.col("s")).alias("plain"),
+    )
+    for r in ok.collect():
+        assert r["c"] == r["plain"]
+
+    too_long = spark.createDataFrame([("page_view_x",)], "s string")
+    with pytest.raises(Exception, match="precondition violated"):
+        too_long.select(enc_fw_checked(F.col("s")).alias("c")).collect()
+
+    non_ascii = spark.createDataFrame([("évent",)], "s string")
+    with pytest.raises(Exception, match="precondition violated"):
+        non_ascii.select(enc_fw_checked(F.col("s")).alias("c")).collect()
