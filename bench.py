@@ -64,22 +64,10 @@ def _run_isolated(spark, label: str, fn, timings: dict, errors: dict) -> None:
         timer.cancel()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # parse ".../sf0.1" -> 0.1 (fall back to 0.1 on odd paths)
-    base = os.path.basename(sf_dir.rstrip("/"))
-    try:
-        sf = float(base.replace("sf", ""))
-    except ValueError:
-        sf = 0.1
-
-    spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    reg = build_registry()
-
-    # Warm-up: JVM, codegen, parquet footer caches, and the Python UDF
-    # worker pool (daemon + Arrow serializer startup is ~2s once per
-    # executor; a cluster amortizes it the same way).
+def warm_up(spark, sf_dir: str) -> None:
+    """JVM, codegen, parquet footer caches, and the Python UDF worker pool
+    (daemon + Arrow serializer startup is ~2s once per executor; a cluster
+    amortizes it the same way)."""
     _force(spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000))
     from pyspark.sql import functions as _F
     from pyspark.sql.functions import pandas_udf as _pudf
@@ -95,9 +83,9 @@ def main() -> None:
         .agg(_F.sum("w").alias("s"))
     )
 
-    # One-time builds, timed apart from the queries that use them.
-    builds: dict[str, float] = {}
-    errors: dict[str, str] = {}
+
+def run_build_phase(spark, sf_dir: str, reg, builds: dict, errors: dict) -> None:
+    """One-time index/fixture builds, timed apart from the queries."""
 
     def _build(label, fn) -> None:
         _run_isolated(spark, f"build:{label}", fn, builds, errors)
@@ -210,6 +198,26 @@ def main() -> None:
         )
 
         _build("reference_cache", lambda: warm_reference_index(spark))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # parse ".../sf0.1" -> 0.1 (fall back to 0.1 on odd paths)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = build_registry()
+
+    warm_up(spark, sf_dir)
+
+    builds: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    run_build_phase(spark, sf_dir, reg, builds, errors)
 
     timings: dict[str, float] = {}
     for name, q in reg.queries.items():

@@ -1,0 +1,141 @@
+"""Round-7 bisect harness for the r6 ANN/similarity/BM25 perf cluster.
+
+Runs ONLY the 14 regressed queries (VERDICT r6 table) in a fresh session,
+with only the builds they themselves consume, and prints one JSON line of
+per-query wall times.  Compared against r5-close (fb0cad7 BENCH_DETAIL)
+numbers: if a fresh session reproduces r5-level times on HEAD code, the
+regression is bench-session state, not a plan change.
+
+Modes (env):
+  SPARK_GRAFT_BISECT_MODE=minimal  (default) only required builds
+  SPARK_GRAFT_BISECT_MODE=allbuilds  run the full bench build phase first
+  SPARK_GRAFT_BISECT_MODE=prefix   run the full bench (builds + every
+                                   registered query) BEFORE the cluster,
+                                   replicating the 220-query session state
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from big_data_assignment2_spark.registry import build_registry
+from big_data_assignment2_spark.session import get_spark
+
+CLUSTER = (
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "ann_topk_persisted",
+    "bm25_search",
+    "bm25_search_persisted",
+    "reference_bm25_ml_model",
+    "reference_bm25_distributed_db",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_neardup_pairs",
+    "embedding_neardup_pairs",
+    "embedding_neardup_lsh",
+    "pipeline_end_to_end",
+)
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    mode = os.environ.get("SPARK_GRAFT_BISECT_MODE", "minimal")
+    spark = get_spark("bisect")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = build_registry()
+
+    # identical warm-up to bench.py
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    _force(spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000))
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    _force(
+        spark.range(1000)
+        .select(_warm("id").alias("w"))
+        .groupBy((F.col("w") % 10).alias("k"))
+        .agg(F.sum("w").alias("s"))
+    )
+
+    build_sec = {}
+    errors = {}
+    if mode == "minimal":
+        from big_data_assignment2_spark.operators.search import ensure_persisted_index
+        from big_data_assignment2_spark.operators.similarity import ensure_ann_index
+        from big_data_assignment2_spark.sources.reference_corpus import (
+            warm_reference_index,
+        )
+
+        for label, fn in (
+            ("bm25_index", lambda: ensure_persisted_index(spark, sf_dir)),
+            ("ann_index", lambda: ensure_ann_index(spark, sf_dir)),
+            ("reference_cache", lambda: warm_reference_index(spark)),
+        ):
+            t0 = time.perf_counter()
+            fn()
+            build_sec[label] = round(time.perf_counter() - t0, 3)
+    else:
+        from bench import run_build_phase
+
+        run_build_phase(spark, sf_dir, reg, build_sec, errors)
+        if mode == "prefix":
+            # replicate the full 220-query session history before the
+            # cluster is timed (cluster queries run in registry order too,
+            # exactly as in bench.py)
+            prefix_sec = {}
+            for name, q in reg.queries.items():
+                if name in CLUSTER:
+                    continue
+                t0 = time.perf_counter()
+                try:
+                    _force(q.fn(spark, sf_dir))
+                except Exception as e:  # noqa: BLE001
+                    errors[name] = f"{type(e).__name__}: {str(e)[:120]}"
+                prefix_sec[name] = round(time.perf_counter() - t0, 3)
+            build_sec["__prefix_total"] = round(sum(prefix_sec.values()), 3)
+
+    passes = int(os.environ.get("SPARK_GRAFT_BISECT_PASSES", "2"))
+    all_passes = []
+    for _ in range(passes):
+        timings = {}
+        for name in CLUSTER:
+            q = reg.queries[name]
+            t0 = time.perf_counter()
+            _force(q.fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        all_passes.append(timings)
+
+    print(
+        json.dumps(
+            {
+                "mode": mode,
+                "builds": build_sec,
+                "passes": all_passes,
+                "errors": errors,
+            },
+            sort_keys=True,
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
