@@ -640,6 +640,158 @@ def cms_partkey_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Error-bound companions for the rows-only sketch queries. Pattern: the
+# sketch queries themselves can't have a DuckDB oracle (estimates are
+# implementation-specific), but the property each sketch GUARANTEES can --
+# compute exact + estimate Spark-side, return (group, exact, bound-holds
+# boolean); the oracle is the exact value plus a constant TRUE. TRUE by
+# construction at any data size, so the check is hash-green at sf0.001 and
+# at 100 TB alike (the ``percentiles_approx_rank_check`` pattern,
+# relational.py). The exact aggregates make these VERIFICATION harnesses,
+# not production paths: at real scale you run the check on a sampled
+# partition; the sketch queries themselves never touch exact distincts.
+
+APPROX_DISTINCT_RSD = 0.02  # keep in lockstep with approx_distinct_users
+APPROX_DISTINCT_TOL = 0.05  # >2-sigma ceiling over rsd=0.02 (flake-free)
+HLL_REL_TOL = 0.05  # >3-sigma over default lgK=12 (~1.6% rse)
+
+
+def approx_distinct_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable twin of :func:`approx_distinct_users`: per event
+    type, the HLL++ estimate's relative error vs the exact distinct count
+    stays under 5% (rsd=0.02, so this is a >2-sigma ceiling). One scan:
+    the exact count-distinct (Expand) and the HLL sketch share a single
+    aggregate. The returned columns are all oracle-computable: the exact
+    count and the bound verdict -- never the estimate itself."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=APPROX_DISTINCT_RSD).alias("est"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.lit(APPROX_DISTINCT_TOL) * F.col("exact_users")
+        ).alias("within_bound"),
+    )
+
+
+SQL_APPROX_DISTINCT_CHECK = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
+def hll_union_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable twin of :func:`hll_union_by_source`: every
+    per-source DataSketches estimate AND the re-merged union estimate sit
+    within 5% of the exact distinct token count (default lgK=12 is ~1.6%
+    rse; 5% is >3 sigma). The per-source sketch and the exact distinct
+    share ONE aggregate (ObjectHashAggregate carries both -- verified not
+    demoted); the union row re-merges the per-source sketches (the
+    re-mergeability being checked) and joins the 1-row exact global
+    distinct via the engine's 1-row broadcast scalar-join pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens("text")).alias("term"))
+    per = toks.groupBy("source").agg(
+        F.hll_sketch_agg("term").alias("sk"),
+        F.count_distinct("term").alias("exact_terms"),
+    )
+    def verdict(sk_col: str):
+        est = F.hll_sketch_estimate(sk_col).cast("long")
+        return (
+            F.abs(est - F.col("exact_terms"))
+            <= F.lit(HLL_REL_TOL) * F.col("exact_terms")
+        ).alias("within_bound")
+
+    per_source = per.select("source", "exact_terms", verdict("sk"))
+    union_row = (
+        per.agg(F.hll_union_agg("sk").alias("u"))
+        .crossJoin(
+            F.broadcast(toks.agg(F.count_distinct("term").alias("exact_terms")))
+        )
+        .select(F.lit("(all)").alias("source"), "exact_terms", verdict("u"))
+    )
+    return per_source.unionByName(union_row)
+
+
+SQL_HLL_UNION_CHECK = f"""
+WITH toks AS (
+  SELECT source, unnest({SQL_TOKENS.format(col='text')}) AS term FROM documents
+)
+SELECT source, CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_terms,
+       TRUE AS within_bound
+FROM toks GROUP BY source
+UNION ALL
+SELECT '(all)' AS source, CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_terms,
+       TRUE AS within_bound
+FROM toks
+"""
+
+
+def cms_overestimate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable twin of :func:`cms_partkey_counts`: for every
+    probe key, the count-min estimate is (a) never an underestimate and
+    (b) at most ``exact + eps * N`` over (the CMS guarantee, +1 slack for
+    the integer boundary). Deterministic: fixed seed, integer counters,
+    so both verdicts are fixed booleans, not statistics. The exact counts
+    come from an IN-list-pruned scan (10 keys), broadcast onto the 10-row
+    probe frame; N comes from the sketch's own totalCount."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sk_bytes = (
+        li.agg(
+            F.count_min_sketch(
+                "l_partkey", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
+            ).alias("sk")
+        ).collect()[0]["sk"]
+    )
+    jvm = spark.sparkContext._jvm
+    bis = jvm.java.io.ByteArrayInputStream(bytes(sk_bytes))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    n = int(cms.totalCount())
+    est_df = spark.createDataFrame(
+        [(int(k), int(cms.estimateCount(k))) for k in CMS_PROBE_KEYS],
+        "l_partkey long, est_count long",
+    )
+    exact = (
+        li.where(F.col("l_partkey").isin(*CMS_PROBE_KEYS))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    joined = est_df.join(F.broadcast(exact), "l_partkey", "left").select(
+        "l_partkey",
+        F.coalesce(F.col("exact_count"), F.lit(0).cast("long")).alias("exact_count"),
+        "est_count",
+    )
+    slack = int(CMS_EPS * n) + 1
+    return joined.select(
+        "l_partkey",
+        "exact_count",
+        (F.col("est_count") >= F.col("exact_count")).alias("lower_ok"),
+        (F.col("est_count") <= F.col("exact_count") + F.lit(slack)).alias("upper_ok"),
+    )
+
+
+SQL_CMS_CHECK = f"""
+WITH probe(l_partkey) AS (
+  VALUES {', '.join(f'({k})' for k in CMS_PROBE_KEYS)}
+),
+ex AS (
+  SELECT l_partkey, COUNT(*) AS c FROM lineitem
+  WHERE l_partkey IN ({', '.join(str(k) for k in CMS_PROBE_KEYS)})
+  GROUP BY l_partkey
+)
+SELECT CAST(p.l_partkey AS BIGINT) AS l_partkey,
+       CAST(COALESCE(ex.c, 0) AS BIGINT) AS exact_count,
+       TRUE AS lower_ok, TRUE AS upper_ok
+FROM probe p LEFT JOIN ex ON p.l_partkey = ex.l_partkey
+"""
+
+
 # dataset_split: cumulative per-mille thresholds for train/val/test
 SPLIT_TRAIN_PERMILLE = 800
 SPLIT_VAL_PERMILLE = 900  # val = [800, 900), test = [900, 1000)
@@ -1048,6 +1200,24 @@ def register(reg: Registry) -> None:
         cms_partkey_counts,
         None,  # sketch layout is implementation-specific; bounded in tests
         "count-min-sketch point-frequency estimates (mergeable, kilobyte summary)",
+    )
+    reg.add(
+        "approx_distinct_error_check",
+        approx_distinct_error_check,
+        SQL_APPROX_DISTINCT_CHECK,
+        "HLL++ error bound vs exact distinct: oracled verdict companion",
+    )
+    reg.add(
+        "hll_union_error_check",
+        hll_union_error_check,
+        SQL_HLL_UNION_CHECK,
+        "DataSketches per-source + union estimates bounded vs exact distincts",
+    )
+    reg.add(
+        "cms_overestimate_check",
+        cms_overestimate_check,
+        SQL_CMS_CHECK,
+        "CMS overestimate-only + eps*N ceiling: oracled verdict companion",
     )
     reg.add(
         "dataset_split",

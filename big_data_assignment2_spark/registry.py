@@ -59,75 +59,28 @@ class Registry:
 # operators, then flagships, then the long-green relational tail. Names not
 # present (e.g. reference_* when the fixture corpus is absent) are skipped.
 _PRIORITY: tuple[str, ...] = (
-    # ========== round-7 window: exactly 50 names to the driver cap ==========
-    # --- 1-48: every ORACLED round-6 addition, never driver-checked
-    # (local pytest oracle evidence only until CORRECTNESS_r07). The two
-    # rows-only sketches of that wave (hll_union_by_source,
-    # cms_partkey_counts) are deliberately NOT here: a window slot spent
-    # on a no-oracle query is wasted (round 6 burned one on
-    # minhash_cols_fast) -- all five sketches live at the very end. ---
-    # round-6 original wave (16 oracled)
-    "global_row_ids",
-    "user_activity_bitmap",
-    "cdc_apply",
-    "attribution_first_last",
-    "percentile_cont_by_flag",
-    "bucketed_join_no_shuffle",
-    "file_skipping_stats",
-    "table_diff",
-    "footer_agg_pushdown",
-    "skew_join_aqe",
-    "sql_session_variables",
-    "equidepth_histogram",
-    "nested_lineitems_roundtrip",
-    "join_not_in_null_aware",
-    "dedup_keep_best",
-    "gapfill_linear",
-    # round-6 continuation wave (12)
-    "streaming_running_totals",
-    "streaming_dedup_watermarked",
-    "hilbert_clustered_roundtrip",
-    "secondary_index_lookup",
-    "parquet_bloom_skipping",
-    "dedup_incremental_lsh",
-    "split_leakage_report",
-    "event_transitions",
-    "outlier_zscore",
-    "winsorize_values",
-    "token_kl_by_source",
-    "embedding_gram",
-    # round-6 closing wave (20)
-    "basket_pair_lift",
-    "rfm_segments",
-    "time_decay_attribution",
-    "quantile_normalize_by_source",
-    "tfidf_top_terms",
-    "ann_topk_pq",
-    "ann_pq_recall_eval",
-    "manifest_pruned_scan",
-    "pii_redact",
-    "parquet_bloom_skipping_str",
-    "doc_char_entropy",
-    "kmeans_2iter",
-    "collocations_pmi",
-    "doc_lm_cross_entropy",
-    "minmax_downsample",
-    "image_phash_clusters",
-    "manifest_incremental_scan",
-    "audio_features",
-    "skyline_2d",
-    "spatial_radius_join",
-    # --- 49-50: round-6-MODIFIED queries whose newest driver row predates
-    # the modification (join_anti URGENT filter, embedding_neardup_pairs
-    # planting) ---
-    "join_anti",
-    "embedding_neardup_pairs",
-    # ========== positions 51+: past the cap this round ==========
-    # --- remaining stale-evidence re-checks, oldest first (spill to r8) ---
-    "embedding_neardup_lsh",  # modified r6, row predates the change
-    "csv_corrupt_records",  # newest row r3
-    "multimodal_features",  # newest row r4
-    # --- r3-green block ---
+    # ========== round-8 window: exactly 50 names to the driver cap ==========
+    # --- 1-6: round-6-MODIFIED queries whose newest driver row predates
+    # the modification (banding rework, surrogate fix, escaping fix, NULL
+    # guard, rewrite, planting) -- the VERDICT r7 top item ---
+    "prefix_edit_pairs",
+    "profile_table",
+    "table_checksum",
+    "chi2_lang_source",
+    "triangle_count",
+    "embedding_neardup_lsh",
+    # --- 7-9: the NEW round-8 error-bound companions (oracled, never
+    # driver-checked): exact value + constant-TRUE verdict oracles for the
+    # three sketch families (HLL++ rsd, DataSketches union, CMS eps*N) ---
+    "approx_distinct_error_check",
+    "hll_union_error_check",
+    "cms_overestimate_check",
+    # --- 10-11: the two never-driver-sampled rows-only sketches; one slot
+    # each closes the zero-evidence gap (driver records rows-only; their
+    # hash evidence lives in the companions above) ---
+    "cms_partkey_counts",
+    "hll_union_by_source",
+    # --- 12-30: r3-vintage driver evidence (oldest oracled rows) ---
     "q21_waiting_suppliers",
     "doc_pack_greedy",
     "blocklist_scan",
@@ -146,7 +99,9 @@ _PRIORITY: tuple[str, ...] = (
     "funnel_depths",
     "cohort_retention",
     "neardup_cluster_sizes",
-    # --- r4-green block ---
+    "csv_corrupt_records",
+    # --- 31-50: oldest r4-vintage evidence (CORRECTNESS_r04 order; includes
+    # the multimodal_features stale re-check) ---
     "bm25_search_incremental",
     "bm25_search_after_delete",
     "bm25_search_filtered",
@@ -160,12 +115,16 @@ _PRIORITY: tuple[str, ...] = (
     "bm25_search_filtered_persisted",
     "minhash_lsh_pairs_fast",
     "percentiles_approx_rank_check",
+    "multimodal_features",
     "merge_upsert_roundtrip",
     "scd2_history",
     "zorder_clustered_roundtrip",
     "pagerank_3iter",
     "streaming_late_data",
     "prefix_hamming_pairs",
+    # ========== positions 51+: past the cap this round ==========
+    # --- tail, oldest-evidence-first: remaining r4-vintage rows, then the
+    # r5 / r6 / r7 blocks (freshest driver evidence last) ---
     "matview_incremental_refresh",
     "dpp_pruned_join",
     "small_files_compaction",
@@ -243,22 +202,17 @@ _PRIORITY: tuple[str, ...] = (
     "q15_top_supplier",
     "q19_disjunctive_filter",
     "q22_idle_customers",
-    # --- r6-green block (freshest driver evidence, CORRECTNESS_r06) ---
-    "prefix_edit_pairs",
+    # --- r6-green block ---
     "python_datasource_writer_roundtrip",
     "events_variant_extract",
     "cbo_join_reorder",
     "recursive_order_chains",
     "sql_udf_revenue",
-    "triangle_count",
     "tf_cosine_pairs",
     "gapfill_locf",
     "intervals_consolidate",
     "lateral_topn_customers",
     "xml_roundtrip",
-    "table_checksum",
-    "chi2_lang_source",
-    "profile_table",
     "window_trailing_range",
     "fk_integrity_report",
     "pivot_dynamic",
@@ -293,12 +247,61 @@ _PRIORITY: tuple[str, ...] = (
     "q16_part_supplier_counts",
     "q17_small_qty_revenue",
     "q20_promotable_suppliers",
-    # --- rows-only sketches: NEVER window material (no DuckDB oracle ->
-    # a driver slot spent here can only record "no_oracle"); each has an
-    # error-bound companion test instead ---
+    # --- r7-green block (freshest, CORRECTNESS_r07) ---
+    "global_row_ids",
+    "user_activity_bitmap",
+    "cdc_apply",
+    "attribution_first_last",
+    "percentile_cont_by_flag",
+    "bucketed_join_no_shuffle",
+    "file_skipping_stats",
+    "table_diff",
+    "footer_agg_pushdown",
+    "skew_join_aqe",
+    "sql_session_variables",
+    "equidepth_histogram",
+    "nested_lineitems_roundtrip",
+    "join_not_in_null_aware",
+    "dedup_keep_best",
+    "gapfill_linear",
+    "streaming_running_totals",
+    "streaming_dedup_watermarked",
+    "hilbert_clustered_roundtrip",
+    "secondary_index_lookup",
+    "parquet_bloom_skipping",
+    "dedup_incremental_lsh",
+    "split_leakage_report",
+    "event_transitions",
+    "outlier_zscore",
+    "winsorize_values",
+    "token_kl_by_source",
+    "embedding_gram",
+    "basket_pair_lift",
+    "rfm_segments",
+    "time_decay_attribution",
+    "quantile_normalize_by_source",
+    "tfidf_top_terms",
+    "ann_topk_pq",
+    "ann_pq_recall_eval",
+    "manifest_pruned_scan",
+    "pii_redact",
+    "parquet_bloom_skipping_str",
+    "doc_char_entropy",
+    "kmeans_2iter",
+    "collocations_pmi",
+    "doc_lm_cross_entropy",
+    "minmax_downsample",
+    "image_phash_clusters",
+    "manifest_incremental_scan",
+    "audio_features",
+    "skyline_2d",
+    "spatial_radius_join",
+    "join_anti",
+    "embedding_neardup_pairs",
+    # --- rows-only sketches with an existing driver row: NEVER window
+    # material (a slot here can only re-record "no_oracle"); hash evidence
+    # lives in their error-bound companions ---
     "approx_distinct_users",
-    "cms_partkey_counts",
-    "hll_union_by_source",
     "minhash_cols_fast",
     "percentiles_by_flag_approx",
 )
