@@ -21,8 +21,6 @@ import os
 import sys
 import time
 
-import pandas as pd
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from big_data_assignment2_spark.registry import build_registry
@@ -57,22 +55,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     reg = build_registry()
 
-    # identical warm-up to bench.py
-    from pyspark.sql import functions as F
-    from pyspark.sql.functions import pandas_udf
+    # the actual bench warm-up, not a copy (copies silently diverge and
+    # the tool's whole premise is replicating bench session state)
+    from bench import warm_up
 
-    _force(spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000))
-
-    @pandas_udf("long")
-    def _warm(s: pd.Series) -> pd.Series:
-        return s
-
-    _force(
-        spark.range(1000)
-        .select(_warm("id").alias("w"))
-        .groupBy((F.col("w") % 10).alias("k"))
-        .agg(F.sum("w").alias("s"))
-    )
+    warm_up(spark, sf_dir)
 
     build_sec = {}
     errors = {}
@@ -112,13 +99,23 @@ def main() -> None:
             build_sec["__prefix_total"] = round(sum(prefix_sec.values()), 3)
 
     passes = int(os.environ.get("SPARK_GRAFT_BISECT_PASSES", "2"))
+    # reference_* cluster members are unregistered when the fixture corpus
+    # is absent (registry.py skips them) -- note and skip, don't KeyError
+    skipped = [n for n in CLUSTER if n not in reg.queries]
     all_passes = []
     for _ in range(passes):
         timings = {}
         for name in CLUSTER:
+            if name in skipped:
+                continue
             q = reg.queries[name]
+            # fault-isolated like bench._run_isolated: one bad query must
+            # not abort the pass and lose the whole diagnostic JSON
             t0 = time.perf_counter()
-            _force(q.fn(spark, sf_dir))
+            try:
+                _force(q.fn(spark, sf_dir))
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {str(e)[:120]}"
             timings[name] = round(time.perf_counter() - t0, 3)
         all_passes.append(timings)
 
@@ -128,6 +125,7 @@ def main() -> None:
                 "mode": mode,
                 "builds": build_sec,
                 "passes": all_passes,
+                "skipped": skipped,
                 "errors": errors,
             },
             sort_keys=True,
