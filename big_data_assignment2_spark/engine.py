@@ -26,6 +26,7 @@ Parquet-native:
 
 from __future__ import annotations
 
+import os
 import zlib
 from typing import NamedTuple
 
@@ -79,46 +80,80 @@ def build_index(
     spark = docs.sparkSession
     fs, tomb_path = _fs_and_path(spark, f"{index_dir}/tombstones")
     fs.delete(tomb_path, True)
+    from concurrent.futures import ThreadPoolExecutor
+
     inverted = index_build.inverted_from_docs(docs)
-    (
-        inverted.withColumn("term_bucket", term_bucket_col("term", n_buckets))
-        # one shuffle keyed by the partition column so each bucket directory
-        # gets one writer task (no small-file explosion at high parallelism)
-        .repartition("term_bucket")
-        .write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(f"{index_dir}/inverted_index")
-    )
-    # vocab/doc_stats/forward re-read the persisted postings rather than
-    # recomputing the tokenize shuffle a second time.
+
+    def _write_postings() -> None:
+        (
+            inverted.withColumn("term_bucket", term_bucket_col("term", n_buckets))
+            # one shuffle keyed by the partition column so each bucket
+            # directory gets one writer task (no small-file explosion at
+            # high parallelism)
+            .repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(f"{index_dir}/inverted_index")
+        )
+
+    def _write_doc_stats() -> None:
+        index_build.doc_stats_from_docs(docs).write.mode("overwrite").parquet(
+            f"{index_dir}/doc_stats"
+        )
+
+    # postings and doc_stats derive straight from *docs* and write to
+    # disjoint dirs -- concurrent (the build is a handful of small jobs
+    # whose fixed overhead otherwise serializes)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_write_postings), pool.submit(_write_doc_stats)]:
+            f.result()
+    # vocab/forward re-read the persisted postings rather than recomputing
+    # the tokenize shuffle a second time; they're independent of each other
     persisted = spark.read.parquet(f"{index_dir}/inverted_index")
-    index_build.vocab_from_inverted(persisted).write.mode("overwrite").parquet(
-        f"{index_dir}/vocab"
-    )
-    (
-        persisted.select("doc_id", "term")
-        .withColumn("doc_bucket", term_bucket_col("doc_id", n_buckets))
-        .repartition("doc_bucket")
-        .write.mode("overwrite")
-        .partitionBy("doc_bucket")
-        .parquet(f"{index_dir}/forward")
-    )
-    ds = index_build.doc_stats_from_docs(docs)
-    ds.write.mode("overwrite").parquet(f"{index_dir}/doc_stats")
-    stats = index_build.corpus_stats_agg(spark.read.parquet(f"{index_dir}/doc_stats"))
-    # n_buckets is part of the index layout: persist it so search derives
-    # the bucket function from the index itself (a build/search mismatch
-    # would silently prune away every matching posting).
-    meta = stats.select(
-        F.explode(
-            F.create_map(
-                F.lit("total_docs"), F.col("total_docs").cast("string"),
-                F.lit("avg_dl"), F.col("avg_dl").cast("string"),
-                F.lit("n_buckets"), F.lit(str(n_buckets)),
-            )
-        ).alias("key", "value")
-    )
-    meta.write.mode("overwrite").parquet(f"{index_dir}/meta")
+
+    def _write_vocab() -> None:
+        index_build.vocab_from_inverted(persisted).write.mode("overwrite").parquet(
+            f"{index_dir}/vocab"
+        )
+
+    def _write_forward() -> None:
+        (
+            persisted.select("doc_id", "term")
+            .withColumn("doc_bucket", term_bucket_col("doc_id", n_buckets))
+            .repartition("doc_bucket")
+            .write.mode("overwrite")
+            .partitionBy("doc_bucket")
+            .parquet(f"{index_dir}/forward")
+        )
+
+    def _write_meta() -> None:
+        stats = index_build.corpus_stats_agg(
+            spark.read.parquet(f"{index_dir}/doc_stats")
+        )
+        # n_buckets is part of the index layout: persist it so search
+        # derives the bucket function from the index itself (a build/search
+        # mismatch would silently prune away every matching posting).
+        meta = stats.select(
+            F.explode(
+                F.create_map(
+                    F.lit("total_docs"), F.col("total_docs").cast("string"),
+                    F.lit("avg_dl"), F.col("avg_dl").cast("string"),
+                    F.lit("n_buckets"), F.lit(str(n_buckets)),
+                )
+            ).alias("key", "value")
+        )
+        meta.write.mode("overwrite").parquet(f"{index_dir}/meta")
+
+    # vocab/forward read the persisted postings, meta reads the persisted
+    # doc_stats -- all three inputs are complete after the first phase
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [
+            pool.submit(_write_vocab),
+            pool.submit(_write_forward),
+            pool.submit(_write_meta),
+        ]:
+            f.result()
+    _N_BUCKETS_CACHE[index_dir] = n_buckets
 
 
 def _fs_and_path(spark: SparkSession, path: str):
@@ -128,7 +163,38 @@ def _fs_and_path(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
+# The per-file maintenance ops (purge + staged rename, up to 64 bucket
+# files per table per micro-batch) cost 2-4 py4j roundtrips each through
+# the Hadoop gateway. When the index genuinely lives on the local
+# filesystem, plain os-level calls do the identical metadata work without
+# the gateway chatter; any explicit scheme other than file: (or a
+# non-local fs.defaultFS for bare paths) keeps the Hadoop path.
+_DEFAULT_FS_IS_LOCAL: bool | None = None
+
+
+def _is_local_path(spark: SparkSession, path: str) -> bool:
+    if path.startswith("file:"):
+        return True
+    if "://" in path:
+        return False
+    global _DEFAULT_FS_IS_LOCAL
+    if _DEFAULT_FS_IS_LOCAL is None:
+        default_fs = spark._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
+        _DEFAULT_FS_IS_LOCAL = default_fs.startswith("file:")
+    return _DEFAULT_FS_IS_LOCAL
+
+
+def _strip_file_scheme(path: str) -> str:
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path
+
+
 def _path_exists(spark: SparkSession, path: str) -> bool:
+    if _is_local_path(spark, path):
+        return os.path.exists(_strip_file_scheme(path))
     fs, jpath = _fs_and_path(spark, path)
     return fs.exists(jpath)
 
@@ -151,6 +217,11 @@ def _replace_dir(spark: SparkSession, src: str, dst: str) -> None:
 
 def _touch(spark: SparkSession, path: str) -> None:
     """Create an empty marker file (parents included) -- metadata-only."""
+    if _is_local_path(spark, path):
+        local = _strip_file_scheme(path)
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        open(local, "w").close()
+        return
     fs, p = _fs_and_path(spark, path)
     parent = p.getParent()
     if parent is not None and not fs.exists(parent):
@@ -176,6 +247,19 @@ def _purge_ingest_files(
     renamed into *table_dir* -- the undo half of filename-keyed
     idempotency."""
     sub = "*/" if partitioned else ""
+    if _is_local_path(spark, table_dir):
+        import glob as _glob
+
+        for p in _glob.glob(
+            f"{_strip_file_scheme(table_dir)}/{sub}ingest{batch_id}-*.parquet"
+        ):
+            os.remove(p)
+            crc = os.path.join(
+                os.path.dirname(p), f".{os.path.basename(p)}.crc"
+            )
+            if os.path.exists(crc):  # checksum sidecar from a Hadoop rename
+                os.remove(crc)
+        return
     fs, _ = _fs_and_path(spark, table_dir)
     for st in _glob_status(spark, f"{table_dir}/{sub}ingest{batch_id}-*.parquet"):
         fs.delete(st.getPath(), False)
@@ -187,40 +271,89 @@ def _rename_staged_in(
     """Move a fully-staged batch write into the live table under
     deterministic ``ingest<batch>-<i>.parquet`` names (metadata renames;
     the batch id in the filename is what makes redelivery purgeable)."""
-    fs, staging_path = _fs_and_path(spark, staging)
     sub = "*/" if partitioned else ""
+    if _is_local_path(spark, staging) and _is_local_path(spark, table_dir):
+        import glob as _glob
+        import shutil
+
+        staging_local = _strip_file_scheme(staging)
+        table_local = _strip_file_scheme(table_dir)
+        for i, src in enumerate(sorted(_glob.glob(f"{staging_local}/{sub}part-*"))):
+            dst_dir = (
+                os.path.join(table_local, os.path.basename(os.path.dirname(src)))
+                if partitioned
+                else table_local
+            )
+            os.makedirs(dst_dir, exist_ok=True)
+            os.replace(src, os.path.join(dst_dir, f"ingest{batch_id}-{i}.parquet"))
+        shutil.rmtree(staging_local, ignore_errors=True)
+        return
+    fs, staging_path = _fs_and_path(spark, staging)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    # ONE destination-dir listing up front instead of exists+mkdirs py4j
+    # roundtrips per file: with 64 bucket dirs per table per batch the
+    # per-file metadata chatter dominates the rename itself
+    if partitioned:
+        known_dirs = {
+            st.getPath().getName()
+            for st in _glob_status(spark, f"{table_dir}/*")
+            if st.isDirectory()
+        }
+    else:
+        known_dirs = None
+        _, table_path = _fs_and_path(spark, table_dir)
+        if not fs.exists(table_path):
+            fs.mkdirs(table_path)
     for i, st in enumerate(_glob_status(spark, f"{staging}/{sub}part-*")):
         src = st.getPath()
-        dst_dir = (
-            f"{table_dir}/{src.getParent().getName()}" if partitioned else table_dir
-        )
-        _, dst_dir_path = _fs_and_path(spark, dst_dir)
-        if not fs.exists(dst_dir_path):
-            fs.mkdirs(dst_dir_path)
-        _, dst = _fs_and_path(spark, f"{dst_dir}/ingest{batch_id}-{i}.parquet")
+        if partitioned:
+            bucket = src.getParent().getName()
+            dst_dir = f"{table_dir}/{bucket}"
+            if bucket not in known_dirs:
+                fs.mkdirs(jpath(dst_dir))
+                known_dirs.add(bucket)
+        else:
+            dst_dir = table_dir
+        dst = jpath(f"{dst_dir}/ingest{batch_id}-{i}.parquet")
         if not fs.rename(src, dst):
             raise IOError(f"failed to move staged ingest file {src} to {dst}")
     fs.delete(staging_path, True)
 
 
+# n_buckets is fixed at build time and preserved by every maintenance op
+# (append/delete/compact), so it is memoized per (process, index_dir) --
+# a streaming ingestion otherwise pays a 1-row parquet-read job per
+# micro-batch just to re-learn a constant. build_index overwrites the
+# entry; same per-process-scope caveat as ensure_persisted_index.
+_N_BUCKETS_CACHE: dict[str, int] = {}
+
+
 def _read_n_buckets(spark: SparkSession, index_dir: str) -> int:
+    cached = _N_BUCKETS_CACHE.get(index_dir)
+    if cached is not None:
+        return cached
     row = (
         spark.read.parquet(f"{index_dir}/meta")
         .where(F.col("key") == "n_buckets")
         .select("value")
         .collect()
     )
-    return int(row[0]["value"]) if row else N_TERM_BUCKETS
+    n = int(row[0]["value"]) if row else N_TERM_BUCKETS
+    _N_BUCKETS_CACHE[index_dir] = n
+    return n
 
 
 def _write_meta_from_live_stats(
-    spark: SparkSession, index_dir: str, n_buckets: int
+    spark: SparkSession, index_dir: str, n_buckets: int, live: DataFrame | None = None
 ) -> None:
     """Rewrite meta (N, avg_dl) from the LIVE doc_stats view -- persisted
     rows minus tombstones. Exact (decimal-sum average over a row-per-doc
     table), and always tombstone-aware so append-after-delete cannot
-    resurrect deleted docs into the BM25 idf statistics."""
-    live = spark.read.parquet(f"{index_dir}/doc_stats")
+    resurrect deleted docs into the BM25 idf statistics. *live* lets a
+    caller supply an equivalent row set directly (the concurrent append
+    path passes pre-batch files + the batch's own stats)."""
+    if live is None:
+        live = spark.read.parquet(f"{index_dir}/doc_stats")
     tomb = _tombstones(spark, index_dir)
     if tomb is not None:
         live = live.join(F.broadcast(tomb), "doc_id", "left_anti")
@@ -307,9 +440,12 @@ def append_to_index(
                 f"doc_id {clash[0]['doc_id']!r} is tombstoned; appending it "
                 "would resurrect its dead postings -- compact_index() first"
             )
-    # one tokenize pass over only the new docs, materialized once and
-    # reused by the postings append, the forward append, and the df delta
-    inverted_new = index_build.inverted_from_docs(new_docs).localCheckpoint(eager=True)
+    # one tokenize DEFINITION over only the new docs; its three consumers
+    # (postings, forward, df delta) each recompute it inside their own
+    # concurrent job -- for a micro-batch that's cheaper than the extra
+    # materialization job a localCheckpoint would cost (and avoids the
+    # stats-less-LogicalRDD plan gotcha entirely)
+    inverted_new = index_build.inverted_from_docs(new_docs)
     postings = inverted_new.withColumn(
         "term_bucket", term_bucket_col("term", n_buckets)
     ).repartition("term_bucket")
@@ -319,35 +455,32 @@ def append_to_index(
         .repartition("doc_bucket")
     )
     stats_new = index_build.doc_stats_from_docs(new_docs)
-    if batch_id is None:
-        postings.write.mode("append").partitionBy("term_bucket").parquet(
-            f"{index_dir}/inverted_index"
-        )
-        forward.write.mode("append").partitionBy("doc_bucket").parquet(
-            f"{index_dir}/forward"
-        )
-        stats_new.write.mode("append").parquet(f"{index_dir}/doc_stats")
-    else:
-        # stage each table fully, purge any torn prior delivery's files,
-        # then metadata-rename the staged files in under batch-keyed names
-        for df, table, part_col in (
-            (postings, "inverted_index", "term_bucket"),
-            (forward, "forward", "doc_bucket"),
-            (stats_new, "doc_stats", None),
-        ):
-            staging = f"{index_dir}/{table}.ingest{batch_id}.tmp"
-            w = df.write.mode("overwrite")
+
+    def _apply_table(df: DataFrame, table: str, part_col: str | None) -> None:
+        if batch_id is None:
+            w = df.write.mode("append")
             if part_col:
                 w = w.partitionBy(part_col)
-            w.parquet(staging)
-            _purge_ingest_files(spark, f"{index_dir}/{table}", batch_id, bool(part_col))
-            _rename_staged_in(
-                spark, staging, f"{index_dir}/{table}", batch_id, bool(part_col)
-            )
-    # vocab: delta merge (exact integer adds), written to .tmp then swapped
-    # because the merge reads the vocab it replaces
-    vocab_marker = f"{index_dir}/vocab/_ingest_applied_{batch_id}"
-    if batch_id is None or not _path_exists(spark, vocab_marker):
+            w.parquet(f"{index_dir}/{table}")
+            return
+        # stage the table fully, purge any torn prior delivery's files,
+        # then metadata-rename the staged files in under batch-keyed names
+        staging = f"{index_dir}/{table}.ingest{batch_id}.tmp"
+        w = df.write.mode("overwrite")
+        if part_col:
+            w = w.partitionBy(part_col)
+        w.parquet(staging)
+        _purge_ingest_files(spark, f"{index_dir}/{table}", batch_id, bool(part_col))
+        _rename_staged_in(
+            spark, staging, f"{index_dir}/{table}", batch_id, bool(part_col)
+        )
+
+    def _apply_vocab() -> None:
+        # vocab: delta merge (exact integer adds), written to .tmp then
+        # swapped because the merge reads the vocab it replaces
+        vocab_marker = f"{index_dir}/vocab/_ingest_applied_{batch_id}"
+        if batch_id is not None and _path_exists(spark, vocab_marker):
+            return
         delta = index_build.vocab_from_inverted(inverted_new).withColumnRenamed(
             "doc_freq", "delta_df"
         )
@@ -368,7 +501,58 @@ def append_to_index(
             # applied" become visible together or not at all
             _touch(spark, f"{index_dir}/vocab.tmp/_ingest_applied_{batch_id}")
         _replace_dir(spark, f"{index_dir}/vocab.tmp", f"{index_dir}/vocab")
-    _write_meta_from_live_stats(spark, index_dir, n_buckets)
+
+    # meta = agg over (pre-batch doc_stats files + this batch's stats) --
+    # row-identical to recomputing from the post-rename live table, but
+    # free of the doc_stats-rename ordering edge, so it can join the
+    # concurrent pool. The file list is snapshotted BEFORE any writer
+    # starts (explicit-file reads are immune to files landing later), and
+    # excludes any torn prior delivery of THIS batch (whose rows stats_new
+    # re-supplies). Local-FS only; elsewhere meta recomputes sequentially
+    # after the doc_stats rename as before.
+    meta_live: DataFrame | None = None
+    doc_stats_dir = f"{index_dir}/doc_stats"
+    if _is_local_path(spark, doc_stats_dir):
+        import glob as _glob
+
+        pre_files = [
+            p
+            for p in _glob.glob(f"{_strip_file_scheme(doc_stats_dir)}/*.parquet")
+            if not (
+                batch_id is not None
+                and os.path.basename(p).startswith(f"ingest{batch_id}-")
+            )
+        ]
+        if pre_files:
+            meta_live = spark.read.parquet(*pre_files).unionByName(stats_new)
+
+    def _apply_meta() -> None:
+        _write_meta_from_live_stats(spark, index_dir, n_buckets, live=meta_live)
+
+    # The table applications touch disjoint directories and are each
+    # independently idempotent (filename-keyed purge+rename for the
+    # append-only tables, the marker-carrying swap for vocab, pure
+    # overwrite for meta), so they run CONCURRENTLY -- per-batch wall time
+    # is the slowest application, not the sum of five small Spark jobs'
+    # fixed overheads. Any torn interleaving a crash leaves behind is
+    # exactly what redelivery already handles table-by-table; ordering
+    # never mattered for correctness, only the ledger-last edge (below)
+    # and meta-after-doc_stats, the latter removed by the snapshot above.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        futures = [
+            pool.submit(_apply_table, postings, "inverted_index", "term_bucket"),
+            pool.submit(_apply_table, forward, "forward", "doc_bucket"),
+            pool.submit(_apply_table, stats_new, "doc_stats", None),
+            pool.submit(_apply_vocab),
+        ]
+        if meta_live is not None:
+            futures.append(pool.submit(_apply_meta))
+        for f in futures:
+            f.result()  # propagate the first failure -> batch retries
+    if meta_live is None:
+        _write_meta_from_live_stats(spark, index_dir, n_buckets)
     if batch_id is not None:
         _touch(spark, _ingest_ledger(index_dir, batch_id))
 
