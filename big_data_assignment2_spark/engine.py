@@ -591,21 +591,35 @@ def delete_from_index(doc_ids: DataFrame, index_dir: str) -> None:
     if ids.isEmpty():
         return
     ids.write.mode("append").parquet(f"{index_dir}/tombstones")
-    delta = _df_delta_for_ids(spark, index_dir, ids, n_buckets)
-    merged = (
-        spark.read.parquet(f"{index_dir}/vocab")
-        .join(delta, "term", "left")
-        .select(
-            "term",
-            (F.col("doc_freq") - F.coalesce(F.col("delta_df"), F.lit(0))).alias(
-                "doc_freq"
-            ),
+
+    def _subtract_vocab_delta() -> None:
+        delta = _df_delta_for_ids(spark, index_dir, ids, n_buckets)
+        merged = (
+            spark.read.parquet(f"{index_dir}/vocab")
+            .join(delta, "term", "left")
+            .select(
+                "term",
+                (F.col("doc_freq") - F.coalesce(F.col("delta_df"), F.lit(0))).alias(
+                    "doc_freq"
+                ),
+            )
+            .where(F.col("doc_freq") > 0)
         )
-        .where(F.col("doc_freq") > 0)
-    )
-    merged.write.mode("overwrite").parquet(f"{index_dir}/vocab.tmp")
-    _replace_dir(spark, f"{index_dir}/vocab.tmp", f"{index_dir}/vocab")
-    _write_meta_from_live_stats(spark, index_dir, n_buckets)
+        merged.write.mode("overwrite").parquet(f"{index_dir}/vocab.tmp")
+        _replace_dir(spark, f"{index_dir}/vocab.tmp", f"{index_dir}/vocab")
+
+    # the df-delta subtraction (reads forward+vocab, swaps vocab) and the
+    # meta recompute (reads doc_stats+tombstones, overwrites meta) touch
+    # disjoint inputs and outputs -- both must only follow the tombstone
+    # append above, so they run concurrently
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [
+            pool.submit(_subtract_vocab_delta),
+            pool.submit(_write_meta_from_live_stats, spark, index_dir, n_buckets),
+        ]:
+            f.result()
 
 
 def _df_delta_for_ids(
@@ -655,34 +669,32 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
     tomb = _tombstones(spark, index_dir)
     if tomb is None:
         return
-    inv = f"{index_dir}/inverted_index"
-    (
-        spark.read.parquet(inv)
-        .join(F.broadcast(tomb), "doc_id", "left_anti")
-        .repartition("term_bucket")
-        .write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(f"{inv}.tmp")
-    )
-    _replace_dir(spark, f"{inv}.tmp", inv)
-    fwd = f"{index_dir}/forward"
-    (
-        spark.read.parquet(fwd)
-        .join(F.broadcast(tomb), "doc_id", "left_anti")
-        .repartition("doc_bucket")
-        .write.mode("overwrite")
-        .partitionBy("doc_bucket")
-        .parquet(f"{fwd}.tmp")
-    )
-    _replace_dir(spark, f"{fwd}.tmp", fwd)
-    ds = f"{index_dir}/doc_stats"
-    (
-        spark.read.parquet(ds)
-        .join(F.broadcast(tomb), "doc_id", "left_anti")
-        .write.mode("overwrite")
-        .parquet(f"{ds}.tmp")
-    )
-    _replace_dir(spark, f"{ds}.tmp", ds)
+
+    def _compact_table(table: str, part_col: str | None) -> None:
+        path = f"{index_dir}/{table}"
+        df = spark.read.parquet(path).join(F.broadcast(tomb), "doc_id", "left_anti")
+        if part_col:
+            df = df.repartition(part_col)
+        w = df.write.mode("overwrite")
+        if part_col:
+            w = w.partitionBy(part_col)
+        w.parquet(f"{path}.tmp")
+        _replace_dir(spark, f"{path}.tmp", path)
+
+    # the three rewrites read and swap disjoint directories and depend
+    # only on the tombstone set, so they run concurrently; the tombstone
+    # clear stays last (a crash mid-compaction leaves a mix of compacted
+    # and uncompacted tables, which the still-present tombstones keep
+    # consistent for search -- same as the sequential ordering)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [
+            pool.submit(_compact_table, "inverted_index", "term_bucket"),
+            pool.submit(_compact_table, "forward", "doc_bucket"),
+            pool.submit(_compact_table, "doc_stats", None),
+        ]:
+            f.result()
     fs, tomb_path = _fs_and_path(spark, f"{index_dir}/tombstones")
     fs.delete(tomb_path, True)
 
