@@ -352,6 +352,91 @@ def test_batched_append_torn_delivery_recovers(spark, sf_dir, tmp_path):
     assert not os.path.exists(f"{bucket_dir}/ingest3-999.parquet")
 
 
+def test_batched_append_concurrent_torn_interleaving_recovers(
+    spark, sf_dir, tmp_path
+):
+    """Round-8 made the per-batch table applications CONCURRENT, which
+    makes a previously-impossible crash state reachable: the vocab
+    delta-merge (marker applied) and the doc_stats rename completed while
+    postings/forward never landed and the ledger was never written.
+    Construct exactly that state by hand, then redeliver the batch: the
+    marker must suppress a second vocab merge (else df doubles), the
+    doc_stats purge must swallow the earlier delivery's files (else N
+    doubles), postings/forward must apply fresh, and the final index must
+    hash-equal a clean one-shot build of the full corpus."""
+    import glob as _glob
+    import os
+    import shutil
+
+    d = str(tmp_path / "torn_pool")
+    d_ref = str(tmp_path / "torn_pool_ref")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    even = docs.where(F.col("doc_id").cast("long") % 2 == 0)
+    odd = docs.where(F.col("doc_id").cast("long") % 2 == 1)
+    engine.build_index(even, d, n_buckets=8)
+
+    bid = 5
+    # -- hand-construct the torn state ------------------------------
+    # vocab thread finished: delta merged, marker riding the swap
+    inv = index_build.inverted_from_docs(odd)
+    delta = index_build.vocab_from_inverted(inv).withColumnRenamed(
+        "doc_freq", "delta_df"
+    )
+    merged = (
+        spark.read.parquet(f"{d}/vocab")
+        .join(delta, "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("doc_freq"), F.lit(0))
+                + F.coalesce(F.col("delta_df"), F.lit(0))
+            ).alias("doc_freq"),
+        )
+    )
+    merged.write.mode("overwrite").parquet(f"{d}/vocab.tmp")
+    engine._touch(spark, f"{d}/vocab.tmp/_ingest_applied_{bid}")
+    engine._replace_dir(spark, f"{d}/vocab.tmp", f"{d}/vocab")
+    # doc_stats thread finished: staged write renamed in under batch keys
+    staging = f"{d}/doc_stats.ingest{bid}.tmp"
+    index_build.doc_stats_from_docs(odd).write.mode("overwrite").parquet(staging)
+    engine._rename_staged_in(spark, staging, f"{d}/doc_stats", bid, False)
+    # postings/forward/meta threads died; ledger never written
+    assert not os.path.exists(f"{d}/ingest_log/batch_{bid}")
+    assert os.path.exists(f"{d}/vocab/_ingest_applied_{bid}")
+    assert _glob.glob(f"{d}/doc_stats/ingest{bid}-*.parquet")
+
+    # -- redelivery must converge to exactly-once -------------------
+    engine.append_to_index(odd, d, batch_id=bid)
+    engine.build_index(docs, d_ref, n_buckets=8)  # clean one-shot reference
+
+    got = [
+        tuple(r) for r in engine.search(spark, d, "spark query window merge").collect()
+    ]
+    want = [
+        tuple(r)
+        for r in engine.search(spark, d_ref, "spark query window merge").collect()
+    ]
+    assert got == want and len(got) > 0
+    # vocab was NOT merged twice: per-term df equals the clean reference
+    vocab_got = {
+        r["term"]: r["doc_freq"] for r in spark.read.parquet(f"{d}/vocab").collect()
+    }
+    vocab_want = {
+        r["term"]: r["doc_freq"]
+        for r in spark.read.parquet(f"{d_ref}/vocab").collect()
+    }
+    assert vocab_got == vocab_want
+    # doc_stats was not doubled: N and avg_dl in meta equal the reference
+    meta_got = {
+        r["key"]: r["value"] for r in spark.read.parquet(f"{d}/meta").collect()
+    }
+    meta_want = {
+        r["key"]: r["value"] for r in spark.read.parquet(f"{d_ref}/meta").collect()
+    }
+    assert meta_got == meta_want
+    assert os.path.exists(f"{d}/ingest_log/batch_{bid}")
+
+
 def test_lifecycle_readd_equals_fresh(spark, sf_dir, index_dir):
     """build -> delete -> compact -> append-READD of the deleted docs must
     converge back to the from-scratch full-corpus index (compaction freed
