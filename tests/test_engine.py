@@ -437,6 +437,49 @@ def test_batched_append_concurrent_torn_interleaving_recovers(
     assert os.path.exists(f"{d}/ingest_log/batch_{bid}")
 
 
+def test_batched_append_hadoop_metadata_path(spark, sf_dir, tmp_path, monkeypatch):
+    """The round-8 local-FS fast path short-circuits the Hadoop-gateway
+    metadata ops for every local test, which would leave the Hadoop
+    branch (the one a real HDFS/object-store deployment runs) untested.
+    Force it by faking a non-local fs.defaultFS verdict -- the Hadoop
+    FileSystem still resolves these bare paths to the local disk, so the
+    branch executes for real -- and run the append + redelivery cycle
+    through it."""
+    import glob as _glob
+    import os
+
+    monkeypatch.setattr(engine, "_DEFAULT_FS_IS_LOCAL", False)
+    d = str(tmp_path / "hadoop_branch")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    even = docs.where(F.col("doc_id").cast("long") % 2 == 0)
+    odd = docs.where(F.col("doc_id").cast("long") % 2 == 1)
+    engine.build_index(even, d, n_buckets=8)
+
+    engine.append_to_index(odd, d, batch_id=11)
+    files_once = sorted(
+        os.path.relpath(p, d)
+        for t in ("inverted_index", "forward", "doc_stats")
+        for p in _glob.glob(f"{d}/{t}/**/*.parquet", recursive=True)
+    )
+    assert any("ingest11-" in f for f in files_once)
+    assert os.path.exists(f"{d}/ingest_log/batch_11")
+    hits_once = [
+        tuple(r) for r in engine.search(spark, d, "spark query window merge").collect()
+    ]
+
+    engine.append_to_index(odd, d, batch_id=11)  # redelivered: must no-op
+    files_again = sorted(
+        os.path.relpath(p, d)
+        for t in ("inverted_index", "forward", "doc_stats")
+        for p in _glob.glob(f"{d}/{t}/**/*.parquet", recursive=True)
+    )
+    hits_again = [
+        tuple(r) for r in engine.search(spark, d, "spark query window merge").collect()
+    ]
+    assert files_again == files_once
+    assert hits_again == hits_once and len(hits_once) > 0
+
+
 def test_lifecycle_readd_equals_fresh(spark, sf_dir, index_dir):
     """build -> delete -> compact -> append-READD of the deleted docs must
     converge back to the from-scratch full-corpus index (compaction freed
