@@ -26,8 +26,12 @@ Parquet-native:
 
 from __future__ import annotations
 
+import glob
 import os
+import re
 import zlib
+from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +41,16 @@ from .functions.text import tokenize_query
 from .operators import index_build, search as search_ops
 
 N_TERM_BUCKETS = 64
+
+
+def _run_concurrently(*thunks: Callable[[], None]) -> None:
+    """Run independent maintenance steps in parallel threads, propagating
+    the first failure. Used wherever per-table index work touches
+    disjoint directories and is independently idempotent -- the single
+    definition keeps the failure-propagation semantics in one place."""
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        for f in [pool.submit(t) for t in thunks]:
+            f.result()
 
 
 class IndexTables(NamedTuple):
@@ -80,8 +94,6 @@ def build_index(
     spark = docs.sparkSession
     fs, tomb_path = _fs_and_path(spark, f"{index_dir}/tombstones")
     fs.delete(tomb_path, True)
-    from concurrent.futures import ThreadPoolExecutor
-
     inverted = index_build.inverted_from_docs(docs)
 
     def _write_postings() -> None:
@@ -104,9 +116,7 @@ def build_index(
     # postings and doc_stats derive straight from *docs* and write to
     # disjoint dirs -- concurrent (the build is a handful of small jobs
     # whose fixed overhead otherwise serializes)
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        for f in [pool.submit(_write_postings), pool.submit(_write_doc_stats)]:
-            f.result()
+    _run_concurrently(_write_postings, _write_doc_stats)
     # vocab/forward re-read the persisted postings rather than recomputing
     # the tokenize shuffle a second time; they're independent of each other
     persisted = spark.read.parquet(f"{index_dir}/inverted_index")
@@ -146,13 +156,7 @@ def build_index(
 
     # vocab/forward read the persisted postings, meta reads the persisted
     # doc_stats -- all three inputs are complete after the first phase
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        for f in [
-            pool.submit(_write_vocab),
-            pool.submit(_write_forward),
-            pool.submit(_write_meta),
-        ]:
-            f.result()
+    _run_concurrently(_write_vocab, _write_forward, _write_meta)
     _N_BUCKETS_CACHE[index_dir] = n_buckets
 
 
@@ -172,19 +176,31 @@ def _fs_and_path(spark: SparkSession, path: str):
 _DEFAULT_FS_IS_LOCAL: bool | None = None
 
 
+_URI_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*):")
+"""RFC-3986 scheme prefix: Hadoop accepts both hdfs://nn/p and the
+single-slash hdfs:/p form, so scheme detection must NOT require '://'."""
+
+
 def _is_local_path(spark: SparkSession, path: str) -> bool:
-    if path.startswith("file:"):
+    m = _URI_SCHEME_RE.match(path)
+    if m:
+        if m.group(1).lower() != "file":
+            return False  # hdfs:/p, s3a://b/p, ... -- never local
+        # file://HOST/p carries an authority; leave it to the Hadoop
+        # FileSystem rather than guessing what the host means locally
+        if path.startswith("file://") and not path.startswith("file:///"):
+            return False
         return True
-    if "://" in path:
-        return False
     global _DEFAULT_FS_IS_LOCAL
     if _DEFAULT_FS_IS_LOCAL is None:
         default_fs = spark._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
-        _DEFAULT_FS_IS_LOCAL = default_fs.startswith("file:")
+        _DEFAULT_FS_IS_LOCAL = default_fs.lower().startswith("file:")
     return _DEFAULT_FS_IS_LOCAL
 
 
 def _strip_file_scheme(path: str) -> str:
+    """file:///p and file:/p -> /p (only called on paths _is_local_path
+    accepted, so an authority-bearing file://host/p never reaches here)."""
     if path.startswith("file://"):
         return path[len("file://"):]
     if path.startswith("file:"):
@@ -248,9 +264,7 @@ def _purge_ingest_files(
     idempotency."""
     sub = "*/" if partitioned else ""
     if _is_local_path(spark, table_dir):
-        import glob as _glob
-
-        for p in _glob.glob(
+        for p in glob.glob(
             f"{_strip_file_scheme(table_dir)}/{sub}ingest{batch_id}-*.parquet"
         ):
             os.remove(p)
@@ -273,12 +287,11 @@ def _rename_staged_in(
     the batch id in the filename is what makes redelivery purgeable)."""
     sub = "*/" if partitioned else ""
     if _is_local_path(spark, staging) and _is_local_path(spark, table_dir):
-        import glob as _glob
         import shutil
 
         staging_local = _strip_file_scheme(staging)
         table_local = _strip_file_scheme(table_dir)
-        for i, src in enumerate(sorted(_glob.glob(f"{staging_local}/{sub}part-*"))):
+        for i, src in enumerate(sorted(glob.glob(f"{staging_local}/{sub}part-*"))):
             dst_dir = (
                 os.path.join(table_local, os.path.basename(os.path.dirname(src)))
                 if partitioned
@@ -513,11 +526,9 @@ def append_to_index(
     meta_live: DataFrame | None = None
     doc_stats_dir = f"{index_dir}/doc_stats"
     if _is_local_path(spark, doc_stats_dir):
-        import glob as _glob
-
         pre_files = [
             p
-            for p in _glob.glob(f"{_strip_file_scheme(doc_stats_dir)}/*.parquet")
+            for p in glob.glob(f"{_strip_file_scheme(doc_stats_dir)}/*.parquet")
             if not (
                 batch_id is not None
                 and os.path.basename(p).startswith(f"ingest{batch_id}-")
@@ -538,19 +549,16 @@ def append_to_index(
     # exactly what redelivery already handles table-by-table; ordering
     # never mattered for correctness, only the ledger-last edge (below)
     # and meta-after-doc_stats, the latter removed by the snapshot above.
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=5) as pool:
-        futures = [
-            pool.submit(_apply_table, postings, "inverted_index", "term_bucket"),
-            pool.submit(_apply_table, forward, "forward", "doc_bucket"),
-            pool.submit(_apply_table, stats_new, "doc_stats", None),
-            pool.submit(_apply_vocab),
-        ]
-        if meta_live is not None:
-            futures.append(pool.submit(_apply_meta))
-        for f in futures:
-            f.result()  # propagate the first failure -> batch retries
+    # A thunk failure propagates -> the batch retries.
+    thunks = [
+        lambda: _apply_table(postings, "inverted_index", "term_bucket"),
+        lambda: _apply_table(forward, "forward", "doc_bucket"),
+        lambda: _apply_table(stats_new, "doc_stats", None),
+        _apply_vocab,
+    ]
+    if meta_live is not None:
+        thunks.append(_apply_meta)
+    _run_concurrently(*thunks)
     if meta_live is None:
         _write_meta_from_live_stats(spark, index_dir, n_buckets)
     if batch_id is not None:
@@ -612,14 +620,10 @@ def delete_from_index(doc_ids: DataFrame, index_dir: str) -> None:
     # meta recompute (reads doc_stats+tombstones, overwrites meta) touch
     # disjoint inputs and outputs -- both must only follow the tombstone
     # append above, so they run concurrently
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        for f in [
-            pool.submit(_subtract_vocab_delta),
-            pool.submit(_write_meta_from_live_stats, spark, index_dir, n_buckets),
-        ]:
-            f.result()
+    _run_concurrently(
+        _subtract_vocab_delta,
+        lambda: _write_meta_from_live_stats(spark, index_dir, n_buckets),
+    )
 
 
 def _df_delta_for_ids(
@@ -686,15 +690,11 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
     # clear stays last (a crash mid-compaction leaves a mix of compacted
     # and uncompacted tables, which the still-present tombstones keep
     # consistent for search -- same as the sequential ordering)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        for f in [
-            pool.submit(_compact_table, "inverted_index", "term_bucket"),
-            pool.submit(_compact_table, "forward", "doc_bucket"),
-            pool.submit(_compact_table, "doc_stats", None),
-        ]:
-            f.result()
+    _run_concurrently(
+        lambda: _compact_table("inverted_index", "term_bucket"),
+        lambda: _compact_table("forward", "doc_bucket"),
+        lambda: _compact_table("doc_stats", None),
+    )
     fs, tomb_path = _fs_and_path(spark, f"{index_dir}/tombstones")
     fs.delete(tomb_path, True)
 

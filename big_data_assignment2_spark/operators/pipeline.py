@@ -651,18 +651,29 @@ def cms_partkey_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # not production paths: at real scale you run the check on a sampled
 # partition; the sketch queries themselves never touch exact distincts.
 
+# The verdict tolerances are deliberately MUCH wider than the sketches'
+# nominal error: the oracle hard-codes TRUE, and the driver regenerates
+# its dataset every round, so a bound a fresh dataset could legitimately
+# breach (a 2-3 sigma ceiling fails a few % of the time) would record a
+# spurious correctness red. At >=6 sigma the violation probability is
+# negligible for ANY dataset while the checked property stays the
+# sketch's real guarantee, just with slack.
 APPROX_DISTINCT_RSD = 0.02  # keep in lockstep with approx_distinct_users
-APPROX_DISTINCT_TOL = 0.05  # >2-sigma ceiling over rsd=0.02 (flake-free)
-HLL_REL_TOL = 0.05  # >3-sigma over default lgK=12 (~1.6% rse)
+APPROX_DISTINCT_TOL = 0.12  # 6-sigma ceiling over rsd=0.02
+HLL_REL_TOL = 0.15  # ~9 sigma over default lgK=12 (~1.6% rse)
+CMS_SLACK_MULT = 5  # est <= exact + 5*eps*N: per-row P(excess>5 eps N)
+#   <= 1/(5e) by Markov; min over depth-5 rows => <~1e-4 per probe key
 
 
 def approx_distinct_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable twin of :func:`approx_distinct_users`: per event
     type, the HLL++ estimate's relative error vs the exact distinct count
-    stays under 5% (rsd=0.02, so this is a >2-sigma ceiling). One scan:
-    the exact count-distinct (Expand) and the HLL sketch share a single
-    aggregate. The returned columns are all oracle-computable: the exact
-    count and the bound verdict -- never the estimate itself."""
+    stays under 12% (rsd=0.02, so this is a 6-sigma ceiling -- wide
+    enough that no regenerated dataset can flake the constant-TRUE
+    oracle; the tight 5% bound lives in tests/test_properties.py). One
+    scan: the exact count-distinct (Expand) and the HLL sketch share a
+    single aggregate. The returned columns are all oracle-computable:
+    the exact count and the bound verdict -- never the estimate itself."""
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users"),
@@ -689,8 +700,10 @@ FROM events GROUP BY event_type
 def hll_union_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable twin of :func:`hll_union_by_source`: every
     per-source DataSketches estimate AND the re-merged union estimate sit
-    within 5% of the exact distinct token count (default lgK=12 is ~1.6%
-    rse; 5% is >3 sigma). The per-source sketch and the exact distinct
+    within 15% of the exact distinct token count (default lgK=12 is ~1.6%
+    rse; 15% is ~9 sigma -- flake-proof against regenerated driver data;
+    the tight 5% bound lives in tests/test_properties.py). The
+    per-source sketch and the exact distinct
     share ONE aggregate (ObjectHashAggregate carries both -- verified not
     demoted); the union row re-merges the per-source sketches (the
     re-mergeability being checked) and joins the 1-row exact global
@@ -735,12 +748,19 @@ FROM toks
 
 def cms_overestimate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable twin of :func:`cms_partkey_counts`: for every
-    probe key, the count-min estimate is (a) never an underestimate and
-    (b) at most ``exact + eps * N`` over (the CMS guarantee, +1 slack for
-    the integer boundary). Deterministic: fixed seed, integer counters,
-    so both verdicts are fixed booleans, not statistics. The exact counts
-    come from an IN-list-pruned scan (10 keys), broadcast onto the 10-row
-    probe frame; N comes from the sketch's own totalCount."""
+    probe key, the count-min estimate is (a) never an underestimate --
+    TRUE unconditionally for CMS -- and (b) at most
+    ``exact + CMS_SLACK_MULT * eps * N`` over (+1 for the integer
+    boundary). The nominal CMS bound ``exact + eps*N`` only holds with
+    probability ``conf`` per key, so the check multiplies the slack:
+    per depth row, P(excess > 5*eps*N) <= 1/(5e) by Markov, and the
+    estimate takes the MIN over the depth-5 rows, putting the violation
+    probability under ~1e-4 per probe key for any dataset -- safe for
+    the constant-TRUE oracle even though the driver regenerates data
+    each round. Deterministic per dataset (fixed seed, integer
+    counters). The exact counts come from an IN-list-pruned scan (10
+    keys), broadcast onto the 10-row probe frame; N comes from the
+    sketch's own totalCount."""
     li = load_table(spark, sf_dir, "lineitem")
     sk_bytes = (
         li.agg(
@@ -767,7 +787,7 @@ def cms_overestimate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("exact_count"), F.lit(0).cast("long")).alias("exact_count"),
         "est_count",
     )
-    slack = int(CMS_EPS * n) + 1
+    slack = CMS_SLACK_MULT * int(CMS_EPS * n) + 1
     return joined.select(
         "l_partkey",
         "exact_count",

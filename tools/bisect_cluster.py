@@ -75,9 +75,16 @@ def main() -> None:
             ("ann_index", lambda: ensure_ann_index(spark, sf_dir)),
             ("reference_cache", lambda: warm_reference_index(spark)),
         ):
+            # fault-isolated: the reference cache legitimately fails when
+            # the fixture corpus is absent (the same environments where
+            # reference_* queries are unregistered) -- a dead build must
+            # not abort the diagnostic
             t0 = time.perf_counter()
-            fn()
-            build_sec[label] = round(time.perf_counter() - t0, 3)
+            try:
+                fn()
+                build_sec[label] = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                errors[f"build:{label}"] = f"{type(e).__name__}: {str(e)[:120]}"
     else:
         from bench import run_build_phase
 
@@ -110,13 +117,19 @@ def main() -> None:
                 continue
             q = reg.queries[name]
             # fault-isolated like bench._run_isolated: one bad query must
-            # not abort the pass and lose the whole diagnostic JSON
+            # not abort the pass and lose the whole diagnostic JSON; and
+            # like bench, a FAILED query records no timing row (its
+            # partial elapsed time rides the error string instead --
+            # a 0.3s crash must not read as a 0.3s speedup)
             t0 = time.perf_counter()
             try:
                 _force(q.fn(spark, sf_dir))
+                timings[name] = round(time.perf_counter() - t0, 3)
             except Exception as e:  # noqa: BLE001
-                errors[name] = f"{type(e).__name__}: {str(e)[:120]}"
-            timings[name] = round(time.perf_counter() - t0, 3)
+                elapsed = round(time.perf_counter() - t0, 3)
+                errors[name] = (
+                    f"{type(e).__name__} after {elapsed}s: {str(e)[:120]}"
+                )
         all_passes.append(timings)
 
     print(

@@ -46,6 +46,11 @@ def build_organic_dir(spark, sf_dir: str, factor: int) -> str:
     from big_data_assignment2_spark.operators._util import scratch_root, scratch_slug
     from big_data_assignment2_spark.sources.catalog import load_table
 
+    # rotation r is mod-26 on letters: replica 26 would be an exact clone
+    # of the base, silently reintroducing the quadratic clone-pair output
+    # this tool exists to eliminate
+    if not 2 <= factor <= 26:
+        raise ValueError(f"factor must be in [2, 26], got {factor}")
     out = f"{scratch_root()}/organic{factor}x_{scratch_slug(sf_dir)}"
     docs = load_table(spark, sf_dir, "documents")
     reps = F.broadcast(
@@ -53,17 +58,24 @@ def build_organic_dir(spark, sf_dir: str, factor: int) -> str:
     )
     lower = string.ascii_lowercase
     upper = string.ascii_uppercase
+    digits = string.digits
     rotated = docs.crossJoin(reps).withColumn(
         "text",
-        # per-replica character bijection; rep 0 keeps the original text
+        # per-replica character bijection; rep 0 keeps the original text.
+        # Digits rotate mod-10 alongside the letters so numeric tokens
+        # also diverge across replicas (residual cross-replica sharing
+        # remains only at punctuation/whitespace positions and, for
+        # r == 10 or 20, digits -- letters still differ there).
         F.when(F.col("rep") == 0, F.col("text")).otherwise(
             F.element_at(
                 F.array(
                     *[
                         F.translate(
                             "text",
-                            lower + upper,
-                            lower[r:] + lower[:r] + upper[r:] + upper[:r],
+                            lower + upper + digits,
+                            lower[r:] + lower[:r]
+                            + upper[r:] + upper[:r]
+                            + digits[r % 10:] + digits[:r % 10],
                         )
                         for r in range(1, factor)
                     ]
