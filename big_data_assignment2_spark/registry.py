@@ -59,72 +59,19 @@ class Registry:
 # operators, then flagships, then the long-green relational tail. Names not
 # present (e.g. reference_* when the fixture corpus is absent) are skipped.
 _PRIORITY: tuple[str, ...] = (
-    # ========== round-8 window: exactly 50 names to the driver cap ==========
-    # --- 1-6: round-6-MODIFIED queries whose newest driver row predates
-    # the modification (banding rework, surrogate fix, escaping fix, NULL
-    # guard, rewrite, planting) -- the VERDICT r7 top item ---
-    "prefix_edit_pairs",
-    "profile_table",
-    "table_checksum",
-    "chi2_lang_source",
-    "triangle_count",
-    "embedding_neardup_lsh",
-    # --- 7-9: the NEW round-8 error-bound companions (oracled, never
-    # driver-checked): exact value + constant-TRUE verdict oracles for the
-    # three sketch families (HLL++ rsd, DataSketches union, CMS eps*N) ---
-    "approx_distinct_error_check",
-    "hll_union_error_check",
-    "cms_overestimate_check",
-    # --- 10-11: the two never-driver-sampled rows-only sketches; one slot
-    # each closes the zero-evidence gap (driver records rows-only; their
-    # hash evidence lives in the companions above) ---
-    "cms_partkey_counts",
-    "hll_union_by_source",
-    # --- 12-30: r3-vintage driver evidence (oldest oracled rows) ---
-    "q21_waiting_suppliers",
-    "doc_pack_greedy",
-    "blocklist_scan",
-    "sample_balanced_lang",
-    "csv_roundtrip",
-    "events_time_rollup",
-    "events_value_histogram",
-    "json_roundtrip",
-    "orc_roundtrip",
-    "streaming_foreach_batch",
-    "pipeline_end_to_end",
-    "simhash_neardup_pairs",
-    "embedding_centroids",
-    "window_funcs_suite",
-    "join_shuffled_hash_agg",
-    "funnel_depths",
-    "cohort_retention",
-    "neardup_cluster_sizes",
-    "csv_corrupt_records",
-    # --- 31-50: oldest r4-vintage evidence (CORRECTNESS_r04 order; includes
-    # the multimodal_features stale re-check) ---
-    "bm25_search_incremental",
-    "bm25_search_after_delete",
-    "bm25_search_filtered",
-    "dataset_split",
-    "bm25_search_after_compact",
-    "streaming_index_append",
-    "range_clustered_roundtrip",
-    "vocab_coverage",
-    "token_hist_arrow",
-    "index_stats_report",
-    "bm25_search_filtered_persisted",
-    "minhash_lsh_pairs_fast",
-    "percentiles_approx_rank_check",
-    "multimodal_features",
-    "merge_upsert_roundtrip",
-    "scd2_history",
-    "zorder_clustered_roundtrip",
-    "pagerank_3iter",
-    "streaming_late_data",
-    "prefix_hamming_pairs",
-    # ========== positions 51+: past the cap this round ==========
-    # --- tail, oldest-evidence-first: remaining r4-vintage rows, then the
-    # r5 / r6 / r7 blocks (freshest driver evidence last) ---
+    # ========== round-9 window: exactly 50 names to the driver cap ==========
+    # Ordered purely by driver-evidence vintage (latest CORRECTNESS_r* row
+    # per query, computed from r01..r08): the reference-parity trio first
+    # (VERDICT r8 item 1), then every remaining r4-vintage oracled query,
+    # then the oldest r5-vintage names up to the 50 cap. Rows-only sketches
+    # (approx_distinct_users, minhash_cols_fast, percentiles_by_flag_approx)
+    # stay OUT of windows -- their hash evidence lives in the r8-green
+    # error-bound companions.
+    # --- 1-3: reference corpus parity trio (oldest flagship evidence) ---
+    "reference_bm25_big_data",
+    "reference_bm25_ml_model",
+    "reference_bm25_distributed_db",
+    # --- 4-32: the full r4-vintage oracled block ---
     "matview_incremental_refresh",
     "dpp_pruned_join",
     "small_files_compaction",
@@ -154,7 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "q14_promo_revenue",
     "join_semi",
     "join_salted_agg",
-    # --- r5-green block ---
+    # --- 33-50: oldest r5-vintage names (CORRECTNESS_r05 order) ---
     "tsv_export",
     "doc_filenames",
     "tokenize_explode",
@@ -173,6 +120,9 @@ _PRIORITY: tuple[str, ...] = (
     "grouping_sets_agg",
     "bm25_search",
     "bm25_search_persisted",
+    # ========== positions 51+: past the cap this round ==========
+    # --- remaining r5-vintage rows, oldest-evidence-first, then the
+    # r6 / r7 / r8 blocks (freshest driver evidence last) ---
     "dedup_exact",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
@@ -184,9 +134,6 @@ _PRIORITY: tuple[str, ...] = (
     "bigrams_udtf",
     "multimodal_meta",
     "multimodal_frame_sample",
-    "reference_bm25_big_data",
-    "reference_bm25_ml_model",
-    "reference_bm25_distributed_db",
     "dedup_apply",
     "ann_topk_persisted",
     "doc_file_export",
@@ -298,6 +245,57 @@ _PRIORITY: tuple[str, ...] = (
     "spatial_radius_join",
     "join_anti",
     "embedding_neardup_pairs",
+    # --- r8-green block (freshest, CORRECTNESS_r08) ---
+    "prefix_edit_pairs",
+    "profile_table",
+    "table_checksum",
+    "chi2_lang_source",
+    "triangle_count",
+    "embedding_neardup_lsh",
+    "approx_distinct_error_check",
+    "hll_union_error_check",
+    "cms_overestimate_check",
+    "cms_partkey_counts",
+    "hll_union_by_source",
+    "q21_waiting_suppliers",
+    "doc_pack_greedy",
+    "blocklist_scan",
+    "sample_balanced_lang",
+    "csv_roundtrip",
+    "events_time_rollup",
+    "events_value_histogram",
+    "json_roundtrip",
+    "orc_roundtrip",
+    "streaming_foreach_batch",
+    "pipeline_end_to_end",
+    "simhash_neardup_pairs",
+    "embedding_centroids",
+    "window_funcs_suite",
+    "join_shuffled_hash_agg",
+    "funnel_depths",
+    "cohort_retention",
+    "neardup_cluster_sizes",
+    "csv_corrupt_records",
+    "bm25_search_incremental",
+    "bm25_search_after_delete",
+    "bm25_search_filtered",
+    "dataset_split",
+    "bm25_search_after_compact",
+    "streaming_index_append",
+    "range_clustered_roundtrip",
+    "vocab_coverage",
+    "token_hist_arrow",
+    "index_stats_report",
+    "bm25_search_filtered_persisted",
+    "minhash_lsh_pairs_fast",
+    "percentiles_approx_rank_check",
+    "multimodal_features",
+    "merge_upsert_roundtrip",
+    "scd2_history",
+    "zorder_clustered_roundtrip",
+    "pagerank_3iter",
+    "streaming_late_data",
+    "prefix_hamming_pairs",
     # --- rows-only sketches with an existing driver row: NEVER window
     # material (a slot here can only re-record "no_oracle"); hash evidence
     # lives in their error-bound companions ---
