@@ -137,27 +137,20 @@ def build_index(
         )
 
     def _write_meta() -> None:
-        stats = index_build.corpus_stats_agg(
-            spark.read.parquet(f"{index_dir}/doc_stats")
-        )
         # n_buckets is part of the index layout: persist it so search
         # derives the bucket function from the index itself (a build/search
         # mismatch would silently prune away every matching posting).
-        meta = stats.select(
-            F.explode(
-                F.create_map(
-                    F.lit("total_docs"), F.col("total_docs").cast("string"),
-                    F.lit("avg_dl"), F.col("avg_dl").cast("string"),
-                    F.lit("n_buckets"), F.lit(str(n_buckets)),
-                )
-            ).alias("key", "value")
+        _write_meta_table(
+            spark,
+            index_dir,
+            n_buckets,
+            _count_and_total_dl(spark.read.parquet(f"{index_dir}/doc_stats")),
         )
-        meta.write.mode("overwrite").parquet(f"{index_dir}/meta")
 
     # vocab/forward read the persisted postings, meta reads the persisted
     # doc_stats -- all three inputs are complete after the first phase
     _run_concurrently(_write_vocab, _write_forward, _write_meta)
-    _N_BUCKETS_CACHE[index_dir] = n_buckets
+    _stamp_n_buckets_cache(spark, index_dir, n_buckets)
 
 
 def _fs_and_path(spark: SparkSession, path: str):
@@ -173,6 +166,8 @@ def _fs_and_path(spark: SparkSession, path: str):
 # filesystem, plain os-level calls do the identical metadata work without
 # the gateway chatter; any explicit scheme other than file: (or a
 # non-local fs.defaultFS for bare paths) keeps the Hadoop path.
+# Process-lifetime cache: if a later SparkSession in the same process
+# carries a DIFFERENT fs.defaultFS, call invalidate_fs_caches().
 _DEFAULT_FS_IS_LOCAL: bool | None = None
 
 
@@ -336,15 +331,56 @@ def _rename_staged_in(
 # n_buckets is fixed at build time and preserved by every maintenance op
 # (append/delete/compact), so it is memoized per (process, index_dir) --
 # a streaming ingestion otherwise pays a 1-row parquet-read job per
-# micro-batch just to re-learn a constant. build_index overwrites the
-# entry; same per-process-scope caveat as ensure_persisted_index.
-_N_BUCKETS_CACHE: dict[str, int] = {}
+# micro-batch just to re-learn a constant. The cached value is validated
+# against the meta DIRECTORY's mtime (one os.stat on the local fast path,
+# one getFileStatus roundtrip elsewhere -- both orders of magnitude
+# cheaper than the parquet-read job): an external process rebuilding the
+# same index_dir with a different n_buckets bumps the mtime and
+# invalidates the entry, so a long-lived streaming driver can never keep
+# pruning with a stale layout. In-process writers re-stamp the entry
+# after every meta write (n_buckets is maintenance-invariant), keeping
+# the hot path stat-only.
+_N_BUCKETS_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def invalidate_fs_caches() -> None:
+    """Drop every process-lifetime filesystem-derived cache (n_buckets
+    per index_dir, the fs.defaultFS locality sniff). Call when a new
+    SparkSession may resolve paths differently -- e.g. a different
+    ``fs.defaultFS`` -- than the session that populated them."""
+    global _DEFAULT_FS_IS_LOCAL
+    _N_BUCKETS_CACHE.clear()
+    _DEFAULT_FS_IS_LOCAL = None
+
+
+def _meta_mtime(spark: SparkSession, index_dir: str) -> int:
+    """Modification time of the meta directory (ns locally, ms via
+    Hadoop -- only ever compared to itself), or -1 if it doesn't exist."""
+    path = f"{index_dir}/meta"
+    if _is_local_path(spark, path):
+        try:
+            return os.stat(_strip_file_scheme(path)).st_mtime_ns
+        except OSError:
+            return -1
+    fs, p = _fs_and_path(spark, path)
+    try:
+        return int(fs.getFileStatus(p).getModificationTime())
+    except Exception:  # noqa: BLE001 -- missing path raises through py4j
+        return -1
+
+
+def _stamp_n_buckets_cache(spark: SparkSession, index_dir: str, n_buckets: int) -> None:
+    _N_BUCKETS_CACHE[index_dir] = (n_buckets, _meta_mtime(spark, index_dir))
 
 
 def _read_n_buckets(spark: SparkSession, index_dir: str) -> int:
+    # stat BEFORE the parquet read and stamp with that pre-read mtime:
+    # if a rebuild lands between the two, the conservative stamp just
+    # forces one extra re-read next call instead of caching a lie
+    mtime = _meta_mtime(spark, index_dir)
     cached = _N_BUCKETS_CACHE.get(index_dir)
-    if cached is not None:
-        return cached
+    if cached is not None and mtime != -1 and cached[1] == mtime:
+        return cached[0]
     row = (
         spark.read.parquet(f"{index_dir}/meta")
         .where(F.col("key") == "n_buckets")
@@ -352,35 +388,95 @@ def _read_n_buckets(spark: SparkSession, index_dir: str) -> int:
         .collect()
     )
     n = int(row[0]["value"]) if row else N_TERM_BUCKETS
-    _N_BUCKETS_CACHE[index_dir] = n
+    _N_BUCKETS_CACHE[index_dir] = (n, mtime)
     return n
+
+
+def _count_and_total_dl(live: DataFrame) -> tuple[int, int]:
+    """(N, sum of doc lengths) of a doc_stats-shaped frame -- exact
+    integer aggregates, one small job."""
+    row = live.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("length"), F.lit(0)).alias("dl"),
+    ).collect()[0]
+    return int(row["n"]), int(row["dl"])
+
+
+def _write_meta_table(
+    spark: SparkSession,
+    index_dir: str,
+    n_buckets: int,
+    counts: tuple[int, int],
+    batch_id: int | None = None,
+) -> None:
+    """THE meta writer: every meta on disk comes through here so the four
+    keys and their string formatting live in one place.
+
+    ``avg_dl`` is DERIVED from the exact integer pair (total_docs,
+    total_dl) in Column space -- ``double(total_dl) / total_docs`` is one
+    IEEE division of exactly-converted integers, bit-identical to the old
+    decimal-sum ``davg`` over the same rows (the decimal sum of integer
+    lengths IS total_dl), and identical whether the integers came from a
+    full recompute or an incremental add (integer adds commute). The
+    integer ``total_dl`` key is what makes exact incremental maintenance
+    possible at all; ``avg_dl`` stays persisted for the reference's
+    string-quirk read path (``query.py:37-38``).
+
+    With *batch_id*, the meta lands via tmp + atomic swap carrying an
+    ``_ingest_applied_<batch>`` marker (same pattern as the vocab merge):
+    a redelivery of a torn batch that already applied meta sees the
+    marker and skips, so the incremental add can never double-count."""
+    base = spark.createDataFrame([counts], "total_docs long, total_dl long")
+    meta = base.select(
+        F.explode(
+            F.create_map(
+                F.lit("total_docs"), F.col("total_docs").cast("string"),
+                F.lit("avg_dl"),
+                (F.col("total_dl").cast("double") / F.col("total_docs")).cast(
+                    "string"
+                ),
+                F.lit("total_dl"), F.col("total_dl").cast("string"),
+                F.lit("n_buckets"), F.lit(str(n_buckets)),
+            )
+        ).alias("key", "value")
+    )
+    if batch_id is None:
+        meta.write.mode("overwrite").parquet(f"{index_dir}/meta")
+    else:
+        meta.write.mode("overwrite").parquet(f"{index_dir}/meta.tmp")
+        _touch(spark, f"{index_dir}/meta.tmp/_ingest_applied_{batch_id}")
+        _replace_dir(spark, f"{index_dir}/meta.tmp", f"{index_dir}/meta")
+    _stamp_n_buckets_cache(spark, index_dir, n_buckets)
+
+
+def _read_meta_counts(spark: SparkSession, index_dir: str) -> tuple[int, int] | None:
+    """(total_docs, total_dl) from the persisted meta, or None for an
+    index written by a pre-total_dl layout (the caller then recomputes,
+    which upgrades the meta in place)."""
+    kv = {
+        r["key"]: r["value"]
+        for r in spark.read.parquet(f"{index_dir}/meta").collect()
+    }
+    if kv.get("total_dl") is None or kv.get("total_docs") is None:
+        return None
+    return int(kv["total_docs"]), int(kv["total_dl"])
 
 
 def _write_meta_from_live_stats(
     spark: SparkSession, index_dir: str, n_buckets: int, live: DataFrame | None = None
 ) -> None:
-    """Rewrite meta (N, avg_dl) from the LIVE doc_stats view -- persisted
-    rows minus tombstones. Exact (decimal-sum average over a row-per-doc
-    table), and always tombstone-aware so append-after-delete cannot
-    resurrect deleted docs into the BM25 idf statistics. *live* lets a
-    caller supply an equivalent row set directly (the concurrent append
-    path passes pre-batch files + the batch's own stats)."""
+    """Rewrite meta (N, avg_dl, total_dl) from the LIVE doc_stats view --
+    persisted rows minus tombstones. Exact (integer count/sum over a
+    row-per-doc table), and always tombstone-aware so append-after-delete
+    cannot resurrect deleted docs into the BM25 idf statistics. *live*
+    lets a caller supply an equivalent row set directly (the concurrent
+    append path passes pre-batch files + the batch's own stats)."""
     if live is None:
         live = spark.read.parquet(f"{index_dir}/doc_stats")
     tomb = _tombstones(spark, index_dir)
     if tomb is not None:
         live = live.join(F.broadcast(tomb), "doc_id", "left_anti")
-    stats = index_build.corpus_stats_agg(live)
-    meta = stats.select(
-        F.explode(
-            F.create_map(
-                F.lit("total_docs"), F.col("total_docs").cast("string"),
-                F.lit("avg_dl"), F.col("avg_dl").cast("string"),
-                F.lit("n_buckets"), F.lit(str(n_buckets)),
-            )
-        ).alias("key", "value")
-    )
-    meta.write.mode("overwrite").parquet(f"{index_dir}/meta")
+    _write_meta_table(spark, index_dir, n_buckets, _count_and_total_dl(live))
 
 
 def append_to_index(
@@ -402,8 +498,26 @@ def append_to_index(
       docs, full-outer-summed into the persisted vocab. Integer adds --
       exact -- and term-cardinality-sized work instead of the full
       postings scan a recompute would cost;
-    - **meta** (N, avg_dl) recomputes from the live doc_stats view
-      (row-per-doc -- cheap), tombstone-aware.
+    - **meta** (N, avg_dl) updates INCREMENTALLY: the persisted exact
+      integer pair (total_docs, total_dl) plus this batch's own
+      count/length-sum -- O(batch), independent of corpus size, with
+      avg_dl derived from the integers at write time (bit-identical to
+      a full recompute; see :func:`_write_meta_table`). An index whose
+      meta predates the total_dl key falls back to a tombstone-aware
+      recompute over live doc_stats, which upgrades the meta in place.
+
+    **Determinism requirement**: *new_docs* is evaluated MULTIPLE times
+    (postings, forward, the vocab df-delta, and the meta batch-agg each
+    recompute it inside their own concurrent job -- cheaper per
+    micro-batch than an extra materialization job, and free of the
+    stats-less-LogicalRDD plan gotcha). The frame must therefore be
+    deterministic: a non-deterministic source (``sample``/``limit``
+    without a seeded order, a non-deterministic UDF) can make the tables
+    silently disagree, corrupting df counts and later delete-time df
+    subtraction. Pass ``new_docs.localCheckpoint(eager=True)`` (or
+    ``cache()`` + an eager count) for such sources; the streaming
+    ``foreachBatch`` path always hands in a deterministic materialized
+    batch.
 
     Appending a doc_id that currently sits in the tombstone table is
     rejected: its old postings still exist on disk, so un-tombstoning it
@@ -428,13 +542,24 @@ def append_to_index(
       ``ingest<batch>-<i>.parquet`` names, and redelivery PURGES that
       batch's files before re-adding them -- a torn delivery's partial
       files cannot double-count;
-    - a **vocab marker that travels with the swap**: the df-delta merge
-      is the one read-modify-write here, so the merged vocab dir carries
-      an ``_ingest_applied_<batch>`` marker file through its atomic
-      rename (underscore files are invisible to parquet scans);
-      redelivery sees the marker and skips the re-merge that would
-      otherwise double the delta. Meta is a pure recompute from live
-      doc_stats -- idempotent by construction.
+    - **markers that travel with the swaps**: the vocab df-delta merge
+      and the incremental meta add are the two read-modify-writes here,
+      so each merged dir carries an ``_ingest_applied_<batch>`` marker
+      file through its atomic rename (underscore files are invisible to
+      parquet scans); redelivery sees the marker and skips the re-apply
+      that would otherwise double the delta.
+
+    **At-least-once redelivery is assumed, not optional**: the table
+    applications run concurrently, so a crash can leave ANY subset
+    applied (e.g. meta/vocab landed, postings did not) -- a state the
+    old sequential ordering could not produce, consistent only because
+    redelivery of the same (batch_id, rows) completes the remaining
+    tables idempotently. A batch that fails mid-apply and is then
+    abandoned (never redelivered) leaves derived stats counting rows
+    the index lacks; ``foreachBatch`` + checkpointing provides exactly
+    this redelivery. Racing readers during an apply can briefly score
+    with inflated df/N -- same read-uncommitted window the sequential
+    order had, just differently shaped.
     """
     spark = new_docs.sparkSession
     if batch_id is not None and _path_exists(spark, _ingest_ledger(index_dir, batch_id)):
@@ -515,17 +640,29 @@ def append_to_index(
             _touch(spark, f"{index_dir}/vocab.tmp/_ingest_applied_{batch_id}")
         _replace_dir(spark, f"{index_dir}/vocab.tmp", f"{index_dir}/vocab")
 
-    # meta = agg over (pre-batch doc_stats files + this batch's stats) --
-    # row-identical to recomputing from the post-rename live table, but
-    # free of the doc_stats-rename ordering edge, so it can join the
-    # concurrent pool. The file list is snapshotted BEFORE any writer
-    # starts (explicit-file reads are immune to files landing later), and
-    # excludes any torn prior delivery of THIS batch (whose rows stats_new
-    # re-supplies). Local-FS only; elsewhere meta recomputes sequentially
-    # after the doc_stats rename as before.
+    # meta, by preference order:
+    # (1) INCREMENTAL -- old meta's exact integer (total_docs, total_dl)
+    #     plus this batch's own count/length-sum, one tiny job over ONLY
+    #     the batch. O(1) in corpus size (the recompute's doc_stats scan
+    #     grows with the index), FS-independent, and exact: integer adds
+    #     commute, and avg_dl derives from the integers at write time
+    #     (see _write_meta_table). Idempotent under redelivery via the
+    #     marker riding the meta swap -- checked here so a redelivered
+    #     torn batch whose meta already landed skips the re-add.
+    # (2) pre-total_dl meta layout, local FS: agg over a pre-batch
+    #     doc_stats file-list snapshot + the batch's stats (snapshotted
+    #     BEFORE any writer starts; excludes any torn prior delivery of
+    #     THIS batch, whose rows stats_new re-supplies). The recompute
+    #     writes total_dl, upgrading the meta for (1) next batch.
+    # (3) pre-total_dl meta elsewhere: sequential recompute after the
+    #     doc_stats rename, as the pre-round-8 ordering required.
+    meta_done = batch_id is not None and _path_exists(
+        spark, f"{index_dir}/meta/_ingest_applied_{batch_id}"
+    )
+    meta_counts = None if meta_done else _read_meta_counts(spark, index_dir)
     meta_live: DataFrame | None = None
     doc_stats_dir = f"{index_dir}/doc_stats"
-    if _is_local_path(spark, doc_stats_dir):
+    if meta_counts is None and not meta_done and _is_local_path(spark, doc_stats_dir):
         pre_files = [
             p
             for p in glob.glob(f"{_strip_file_scheme(doc_stats_dir)}/*.parquet")
@@ -538,7 +675,17 @@ def append_to_index(
             meta_live = spark.read.parquet(*pre_files).unionByName(stats_new)
 
     def _apply_meta() -> None:
-        _write_meta_from_live_stats(spark, index_dir, n_buckets, live=meta_live)
+        if meta_counts is not None:
+            dn, ddl = _count_and_total_dl(stats_new)
+            _write_meta_table(
+                spark,
+                index_dir,
+                n_buckets,
+                (meta_counts[0] + dn, meta_counts[1] + ddl),
+                batch_id=batch_id,
+            )
+        else:
+            _write_meta_from_live_stats(spark, index_dir, n_buckets, live=meta_live)
 
     # The table applications touch disjoint directories and are each
     # independently idempotent (filename-keyed purge+rename for the
@@ -556,10 +703,13 @@ def append_to_index(
         lambda: _apply_table(stats_new, "doc_stats", None),
         _apply_vocab,
     ]
-    if meta_live is not None:
+    meta_in_pool = meta_counts is not None or meta_live is not None
+    if meta_in_pool:
         thunks.append(_apply_meta)
     _run_concurrently(*thunks)
-    if meta_live is None:
+    if not meta_in_pool and not meta_done:
+        # (3): legacy meta on a non-local FS -- recompute must follow the
+        # doc_stats rename, the pre-round-8 sequential ordering
         _write_meta_from_live_stats(spark, index_dir, n_buckets)
     if batch_id is not None:
         _touch(spark, _ingest_ledger(index_dir, batch_id))

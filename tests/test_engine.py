@@ -29,8 +29,14 @@ def test_index_layout(spark, index_dir):
     assert set(idx.doc_stats.columns) == {"doc_id", "title", "length"}
     meta = {r["key"]: r["value"] for r in idx.meta.collect()}
     # meta values persisted as strings (reference load_index.py:101-111
-    # quirk); n_buckets persisted so search derives the bucket layout
-    assert set(meta) == {"total_docs", "avg_dl", "n_buckets"}
+    # quirk); n_buckets persisted so search derives the bucket layout;
+    # total_dl (exact integer sum of doc lengths) is what makes append's
+    # incremental meta possible
+    assert set(meta) == {"total_docs", "avg_dl", "total_dl", "n_buckets"}
+    assert int(meta["total_dl"]) > 0
+    # avg_dl is exactly double(total_dl)/total_docs -- one IEEE division
+    # of exactly-converted integers
+    assert float(meta["avg_dl"]) == int(meta["total_dl"]) / int(meta["total_docs"])
     assert meta["n_buckets"] == "8"
     assert float(meta["avg_dl"]) > 0
     # every posting's bucket is crc32(term) % n
@@ -175,9 +181,11 @@ def test_append_tombstoned_id_rejected(spark, sf_dir, tmp_path):
 
 def test_append_scans_no_corpus_sized_table(spark, sf_dir, tmp_path, monkeypatch):
     """The append cost model: ONE tokenize pass over the new docs plus
-    metadata-sized reads (meta, vocab, doc_stats). The persisted postings
-    and forward tables -- the corpus-sized ones -- must never be read, or
-    append degrades to O(index) per batch."""
+    metadata-sized reads (meta for the incremental N/total_dl add, vocab
+    for the df-delta merge). The persisted postings and forward tables --
+    the corpus-sized ones -- must never be read, or append degrades to
+    O(index) per batch; doc_stats (row-per-corpus-doc) must not be read
+    either now that meta updates incrementally from the batch alone."""
     from pyspark.sql.readwriter import DataFrameReader
 
     d = str(tmp_path / "io")
@@ -193,8 +201,12 @@ def test_append_scans_no_corpus_sized_table(spark, sf_dir, tmp_path, monkeypatch
 
     monkeypatch.setattr(DataFrameReader, "parquet", spy)
     engine.append_to_index(docs.where(F.col("doc_id").cast("long") % 2 == 1), d)
-    corpus_sized = [p for p in read_paths if "inverted_index" in p or "forward" in p]
-    assert corpus_sized == [], corpus_sized
+    corpus_scaled = [
+        p
+        for p in read_paths
+        if "inverted_index" in p or "forward" in p or "doc_stats" in p
+    ]
+    assert corpus_scaled == [], corpus_scaled
 
 
 def test_maintenance_soak_cycles(spark, sf_dir, tmp_path):
@@ -435,6 +447,114 @@ def test_batched_append_concurrent_torn_interleaving_recovers(
     }
     assert meta_got == meta_want
     assert os.path.exists(f"{d}/ingest_log/batch_{bid}")
+
+
+def test_batched_append_torn_meta_marker_suppresses_readd(spark, sf_dir, tmp_path):
+    """The incremental meta add is a read-modify-write, so it carries the
+    same marker-through-the-swap protection as the vocab merge: construct
+    the torn state where ONLY meta landed (marker present, ledger never
+    written), then redeliver -- the marker must suppress a second add,
+    else total_docs/total_dl double-count the batch."""
+    import os
+
+    d = str(tmp_path / "torn_meta")
+    d_ref = str(tmp_path / "torn_meta_ref")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    even = docs.where(F.col("doc_id").cast("long") % 2 == 0)
+    odd = docs.where(F.col("doc_id").cast("long") % 2 == 1)
+    engine.build_index(even, d, n_buckets=8)
+
+    bid = 7
+    # -- hand-construct: meta thread finished, everything else died ---
+    old = engine._read_meta_counts(spark, d)
+    dn, ddl = engine._count_and_total_dl(index_build.doc_stats_from_docs(odd))
+    engine._write_meta_table(
+        spark, d, 8, (old[0] + dn, old[1] + ddl), batch_id=bid
+    )
+    assert os.path.exists(f"{d}/meta/_ingest_applied_{bid}")
+    assert not os.path.exists(f"{d}/ingest_log/batch_{bid}")
+
+    # -- redelivery must converge to exactly-once ---------------------
+    engine.append_to_index(odd, d, batch_id=bid)
+    engine.build_index(docs, d_ref, n_buckets=8)
+    meta_got = {
+        r["key"]: r["value"] for r in spark.read.parquet(f"{d}/meta").collect()
+    }
+    meta_want = {
+        r["key"]: r["value"] for r in spark.read.parquet(f"{d_ref}/meta").collect()
+    }
+    assert meta_got == meta_want
+    got = [tuple(r) for r in engine.search(spark, d, "spark query window merge").collect()]
+    want = [
+        tuple(r) for r in engine.search(spark, d_ref, "spark query window merge").collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_append_upgrades_legacy_meta(spark, sf_dir, tmp_path):
+    """An index persisted by the pre-total_dl layout (meta = total_docs /
+    avg_dl / n_buckets only) must still append correctly: the incremental
+    path detects the missing key, falls back to the live-stats recompute,
+    and the recompute writes total_dl -- upgrading the meta in place so
+    the NEXT append goes incremental."""
+    d = str(tmp_path / "legacy")
+    d_ref = str(tmp_path / "legacy_ref")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    engine.build_index(docs.where(did % 3 == 0), d, n_buckets=8)
+
+    # strip total_dl, simulating the old layout (collect first -- an
+    # overwrite into a path in the plan's lineage would eat its input)
+    legacy = [
+        (r["key"], r["value"])
+        for r in spark.read.parquet(f"{d}/meta").collect()
+        if r["key"] != "total_dl"
+    ]
+    spark.createDataFrame(legacy, "key string, value string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/meta")
+    assert engine._read_meta_counts(spark, d) is None
+
+    engine.append_to_index(docs.where(did % 3 == 1), d)
+    upgraded = engine._read_meta_counts(spark, d)
+    assert upgraded is not None
+    engine.append_to_index(docs.where(did % 3 == 2), d)  # incremental now
+
+    engine.build_index(docs, d_ref, n_buckets=8)
+    meta_got = {
+        r["key"]: r["value"] for r in spark.read.parquet(f"{d}/meta").collect()
+    }
+    meta_want = {
+        r["key"]: r["value"] for r in spark.read.parquet(f"{d_ref}/meta").collect()
+    }
+    assert meta_got == meta_want
+
+
+def test_n_buckets_cache_invalidates_on_external_rebuild(spark, sf_dir, tmp_path):
+    """A long-lived process (streaming driver) must notice when ANOTHER
+    process rebuilds the same index_dir with a different n_buckets -- the
+    memoized value is validated against the meta directory's mtime, so an
+    external rewrite invalidates it and search cannot silently prune with
+    a stale layout."""
+    import os
+
+    d = str(tmp_path / "ext")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    engine.build_index(docs, d, n_buckets=8)
+    assert engine._read_n_buckets(spark, d) == 8  # cached + stamped
+
+    # external rebuild: rewrite meta with n_buckets=4 WITHOUT going
+    # through this process's engine writers (no cache re-stamp)
+    rows = [
+        (r["key"], "4" if r["key"] == "n_buckets" else r["value"])
+        for r in spark.read.parquet(f"{d}/meta").collect()
+    ]
+    spark.createDataFrame(rows, "key string, value string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/meta")
+    os.utime(f"{d}/meta")  # ensure the dir mtime moves past any rounding
+
+    assert engine._read_n_buckets(spark, d) == 4
 
 
 def test_batched_append_hadoop_metadata_path(spark, sf_dir, tmp_path, monkeypatch):

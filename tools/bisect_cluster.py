@@ -97,12 +97,15 @@ def main() -> None:
             for name, q in reg.queries.items():
                 if name in CLUSTER:
                     continue
+                # same policy as the pass loop below: a FAILED query
+                # records no timing row -- its partial elapsed time rides
+                # the error string only
                 t0 = time.perf_counter()
                 try:
                     _force(q.fn(spark, sf_dir))
+                    prefix_sec[name] = round(time.perf_counter() - t0, 3)
                 except Exception as e:  # noqa: BLE001
                     errors[name] = f"{type(e).__name__}: {str(e)[:120]}"
-                prefix_sec[name] = round(time.perf_counter() - t0, 3)
             build_sec["__prefix_total"] = round(sum(prefix_sec.values()), 3)
 
     passes = int(os.environ.get("SPARK_GRAFT_BISECT_PASSES", "2"))
