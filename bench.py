@@ -225,6 +225,34 @@ def main() -> None:
             spark, name, lambda q=q: _force(q.fn(spark, sf_dir)), timings, errors
         )
 
+    # Warm-rep medians for the top-10 cost centers: per-query bench
+    # numbers are position-dependent (a query at the cold session head
+    # can read ~2x its warm time after a mere window reorder, zero code
+    # change -- triangle_count measured 8.4s at slot 5 vs 4.5s warm).
+    # Three isolated reps recorded per top query give a
+    # position-independent median to judge regressions against; the
+    # headline totals above stay untouched.
+    warm_medians: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_WARM_MEDIANS", "1") != "0":
+        top = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:10]]
+        for name in top:
+            reps: dict[str, float] = {}
+            for i in range(3):
+                _run_isolated(
+                    spark,
+                    f"warm{i}:{name}",
+                    lambda name=name: _force(reg.queries[name].fn(spark, sf_dir)),
+                    reps,
+                    errors,
+                )
+            vals = sorted(reps.values())
+            if vals:
+                warm_medians[name] = {
+                    "in_bench": timings[name],
+                    "reps": [reps.get(f"warm{i}:{name}") for i in range(3)],
+                    "median": vals[len(vals) // 2],
+                }
+
     # Scale check: replicate the base tables 10x (keys offset per replica)
     # and re-run a scan/shuffle-representative subset -- one data point
     # that per-query cost grows ~linearly with data size on this plan set.
@@ -374,6 +402,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "errors": errors,
+        "warm_medians": warm_medians,
         "scale_check": scale_check,
         "sf": sf,
     }

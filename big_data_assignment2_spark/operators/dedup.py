@@ -38,7 +38,7 @@ from ..functions.hashing import (
     sql_shingles,
     sql_simhash_hex,
 )
-from ..functions.text import SQL_TOKENS, tokenize
+from ..functions.text import SQL_TOKENS, tokenize, tokens
 from ..registry import Registry
 from ..sources.catalog import load_table
 
@@ -1025,8 +1025,118 @@ WHERE inter / (sa.sz + sb.sz - inter) >= {JACCARD_T}
 """
 
 
+# --- span-level exact dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" -- the ExactSubstr family) ---
+
+K_SPAN = 10  # minimum duplicated span length, in tokens
+
+
+def span_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal repeated spans of >= K_SPAN tokens across the corpus --
+    the span-level counterpart to document-level exact/near dedup (a
+    training pipeline CLIPS these spans rather than dropping whole
+    documents; Lee et al. 2022 measure the doc-level families missing
+    most duplicated text).
+
+    The suffix-array scan of the paper is re-expressed as sorted-shingle
+    run detection, which IS the distributable shape of the problem:
+
+    1. every overlapping K-token gram with its position
+       (``posexplode`` over a builtin-HOF gram array -- no Python);
+    2. grams occurring >= 2 times anywhere (same or different doc) via
+       ``groupBy(gram)`` -- partial map-side counts absorb hot grams,
+       the same skew argument as :func:`_doc_shingles`'s df cap;
+    3. each occurrence row rejoins its gram's verdict (shuffle join on
+       gram -- the duplicated-gram set scales with the corpus, so it is
+       deliberately NOT broadcast);
+    4. per-doc runs of consecutive duplicated positions merge into
+       maximal spans (lag/sum window + groupBy, both keyed by doc --
+       this phase touches only duplicated occurrences, a small fraction
+       of the corpus).
+
+    Returns one row per maximal span: ``(doc_id, span_start, span_len)``
+    in 0-based token positions. A span of exactly K_SPAN means an
+    isolated duplicated gram; longer spans are merged runs. The two
+    corpus-sized shuffles (by gram, by doc) are the suffix-grouping
+    cost any exact-substring dedup pays; SCALE.md covers the shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("toks")).where(
+        F.size("toks") >= K_SPAN
+    )
+    g = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - K_SPAN),
+                lambda i: F.concat_ws(
+                    " ", F.slice("toks", i + F.lit(1), F.lit(K_SPAN))
+                ),
+            )
+        ).alias("pos", "gram"),
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= 2)
+        .select("gram")
+    )
+    marked = g.join(dup, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = marked.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) == 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("run_id", F.sum("brk").over(w))
+    return (
+        runs.groupBy("doc_id", "run_id")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + K_SPAN).cast("long").alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_len")
+    )
+
+
+SQL_SPAN_EXACT_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(toks[i:i+{K_SPAN}-1], ' ') AS gram
+  FROM t, unnest(range(1, len(toks) - {K_SPAN} + 2)) AS u(i)
+  WHERE len(toks) >= {K_SPAN}
+),
+d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+m AS (SELECT doc_id, pos FROM g JOIN d USING (gram)),
+r AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+              THEN 0 ELSE 1 END AS brk
+  FROM m
+),
+runs AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+  FROM r
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) - MIN(pos) + {K_SPAN} AS BIGINT) AS span_len
+FROM runs
+GROUP BY doc_id, run_id
+"""
+
+
 def register(reg: Registry) -> None:
     reg.add("dedup_exact", dedup_exact, SQL_DEDUP_EXACT, "exact md5 dedup groups")
+    reg.add(
+        "span_exact_dedup",
+        span_exact_dedup,
+        SQL_SPAN_EXACT_DEDUP,
+        "maximal repeated >=10-token spans (ExactSubstr span-level dedup)",
+    )
     reg.add(
         "dedup_incremental_lsh",
         dedup_incremental_lsh,

@@ -67,11 +67,13 @@ _PRIORITY: tuple[str, ...] = (
     # (approx_distinct_users, minhash_cols_fast, percentiles_by_flag_approx)
     # stay OUT of windows -- their hash evidence lives in the r8-green
     # error-bound companions.
-    # --- 1-3: reference corpus parity trio (oldest flagship evidence) ---
+    # --- 1: the round-9 addition (no driver evidence yet) ---
+    "span_exact_dedup",
+    # --- 2-4: reference corpus parity trio (oldest flagship evidence) ---
     "reference_bm25_big_data",
     "reference_bm25_ml_model",
     "reference_bm25_distributed_db",
-    # --- 4-32: the full r4-vintage oracled block ---
+    # --- 5-33: the full r4-vintage oracled block ---
     "matview_incremental_refresh",
     "dpp_pruned_join",
     "small_files_compaction",
@@ -101,7 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "q14_promo_revenue",
     "join_semi",
     "join_salted_agg",
-    # --- 33-50: oldest r5-vintage names (CORRECTNESS_r05 order) ---
+    # --- 34-50: oldest r5-vintage names (CORRECTNESS_r05 order) ---
     "tsv_export",
     "doc_filenames",
     "tokenize_explode",
@@ -119,10 +121,10 @@ _PRIORITY: tuple[str, ...] = (
     "rollup_agg",
     "grouping_sets_agg",
     "bm25_search",
-    "bm25_search_persisted",
     # ========== positions 51+: past the cap this round ==========
     # --- remaining r5-vintage rows, oldest-evidence-first, then the
     # r6 / r7 / r8 blocks (freshest driver evidence last) ---
+    "bm25_search_persisted",
     "dedup_exact",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",

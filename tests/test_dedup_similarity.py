@@ -522,3 +522,45 @@ def test_pq_codebook_donors_encode_to_self(spark, sf_dir):
         .count()
     )
     assert donors == 0
+
+
+def test_span_exact_dedup_semantics(spark, sf_dir):
+    """Span semantics (Lee et al. ExactSubstr): a reported span is a
+    MAXIMAL run of positions whose K_SPAN-grams each occur >= 2 times in
+    the corpus (different grams may duplicate against different partners,
+    so the span as a whole need not repeat verbatim). Recompute gram
+    occurrence counts in plain Python over the collected corpus and check
+    every span's interior grams are duplicated and its one-step
+    extensions are not."""
+    from collections import Counter
+    import re
+
+    from big_data_assignment2_spark.operators.dedup import K_SPAN, span_exact_dedup
+    from big_data_assignment2_spark.sources.catalog import load_table
+
+    docs = {
+        r["doc_id"]: [
+            t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t
+        ]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    counts: Counter = Counter()
+    for toks in docs.values():
+        for i in range(len(toks) - K_SPAN + 1):
+            counts[" ".join(toks[i : i + K_SPAN])] += 1
+
+    spans = span_exact_dedup(spark, sf_dir).collect()
+    assert len(spans) > 0
+    for r in spans:
+        toks = docs[r["doc_id"]]
+        s, ln = r["span_start"], r["span_len"]
+        assert ln >= K_SPAN
+        # every K-gram inside the span is duplicated ...
+        for i in range(s, s + ln - K_SPAN + 1):
+            assert counts[" ".join(toks[i : i + K_SPAN])] >= 2, (r, i)
+        # ... and the span is maximal: the gram one step left/right (when
+        # it exists) is unique in the corpus
+        if s > 0:
+            assert counts[" ".join(toks[s - 1 : s - 1 + K_SPAN])] == 1, r
+        if s + ln - K_SPAN + 1 < len(toks) - K_SPAN + 1:
+            assert counts[" ".join(toks[s + ln - K_SPAN + 1 : s + ln + 1])] == 1, r
