@@ -373,6 +373,28 @@ def _stamp_n_buckets_cache(spark: SparkSession, index_dir: str, n_buckets: int) 
     _N_BUCKETS_CACHE[index_dir] = (n_buckets, _meta_mtime(spark, index_dir))
 
 
+def _read_meta_kv(spark: SparkSession, index_dir: str) -> dict[str, str | None]:
+    """The meta table as a dict. Local fast path reads the (<= 4 row,
+    single-file) table via pyarrow -- microseconds, no Spark job; a
+    streaming ingestion otherwise pays a small cluster job per
+    micro-batch just to fetch four constants. Non-local paths go through
+    the Spark reader as before."""
+    path = f"{index_dir}/meta"
+    if _is_local_path(spark, path):
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(f"{_strip_file_scheme(path)}/*.parquet"))
+        if files:
+            t = pq.ParquetDataset(files).read(columns=["key", "value"])
+            return dict(
+                zip(t.column("key").to_pylist(), t.column("value").to_pylist())
+            )
+        # fall through to the Spark reader for a clean error on a
+        # genuinely missing/empty meta table
+    rows = spark.read.parquet(path).collect()
+    return {r["key"]: r["value"] for r in rows}
+
+
 def _read_n_buckets(spark: SparkSession, index_dir: str) -> int:
     # stat BEFORE the parquet read and stamp with that pre-read mtime:
     # if a rebuild lands between the two, the conservative stamp just
@@ -381,13 +403,8 @@ def _read_n_buckets(spark: SparkSession, index_dir: str) -> int:
     cached = _N_BUCKETS_CACHE.get(index_dir)
     if cached is not None and mtime != -1 and cached[1] == mtime:
         return cached[0]
-    row = (
-        spark.read.parquet(f"{index_dir}/meta")
-        .where(F.col("key") == "n_buckets")
-        .select("value")
-        .collect()
-    )
-    n = int(row[0]["value"]) if row else N_TERM_BUCKETS
+    val = _read_meta_kv(spark, index_dir).get("n_buckets")
+    n = int(val) if val is not None else N_TERM_BUCKETS
     _N_BUCKETS_CACHE[index_dir] = (n, mtime)
     return n
 
@@ -453,10 +470,7 @@ def _read_meta_counts(spark: SparkSession, index_dir: str) -> tuple[int, int] | 
     """(total_docs, total_dl) from the persisted meta, or None for an
     index written by a pre-total_dl layout (the caller then recomputes,
     which upgrades the meta in place)."""
-    kv = {
-        r["key"]: r["value"]
-        for r in spark.read.parquet(f"{index_dir}/meta").collect()
-    }
+    kv = _read_meta_kv(spark, index_dir)
     if kv.get("total_dl") is None or kv.get("total_docs") is None:
         return None
     return int(kv["total_docs"]), int(kv["total_dl"])
@@ -937,8 +951,8 @@ def search(
     (same plan shape, no extra shuffle)."""
     idx = load_index(spark, index_dir)
     if n_buckets is None:
-        row = idx.meta.where(F.col("key") == "n_buckets").select("value").collect()
-        n_buckets = int(row[0]["value"]) if row else N_TERM_BUCKETS
+        # memoized + mtime-validated: no per-search metadata job
+        n_buckets = _read_n_buckets(spark, index_dir)
     terms = tokenize_query(query)
     buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
     postings = idx.inverted_index.where(
