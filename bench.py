@@ -300,6 +300,10 @@ def main() -> None:
             "embedding_neardup_lsh",
             "tf_cosine_pairs",
             "triangle_count",
+            # span-level dedup: on the clone corpus every doc collapses to
+            # ONE full-doc span, so output stays linear and the ratio
+            # measures the gram shuffle -- the honest scale axis here
+            "span_exact_dedup",
             # new window / two-feed joins (r5 additions)
             "window_trailing_range",
             "full_outer_reconcile",
