@@ -564,3 +564,29 @@ def test_span_exact_dedup_semantics(spark, sf_dir):
             assert counts[" ".join(toks[s - 1 : s - 1 + K_SPAN])] == 1, r
         if s + ln - K_SPAN + 1 < len(toks) - K_SPAN + 1:
             assert counts[" ".join(toks[s + ln - K_SPAN + 1 : s + ln + 1])] == 1, r
+
+
+def test_span_exact_dedup_constructed_corpus(spark, tmp_path):
+    """Pin span boundaries on a hand-built corpus: two docs sharing one
+    exact 12-token span (different surroundings), a doc shorter than
+    K_SPAN (must not crash or emit), and an unrelated doc. Expect exactly
+    one span per sharing doc at the right offset/length."""
+    from big_data_assignment2_spark.operators.dedup import K_SPAN, span_exact_dedup
+
+    shared = " ".join(f"tok{i}" for i in range(12))  # 12 > K_SPAN
+    rows = [
+        (1, "alpha beta " + shared + " gamma", "s0"),
+        (2, shared + " delta epsilon zeta", "s0"),
+        (3, "too short", "s0"),
+        (4, " ".join(f"other{i}" for i in range(30)), "s0"),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_len"])
+        for r in span_exact_dedup(spark, d).collect()
+    }
+    assert got == {1: (2, 12), 2: (0, 12)}
