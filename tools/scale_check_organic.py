@@ -34,7 +34,18 @@ from pyspark.sql import functions as F
 from big_data_assignment2_spark.registry import build_registry
 from big_data_assignment2_spark.session import get_spark
 
-QUERIES = ("prefix_hamming_pairs", "prefix_edit_pairs", "minhash_lsh_pairs")
+# span_exact_dedup is output-discovery rather than pairwise, but the same
+# clone-vs-organic question applies: per-replica rotation keeps every
+# WITHIN-replica gram equality (so each replica reproduces the base's
+# duplicated spans exactly) while cross-replica grams diverge -- true span
+# output is exactly factor x base, and the ratio isolates the gram-shuffle
+# plan from output growth.
+QUERIES = (
+    "prefix_hamming_pairs",
+    "prefix_edit_pairs",
+    "minhash_lsh_pairs",
+    "span_exact_dedup",
+)
 
 
 def _force(df) -> int:
