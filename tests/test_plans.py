@@ -618,3 +618,25 @@ def test_m4_branches_use_window_group_limit(spark, sf_dir):
     ops = operators(minmax_downsample(spark, sf_dir))
     assert sum(1 for o in ops if o == "WindowGroupLimit") == 8, ops
     assert sum(1 for o in ops if o.startswith("Exchange")) == 4, ops
+
+
+def test_span_dedup_gram_count_is_partial_hash_agg(spark, sf_dir):
+    """span_exact_dedup's gram occurrence count must be a two-phase
+    HashAggregate (map-side partials absorb hot boilerplate grams before
+    the exchange -- the skew argument), the verdict rejoin must be a real
+    shuffle join (never a pointless broadcast of a corpus-scaled set, and
+    never a window count, which has no partial), and the whole plan stays
+    JVM-side with no cartesian blowup."""
+    df = _df(spark, sf_dir, "span_exact_dedup")
+    ops = operators(df)
+    assert not audit(df, forbids=("CartesianProduct",))
+    # two-phase count: at least two HashAggregates (partial + final) and
+    # no sort-based demotion anywhere
+    assert ops.count("HashAggregate") >= 2
+    assert "SortAggregate" not in ops
+    plan = explain_formatted(df)
+    # the occurrence-count aggregate sits UNDER an exchange (partial
+    # before shuffle); a window-count formulation would show a Window
+    # over gram instead -- the only Window here is the per-doc run merge
+    assert plan.count("Window") >= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
