@@ -237,13 +237,17 @@ def main() -> None:
         top = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:10]]
         for name in top:
             reps: dict[str, float] = {}
+            # warm-rep failures stay OUT of the headline errors dict: a
+            # flaky rep must not flip the lockstep "0 errors" verdict
+            # when all registry-order queries passed
+            rep_errors: dict[str, str] = {}
             for i in range(3):
                 _run_isolated(
                     spark,
                     f"warm{i}:{name}",
                     lambda name=name: _force(reg.queries[name].fn(spark, sf_dir)),
                     reps,
-                    errors,
+                    rep_errors,
                 )
             vals = sorted(reps.values())
             if vals:
@@ -252,6 +256,8 @@ def main() -> None:
                     "reps": [reps.get(f"warm{i}:{name}") for i in range(3)],
                     "median": vals[len(vals) // 2],
                 }
+                if rep_errors:
+                    warm_medians[name]["rep_errors"] = rep_errors
 
     # Scale check: replicate the base tables 10x (keys offset per replica)
     # and re-run a scan/shuffle-representative subset -- one data point

@@ -148,9 +148,9 @@ def build_index(
         )
 
     # vocab/forward read the persisted postings, meta reads the persisted
-    # doc_stats -- all three inputs are complete after the first phase
+    # doc_stats -- all three inputs are complete after the first phase.
+    # (_write_meta_table stamps the n_buckets cache as part of the write.)
     _run_concurrently(_write_vocab, _write_forward, _write_meta)
-    _stamp_n_buckets_cache(spark, index_dir, n_buckets)
 
 
 def _fs_and_path(spark: SparkSession, path: str):
@@ -401,7 +401,13 @@ def _read_n_buckets(spark: SparkSession, index_dir: str) -> int:
     # forces one extra re-read next call instead of caching a lie
     mtime = _meta_mtime(spark, index_dir)
     cached = _N_BUCKETS_CACHE.get(index_dir)
-    if cached is not None and mtime != -1 and cached[1] == mtime:
+    if cached is not None and (mtime == -1 or cached[1] == mtime):
+        # mtime == -1: the meta dir is momentarily absent (a concurrent
+        # _replace_dir swap's delete->rename window, or a torn rewrite).
+        # n_buckets is invariant under every maintenance op, so the
+        # memoized value is still correct -- serving it keeps concurrent
+        # searches alive through a swap instead of raising on a path
+        # that will exist again milliseconds later.
         return cached[0]
     val = _read_meta_kv(spark, index_dir).get("n_buckets")
     n = int(val) if val is not None else N_TERM_BUCKETS
@@ -468,8 +474,14 @@ def _write_meta_table(
 
 def _read_meta_counts(spark: SparkSession, index_dir: str) -> tuple[int, int] | None:
     """(total_docs, total_dl) from the persisted meta, or None for an
-    index written by a pre-total_dl layout (the caller then recomputes,
-    which upgrades the meta in place)."""
+    index written by a pre-total_dl layout OR whose meta directory is
+    missing (a crash between a meta swap's delete and rename). None
+    routes the caller to the live-stats recompute, which REWRITES meta --
+    so a torn meta self-heals on the next append instead of wedging
+    every redelivery on an unreadable path. Genuine read failures of an
+    existing meta still propagate (same policy as _tombstones)."""
+    if not _path_exists(spark, f"{index_dir}/meta"):
+        return None
     kv = _read_meta_kv(spark, index_dir)
     if kv.get("total_dl") is None or kv.get("total_docs") is None:
         return None
@@ -477,20 +489,33 @@ def _read_meta_counts(spark: SparkSession, index_dir: str) -> tuple[int, int] | 
 
 
 def _write_meta_from_live_stats(
-    spark: SparkSession, index_dir: str, n_buckets: int, live: DataFrame | None = None
+    spark: SparkSession,
+    index_dir: str,
+    n_buckets: int,
+    live: DataFrame | None = None,
+    batch_id: int | None = None,
 ) -> None:
     """Rewrite meta (N, avg_dl, total_dl) from the LIVE doc_stats view --
     persisted rows minus tombstones. Exact (integer count/sum over a
     row-per-doc table), and always tombstone-aware so append-after-delete
     cannot resurrect deleted docs into the BM25 idf statistics. *live*
     lets a caller supply an equivalent row set directly (the concurrent
-    append path passes pre-batch files + the batch's own stats)."""
+    append path passes pre-batch files + the batch's own stats).
+
+    *batch_id* MUST be passed when this recompute runs as part of a
+    batched append whose result INCLUDES that batch's rows: the written
+    meta then carries the ``_ingest_applied_<batch>`` marker, so a torn
+    delivery whose meta landed via this recompute (e.g. the legacy-meta
+    upgrade path, which also writes the total_dl key) cannot be
+    double-counted by the now-enabled INCREMENTAL path on redelivery."""
     if live is None:
         live = spark.read.parquet(f"{index_dir}/doc_stats")
     tomb = _tombstones(spark, index_dir)
     if tomb is not None:
         live = live.join(F.broadcast(tomb), "doc_id", "left_anti")
-    _write_meta_table(spark, index_dir, n_buckets, _count_and_total_dl(live))
+    _write_meta_table(
+        spark, index_dir, n_buckets, _count_and_total_dl(live), batch_id=batch_id
+    )
 
 
 def append_to_index(
@@ -574,6 +599,20 @@ def append_to_index(
     this redelivery. Racing readers during an apply can briefly score
     with inflated df/N -- same read-uncommitted window the sequential
     order had, just differently shaped.
+
+    **Single-writer contract**: a failed delivery must be REDELIVERED
+    before any other maintenance op (plain append, delete, compact)
+    touches the index. The idempotency markers live inside the vocab
+    and meta directories and ride their atomic swaps -- an interleaved
+    delete or plain append rewrites those directories and destroys the
+    markers while keeping the torn batch's landed rows in its counts,
+    after which redelivery would re-apply the read-modify-writes
+    (doubled df / doubled meta counts). ``foreachBatch`` retries the
+    failed batch before anything else in the stream, so the contract
+    holds by construction for a single streaming writer; concurrent
+    out-of-band maintenance during a redelivery window is out of scope
+    (and always has been -- the vocab marker has worked this way since
+    it was introduced).
     """
     spark = new_docs.sparkSession
     if batch_id is not None and _path_exists(spark, _ingest_ledger(index_dir, batch_id)):
@@ -699,7 +738,12 @@ def append_to_index(
                 batch_id=batch_id,
             )
         else:
-            _write_meta_from_live_stats(spark, index_dir, n_buckets, live=meta_live)
+            # the recompute's result includes this batch (snapshot+stats),
+            # so it must carry the batch marker too -- see
+            # _write_meta_from_live_stats
+            _write_meta_from_live_stats(
+                spark, index_dir, n_buckets, live=meta_live, batch_id=batch_id
+            )
 
     # The table applications touch disjoint directories and are each
     # independently idempotent (filename-keyed purge+rename for the
@@ -723,8 +767,9 @@ def append_to_index(
     _run_concurrently(*thunks)
     if not meta_in_pool and not meta_done:
         # (3): legacy meta on a non-local FS -- recompute must follow the
-        # doc_stats rename, the pre-round-8 sequential ordering
-        _write_meta_from_live_stats(spark, index_dir, n_buckets)
+        # doc_stats rename, the pre-round-8 sequential ordering; the
+        # post-rename live view includes this batch, so the marker rides
+        _write_meta_from_live_stats(spark, index_dir, n_buckets, batch_id=batch_id)
     if batch_id is not None:
         _touch(spark, _ingest_ledger(index_dir, batch_id))
 
@@ -973,7 +1018,7 @@ def search(
     # stays a 1-row DataFrame that broadcasts into the scoring join.
     # cast INSIDE the max: exactly one non-null value exists per key, so
     # numeric max == the value, and a numeric aggregation buffer keeps
-    # even this 3-row aggregate a HashAggregate (string buffers are not
+    # even this 4-row aggregate a HashAggregate (string buffers are not
     # UnsafeRow-mutable and demote to SortAggregate)
     stats = idx.meta.agg(
         F.max(

@@ -530,6 +530,65 @@ def test_append_upgrades_legacy_meta(spark, sf_dir, tmp_path):
     assert meta_got == meta_want
 
 
+def test_legacy_upgrade_torn_redelivery_not_double_counted(spark, sf_dir, tmp_path):
+    """The legacy-meta RECOMPUTE during a batched append writes the
+    total_dl key -- which enables the incremental path -- so it must also
+    carry the batch marker: a delivery that applied everything but died
+    before the ledger touch would otherwise be re-applied incrementally
+    on redelivery, double-counting the batch in total_docs/total_dl."""
+    import os
+
+    d = str(tmp_path / "legacy_torn")
+    d_ref = str(tmp_path / "legacy_torn_ref")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    even = docs.where(F.col("doc_id").cast("long") % 2 == 0)
+    odd = docs.where(F.col("doc_id").cast("long") % 2 == 1)
+    engine.build_index(even, d, n_buckets=8)
+    # strip total_dl -> the batch append below runs the recompute path
+    legacy = [
+        (r["key"], r["value"])
+        for r in spark.read.parquet(f"{d}/meta").collect()
+        if r["key"] != "total_dl"
+    ]
+    spark.createDataFrame(legacy, "key string, value string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/meta")
+
+    bid = 9
+    engine.append_to_index(odd, d, batch_id=bid)
+    assert os.path.exists(f"{d}/meta/_ingest_applied_{bid}")
+    # crash window: everything applied, ledger never written -> redeliver
+    os.remove(f"{d}/ingest_log/batch_{bid}")
+    engine.append_to_index(odd, d, batch_id=bid)
+
+    engine.build_index(docs, d_ref, n_buckets=8)
+    meta_got = {
+        r["key"]: r["value"] for r in spark.read.parquet(f"{d}/meta").collect()
+    }
+    meta_want = {
+        r["key"]: r["value"] for r in spark.read.parquet(f"{d_ref}/meta").collect()
+    }
+    assert meta_got == meta_want
+
+
+def test_meta_readers_survive_swap_window(spark, sf_dir, tmp_path):
+    """Torn-meta resilience: with the meta directory absent (the
+    delete->rename window of a swap, or a crash mid-rewrite), the cached
+    n_buckets keeps serving (maintenance-invariant) and
+    _read_meta_counts reports None -- routing the next append to the
+    recompute, which rewrites meta (self-heal) instead of wedging every
+    redelivery on an unreadable path."""
+    import shutil
+
+    d = str(tmp_path / "swapwin")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    engine.build_index(docs, d, n_buckets=8)
+    assert engine._read_n_buckets(spark, d) == 8
+    shutil.rmtree(f"{d}/meta")
+    assert engine._read_n_buckets(spark, d) == 8  # cache, mtime == -1
+    assert engine._read_meta_counts(spark, d) is None
+
+
 def test_n_buckets_cache_invalidates_on_external_rebuild(spark, sf_dir, tmp_path):
     """A long-lived process (streaming driver) must notice when ANOTHER
     process rebuilds the same index_dir with a different n_buckets -- the
