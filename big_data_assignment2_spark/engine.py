@@ -747,8 +747,8 @@ def append_to_index(
 
     # The table applications touch disjoint directories and are each
     # independently idempotent (filename-keyed purge+rename for the
-    # append-only tables, the marker-carrying swap for vocab, pure
-    # overwrite for meta), so they run CONCURRENTLY -- per-batch wall time
+    # append-only tables, marker-carrying swaps for the vocab merge and
+    # the batched meta write), so they run CONCURRENTLY -- per-batch wall time
     # is the slowest application, not the sum of five small Spark jobs'
     # fixed overheads. Any torn interleaving a crash leaves behind is
     # exactly what redelivery already handles table-by-table; ordering
