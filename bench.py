@@ -251,10 +251,16 @@ def main() -> None:
                 )
             vals = sorted(reps.values())
             if vals:
+                import statistics
+
                 warm_medians[name] = {
                     "in_bench": timings[name],
                     "reps": [reps.get(f"warm{i}:{name}") for i in range(3)],
-                    "median": vals[len(vals) // 2],
+                    # statistics.median averages the middle pair when a
+                    # failed rep leaves an even count -- vals[n//2] would
+                    # report the LARGER survivor as "median" and inflate
+                    # the baseline a regression is judged against
+                    "median": round(statistics.median(vals), 3),
                 }
                 if rep_errors:
                     warm_medians[name]["rep_errors"] = rep_errors

@@ -226,6 +226,33 @@ def _replace_dir(spark: SparkSession, src: str, dst: str) -> None:
         raise IOError(f"failed to move {src} into place at {dst}")
 
 
+# every table that is rewritten via write-to-tmp + swap somewhere in the
+# maintenance lifecycle (meta/vocab by append+delete, the corpus-sized
+# three by compact)
+_SWAP_TABLES = ("meta", "vocab", "inverted_index", "forward", "doc_stats")
+
+
+def _heal_torn_swaps(spark: SparkSession, index_dir: str) -> None:
+    """Complete any ``<table>.tmp -> <table>`` swap a crash tore mid-way.
+
+    ``_replace_dir`` is delete-then-rename: a crash between the two
+    leaves the destination missing and the fully-written ``.tmp`` (data
+    plus any idempotency marker) orphaned beside it. Finishing the
+    rename restores a valid state -- the tmp was only ever written
+    complete -- so every maintenance entry point and ``load_index`` run
+    this first; without it, a torn swap wedges every subsequent
+    redelivery on an unreadable path (meta and vocab reads would raise
+    forever). A ``.tmp`` next to an EXISTING table (crash before the
+    swap's delete) is left alone: the next rewrite overwrites it.
+    Existence checks are os.stat locally, two py4j roundtrips per table
+    via Hadoop -- negligible against any Spark job."""
+    for table in _SWAP_TABLES:
+        dst = f"{index_dir}/{table}"
+        tmp = f"{dst}.tmp"
+        if not _path_exists(spark, dst) and _path_exists(spark, tmp):
+            _replace_dir(spark, tmp, dst)
+
+
 def _touch(spark: SparkSession, path: str) -> None:
     """Create an empty marker file (parents included) -- metadata-only."""
     if _is_local_path(spark, path):
@@ -340,7 +367,7 @@ def _rename_staged_in(
 # pruning with a stale layout. In-process writers re-stamp the entry
 # after every meta write (n_buckets is maintenance-invariant), keeping
 # the hot path stat-only.
-_N_BUCKETS_CACHE: dict[str, tuple[int, int]] = {}
+_N_BUCKETS_CACHE: dict[str, tuple[int, object]] = {}
 
 
 def invalidate_fs_caches() -> None:
@@ -353,24 +380,35 @@ def invalidate_fs_caches() -> None:
     _DEFAULT_FS_IS_LOCAL = None
 
 
-def _meta_mtime(spark: SparkSession, index_dir: str) -> int:
-    """Modification time of the meta directory (ns locally, ms via
-    Hadoop -- only ever compared to itself), or -1 if it doesn't exist."""
+def _meta_fingerprint(spark: SparkSession, index_dir: str):
+    """Opaque change-detection token for the meta directory (compared
+    only by ==), or None if it doesn't exist. Locally the directory
+    mtime_ns is reliable (POSIX bumps it on every create/rename inside).
+    On remote filesystems the DIRECTORY mtime is not trustworthy -- S3A
+    fake directories report a constant 0 -- so the fingerprint is the
+    child listing (name, length, mtime): Spark part filenames embed a
+    fresh UUID per write, so any rewrite changes the listing even where
+    timestamps are coarse. One os.stat / one listStatus roundtrip."""
     path = f"{index_dir}/meta"
     if _is_local_path(spark, path):
         try:
             return os.stat(_strip_file_scheme(path)).st_mtime_ns
         except OSError:
-            return -1
+            return None
     fs, p = _fs_and_path(spark, path)
     try:
-        return int(fs.getFileStatus(p).getModificationTime())
+        return tuple(
+            sorted(
+                (st.getPath().getName(), st.getLen(), st.getModificationTime())
+                for st in fs.listStatus(p)
+            )
+        )
     except Exception:  # noqa: BLE001 -- missing path raises through py4j
-        return -1
+        return None
 
 
 def _stamp_n_buckets_cache(spark: SparkSession, index_dir: str, n_buckets: int) -> None:
-    _N_BUCKETS_CACHE[index_dir] = (n_buckets, _meta_mtime(spark, index_dir))
+    _N_BUCKETS_CACHE[index_dir] = (n_buckets, _meta_fingerprint(spark, index_dir))
 
 
 def _read_meta_kv(spark: SparkSession, index_dir: str) -> dict[str, str | None]:
@@ -396,22 +434,36 @@ def _read_meta_kv(spark: SparkSession, index_dir: str) -> dict[str, str | None]:
 
 
 def _read_n_buckets(spark: SparkSession, index_dir: str) -> int:
-    # stat BEFORE the parquet read and stamp with that pre-read mtime:
-    # if a rebuild lands between the two, the conservative stamp just
-    # forces one extra re-read next call instead of caching a lie
-    mtime = _meta_mtime(spark, index_dir)
+    # fingerprint BEFORE the parquet read and stamp with that pre-read
+    # value: if a rebuild lands between the two, the conservative stamp
+    # just forces one extra re-read next call instead of caching a lie
+    fp = _meta_fingerprint(spark, index_dir)
     cached = _N_BUCKETS_CACHE.get(index_dir)
-    if cached is not None and (mtime == -1 or cached[1] == mtime):
-        # mtime == -1: the meta dir is momentarily absent (a concurrent
+    if cached is not None and (fp is None or cached[1] == fp):
+        # fp is None: the meta dir is momentarily absent (a concurrent
         # _replace_dir swap's delete->rename window, or a torn rewrite).
         # n_buckets is invariant under every maintenance op, so the
         # memoized value is still correct -- serving it keeps concurrent
         # searches alive through a swap instead of raising on a path
         # that will exist again milliseconds later.
         return cached[0]
-    val = _read_meta_kv(spark, index_dir).get("n_buckets")
+    try:
+        val = _read_meta_kv(spark, index_dir).get("n_buckets")
+    except Exception:
+        # TOCTOU on the re-read branch: the dir existed at fingerprint
+        # time but a concurrent swap deleted it before the read. The
+        # cached value is still layout-correct (invariant); with no
+        # cache, one short re-check distinguishes a live swap (the
+        # rename completes in milliseconds) from a genuinely broken
+        # index, whose error should propagate from the retry.
+        if cached is not None:
+            return cached[0]
+        import time as _time
+
+        _time.sleep(0.05)
+        val = _read_meta_kv(spark, index_dir).get("n_buckets")
     n = int(val) if val is not None else N_TERM_BUCKETS
-    _N_BUCKETS_CACHE[index_dir] = (n, mtime)
+    _N_BUCKETS_CACHE[index_dir] = (n, fp)
     return n
 
 
@@ -615,6 +667,7 @@ def append_to_index(
     it was introduced).
     """
     spark = new_docs.sparkSession
+    _heal_torn_swaps(spark, index_dir)
     if batch_id is not None and _path_exists(spark, _ingest_ledger(index_dir, batch_id)):
         return  # ledger says fully applied: redelivery is a no-op
     n_buckets = _read_n_buckets(spark, index_dir)
@@ -797,6 +850,7 @@ def delete_from_index(doc_ids: DataFrame, index_dir: str) -> None:
     df delta can never be subtracted twice. :func:`compact_index` is the
     space-reclamation half."""
     spark = doc_ids.sparkSession
+    _heal_torn_swaps(spark, index_dir)
     n_buckets = _read_n_buckets(spark, index_dir)
     ids = doc_ids.select(F.col("doc_id").cast("string").alias("doc_id")).distinct()
     prior = _tombstones(spark, index_dir)
@@ -879,6 +933,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
 
     Each table is rewritten to ``<table>.tmp`` and swapped in, preserving
     the bucket-partitioned layouts (one writer task per bucket)."""
+    _heal_torn_swaps(spark, index_dir)
     tomb = _tombstones(spark, index_dir)
     if tomb is None:
         return
@@ -962,7 +1017,9 @@ def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
 
 
 def load_index(spark: SparkSession, index_dir: str) -> IndexTables:
-    """S2: the four index tables back as DataFrames."""
+    """S2: the four index tables back as DataFrames (completing any
+    crash-torn table swap first -- see :func:`_heal_torn_swaps`)."""
+    _heal_torn_swaps(spark, index_dir)
     return IndexTables(
         doc_stats=spark.read.parquet(f"{index_dir}/doc_stats"),
         inverted_index=spark.read.parquet(f"{index_dir}/inverted_index"),

@@ -571,6 +571,41 @@ def test_legacy_upgrade_torn_redelivery_not_double_counted(spark, sf_dir, tmp_pa
     assert meta_got == meta_want
 
 
+def test_torn_swap_heals_on_next_maintenance(spark, sf_dir, tmp_path):
+    """A crash between _replace_dir's delete and rename leaves the table
+    missing and its fully-written .tmp orphaned. Every maintenance entry
+    point (and load_index) completes the rename first -- a fresh process
+    redelivering a batch must converge instead of wedging on the missing
+    path (the in-process caches that mask this in-session do not survive
+    the crash)."""
+    import os
+    import shutil
+
+    d = str(tmp_path / "heal")
+    d_ref = str(tmp_path / "heal_ref")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    even = docs.where(F.col("doc_id").cast("long") % 2 == 0)
+    odd = docs.where(F.col("doc_id").cast("long") % 2 == 1)
+    engine.build_index(even, d, n_buckets=8)
+
+    # torn meta swap + cold process: no cache entry for this index_dir
+    shutil.move(f"{d}/meta", f"{d}/meta.tmp")
+    engine._N_BUCKETS_CACHE.pop(d, None)
+    engine.append_to_index(odd, d, batch_id=4)
+    assert os.path.exists(f"{d}/meta") and not os.path.exists(f"{d}/meta.tmp")
+
+    # torn vocab swap before a search: load_index heals it
+    shutil.move(f"{d}/vocab", f"{d}/vocab.tmp")
+    got = [tuple(r) for r in engine.search(spark, d, "spark query window merge").collect()]
+    assert os.path.exists(f"{d}/vocab") and not os.path.exists(f"{d}/vocab.tmp")
+
+    engine.build_index(docs, d_ref, n_buckets=8)
+    want = [
+        tuple(r) for r in engine.search(spark, d_ref, "spark query window merge").collect()
+    ]
+    assert got == want and len(got) > 0
+
+
 def test_meta_readers_survive_swap_window(spark, sf_dir, tmp_path):
     """Torn-meta resilience: with the meta directory absent (the
     delete->rename window of a swap, or a crash mid-rewrite), the cached
