@@ -214,3 +214,57 @@ def test_enc_fw_checked_enforces_preconditions(spark):
     non_ascii = spark.createDataFrame([("évent",)], "s string")
     with pytest.raises(Exception, match="precondition violated"):
         non_ascii.select(enc_fw_checked(F.col("s")).alias("c")).collect()
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=25),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=0, max_value=10**6),
+)
+def test_span_exact_dedup_matches_python_reference(spark, tmp_path_factory, docs, seed):
+    """span_exact_dedup against a direct Python reference (gram counting
+    + run merging) on random tiny-alphabet corpora -- small alphabets
+    force heavy gram duplication, exercising run merging, span
+    boundaries, whole-doc spans, and the shorter-than-K guard."""
+    import uuid
+    from collections import Counter
+
+    from big_data_assignment2_spark.operators.dedup import K_SPAN, span_exact_dedup
+
+    toks_by_id = {i: list(t) for i, t in enumerate(docs)}
+    counts: Counter = Counter()
+    for t in toks_by_id.values():
+        for i in range(len(t) - K_SPAN + 1):
+            counts[tuple(t[i : i + K_SPAN])] += 1
+    want = set()
+    for did, t in toks_by_id.items():
+        dup = [
+            i
+            for i in range(len(t) - K_SPAN + 1)
+            if counts[tuple(t[i : i + K_SPAN])] >= 2
+        ]
+        run = None
+        for i in dup:
+            if run is not None and i == run[1] + 1:
+                run = (run[0], i)
+            else:
+                if run is not None:
+                    want.add((did, run[0], run[1] - run[0] + K_SPAN))
+                run = (i, i)
+        if run is not None:
+            want.add((did, run[0], run[1] - run[0] + K_SPAN))
+
+    d = str(tmp_path_factory.mktemp("span") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [(i, " ".join(t), "s") for i, t in toks_by_id.items()],
+        "doc_id long, text string, source string",
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in span_exact_dedup(spark, d).collect()
+    }
+    assert got == want
