@@ -209,6 +209,72 @@ def test_append_scans_no_corpus_sized_table(spark, sf_dir, tmp_path, monkeypatch
     assert corpus_scaled == [], corpus_scaled
 
 
+@pytest.mark.parametrize("seed", [11, 23])
+def test_maintenance_randomized_lifecycle(spark, sf_dir, tmp_path, seed):
+    """Randomized lifecycle soak: a seeded random interleaving of plain
+    appends, batched appends, torn-redelivery cycles (ledger removed,
+    batch re-applied), deletes, and compactions -- then the searchable
+    state must equal a from-scratch index of exactly the live set. The
+    fixed soak above pins one composition order; this pins that the
+    invariants hold under arbitrary orders, including delete-after-
+    batched-append (tombstones vs filename-keyed files) and
+    redeliver-after-compact-style interleavings the fixed test can't
+    reach. Single-writer contract respected: every redelivery completes
+    before the next op."""
+    import os
+    import random
+
+    rng = random.Random(seed)
+    d = str(tmp_path / "rand")
+    d_ref = str(tmp_path / "rand_ref")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    all_ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+
+    init = set(rng.sample(all_ids, len(all_ids) // 3))
+    engine.build_index(docs.where(F.col("doc_id").isin(list(init))), d, n_buckets=8)
+    live, tombstoned = set(init), set()
+    batch_id = 100
+
+    for _ in range(6):
+        op = rng.choice(
+            ["append", "append_batch", "append_batch_redeliver", "delete", "compact"]
+        )
+        if op.startswith("append"):
+            candidates = [i for i in all_ids if i not in live and i not in tombstoned]
+            if not candidates:
+                continue
+            batch = rng.sample(candidates, min(len(candidates), rng.randint(1, 60)))
+            bdf = docs.where(F.col("doc_id").isin(batch))
+            if op == "append":
+                engine.append_to_index(bdf, d)
+            else:
+                engine.append_to_index(bdf, d, batch_id=batch_id)
+                if op == "append_batch_redeliver":
+                    os.remove(engine._ingest_ledger(d, batch_id))
+                    engine.append_to_index(bdf, d, batch_id=batch_id)
+                batch_id += 1
+            live |= set(batch)
+        elif op == "delete":
+            if not live:
+                continue
+            dels = rng.sample(sorted(live), min(len(live), rng.randint(1, 40)))
+            engine.delete_from_index(
+                docs.where(F.col("doc_id").isin(dels)).select("doc_id"), d
+            )
+            live -= set(dels)
+            tombstoned |= set(dels)
+        else:
+            engine.compact_index(spark, d)
+            tombstoned = set()
+
+    engine.build_index(docs.where(F.col("doc_id").isin(list(live))), d_ref, n_buckets=8)
+    for query in ("spark query window merge", "data processing engine"):
+        got = [tuple(r) for r in engine.search(spark, d, query).collect()]
+        want = [tuple(r) for r in engine.search(spark, d_ref, query).collect()]
+        assert got == want, (query, got, want)
+    assert live  # the comparison must not be vacuous
+
+
 def test_maintenance_soak_cycles(spark, sf_dir, tmp_path):
     """Soak the maintenance path: three append/delete cycles with a
     compaction in the middle, then verify the searchable state equals a
