@@ -315,7 +315,10 @@ def main() -> None:
             # span-level dedup: on the clone corpus every doc collapses to
             # ONE full-doc span, so output stays linear and the ratio
             # measures the gram shuffle -- the honest scale axis here
+            # (the _fast twin shuffles 8-byte xxhash64 gram keys instead
+            # of K-token strings; same plan shape, ~K-fold less volume)
             "span_exact_dedup",
+            "span_exact_dedup_fast",
             # new window / two-feed joins (r5 additions)
             "window_trailing_range",
             "full_outer_reconcile",

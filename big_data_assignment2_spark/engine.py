@@ -217,12 +217,23 @@ def _replace_dir(spark: SparkSession, src: str, dst: str) -> None:
     reading from happens here: Spark reads lazily, so ``mode("overwrite")``
     onto a path in the plan's lineage would delete the input mid-job.
     Materialize to ``<table>.tmp`` first (the write action completes before
-    the swap), then delete + rename -- both metadata ops."""
+    the swap), then delete + rename -- both metadata ops.
+
+    A failed rename is re-checked before raising: a reader running
+    :func:`_heal_torn_swaps` that observes this swap mid-window (dst
+    deleted, tmp not yet renamed) cannot distinguish it from a crash and
+    issues the SAME rename. Whichever process loses that race sees
+    ``fs.rename() == false`` with the destination already in place and the
+    source gone -- the swap it wanted is complete, so that outcome is
+    success, not an error. Only a rename failure where the swap is NOT
+    complete (src still present, or dst still missing) raises."""
     fs, dst_path = _fs_and_path(spark, dst)
     _, src_path = _fs_and_path(spark, src)
     if fs.exists(dst_path):
         fs.delete(dst_path, True)
     if not fs.rename(src_path, dst_path):
+        if fs.exists(dst_path) and not fs.exists(src_path):
+            return  # a concurrent healer completed this exact swap
         raise IOError(f"failed to move {src} into place at {dst}")
 
 
@@ -359,10 +370,11 @@ def _rename_staged_in(
 # (append/delete/compact), so it is memoized per (process, index_dir) --
 # a streaming ingestion otherwise pays a 1-row parquet-read job per
 # micro-batch just to re-learn a constant. The cached value is validated
-# against the meta DIRECTORY's mtime (one os.stat on the local fast path,
-# one getFileStatus roundtrip elsewhere -- both orders of magnitude
-# cheaper than the parquet-read job): an external process rebuilding the
-# same index_dir with a different n_buckets bumps the mtime and
+# against the meta directory's child listing (one os.scandir on the local
+# fast path, one listStatus roundtrip elsewhere -- both orders of
+# magnitude cheaper than the parquet-read job): an external process
+# rebuilding the same index_dir with a different n_buckets writes fresh
+# UUID-named part files, which changes the listing and
 # invalidates the entry, so a long-lived streaming driver can never keep
 # pruning with a stale layout. In-process writers re-stamp the entry
 # after every meta write (n_buckets is maintenance-invariant), keeping
@@ -382,17 +394,26 @@ def invalidate_fs_caches() -> None:
 
 def _meta_fingerprint(spark: SparkSession, index_dir: str):
     """Opaque change-detection token for the meta directory (compared
-    only by ==), or None if it doesn't exist. Locally the directory
-    mtime_ns is reliable (POSIX bumps it on every create/rename inside).
-    On remote filesystems the DIRECTORY mtime is not trustworthy -- S3A
-    fake directories report a constant 0 -- so the fingerprint is the
-    child listing (name, length, mtime): Spark part filenames embed a
-    fresh UUID per write, so any rewrite changes the listing even where
-    timestamps are coarse. One os.stat / one listStatus roundtrip."""
+    only by ==), or None if it doesn't exist. The fingerprint is the
+    child listing (name, length, mtime) on every filesystem: Spark part
+    filenames embed a fresh UUID per write, so any rewrite changes the
+    listing even where timestamps are coarse -- directory mtimes alone
+    are NOT trustworthy (S3A fake directories report a constant 0, and
+    NFS/overlay mounts round to whole seconds, under which an external
+    rebuild landing within the same tick as the cached stamp would serve
+    a stale n_buckets forever). One os.scandir / one listStatus
+    roundtrip -- still orders of magnitude cheaper than a parquet read."""
     path = f"{index_dir}/meta"
     if _is_local_path(spark, path):
         try:
-            return os.stat(_strip_file_scheme(path)).st_mtime_ns
+            with os.scandir(_strip_file_scheme(path)) as it:
+                return tuple(
+                    sorted(
+                        (e.name, st.st_size, st.st_mtime_ns)
+                        for e in it
+                        for st in (e.stat(),)
+                    )
+                )
         except OSError:
             return None
     fs, p = _fs_and_path(spark, path)
@@ -497,10 +518,16 @@ def _write_meta_table(
     possible at all; ``avg_dl`` stays persisted for the reference's
     string-quirk read path (``query.py:37-38``).
 
-    With *batch_id*, the meta lands via tmp + atomic swap carrying an
-    ``_ingest_applied_<batch>`` marker (same pattern as the vocab merge):
-    a redelivery of a torn batch that already applied meta sees the
-    marker and skips, so the incremental add can never double-count."""
+    EVERY meta write lands via tmp + atomic swap -- markerless for the
+    unbatched (build / full-recompute) path, carrying an
+    ``_ingest_applied_<batch>`` marker for the batched one (same pattern
+    as the vocab merge): a redelivery of a torn batch that already
+    applied meta sees the marker and skips, so the incremental add can
+    never double-count. The swap on the unbatched path is what makes the
+    pyarrow fast path in :func:`_read_meta_kv` safe by construction: a
+    plain in-place ``mode("overwrite")`` has a window where the directory
+    holds a truncated file set, which a marker-less local read would
+    interpret as a silently smaller key dict rather than an error."""
     base = spark.createDataFrame([counts], "total_docs long, total_dl long")
     meta = base.select(
         F.explode(
@@ -515,12 +542,10 @@ def _write_meta_table(
             )
         ).alias("key", "value")
     )
-    if batch_id is None:
-        meta.write.mode("overwrite").parquet(f"{index_dir}/meta")
-    else:
-        meta.write.mode("overwrite").parquet(f"{index_dir}/meta.tmp")
+    meta.write.mode("overwrite").parquet(f"{index_dir}/meta.tmp")
+    if batch_id is not None:
         _touch(spark, f"{index_dir}/meta.tmp/_ingest_applied_{batch_id}")
-        _replace_dir(spark, f"{index_dir}/meta.tmp", f"{index_dir}/meta")
+    _replace_dir(spark, f"{index_dir}/meta.tmp", f"{index_dir}/meta")
     _stamp_n_buckets_cache(spark, index_dir, n_buckets)
 
 
@@ -1053,7 +1078,7 @@ def search(
     (same plan shape, no extra shuffle)."""
     idx = load_index(spark, index_dir)
     if n_buckets is None:
-        # memoized + mtime-validated: no per-search metadata job
+        # memoized + listing-validated: no per-search metadata job
         n_buckets = _read_n_buckets(spark, index_dir)
     terms = tokenize_query(query)
     buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})

@@ -1059,21 +1059,53 @@ def span_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     isolated duplicated gram; longer spans are merged runs. The two
     corpus-sized shuffles (by gram, by doc) are the suffix-grouping
     cost any exact-substring dedup pays; SCALE.md covers the shape."""
+    return _span_runs(_span_grams(spark, sf_dir, hashed=False))
+
+
+def span_exact_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100-TB scale path of :func:`span_exact_dedup`
+    (SCALE.md): identical plan, but the gram shuffled corpus-wide --
+    twice, through the groupBy(gram) count and the occurrence rejoin --
+    is ``xxhash64`` over the K-token slice (8 bytes) instead of the
+    ~K-token joined STRING (~10x the corpus token bytes). The gram text
+    itself is never returned, only positions, so the hash cuts both
+    shuffles' width roughly K-fold with no change to the output columns.
+
+    Collision trade-off: a 64-bit collision between two DISTINCT grams
+    falsely marks their positions duplicated, clipping one spurious
+    >=K-token span -- harmless for training-data clipping, and at
+    fixture-to-sf1 scales the probability is ~n^2/2^64 (negligible). The
+    string-gram version stays registered as the exactness baseline; this
+    twin is oracle-checked (hash-match) against the SAME exact-string
+    DuckDB SQL, so any fixture-scale collision would fail the driver."""
+    return _span_runs(_span_grams(spark, sf_dir, hashed=True))
+
+
+def _span_grams(spark: SparkSession, sf_dir: str, *, hashed: bool) -> DataFrame:
+    """(doc_id, pos, gram) for every overlapping K_SPAN-token gram --
+    builtin-HOF only (posexplode over transform/slice, no Python). The
+    gram key is the joined token string (exact baseline) or its xxhash64
+    (scale path; 8-byte shuffle key)."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens("text").alias("toks")).where(
         F.size("toks") >= K_SPAN
     )
-    g = t.select(
+
+    def gram(i: F.Column) -> F.Column:
+        sl = F.slice("toks", i + F.lit(1), F.lit(K_SPAN))
+        return F.xxhash64(sl) if hashed else F.concat_ws(" ", sl)
+
+    return t.select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - K_SPAN),
-                lambda i: F.concat_ws(
-                    " ", F.slice("toks", i + F.lit(1), F.lit(K_SPAN))
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.size("toks") - K_SPAN), gram)
         ).alias("pos", "gram"),
     )
+
+
+def _span_runs(g: DataFrame) -> DataFrame:
+    """Dup-mark + run-merge phases shared by :func:`span_exact_dedup` and
+    its hashed fast twin; *g* is the (doc_id, pos, gram) frame."""
     dup = (
         g.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("occ"))
@@ -1136,6 +1168,13 @@ def register(reg: Registry) -> None:
         span_exact_dedup,
         SQL_SPAN_EXACT_DEDUP,
         "maximal repeated >=10-token spans (ExactSubstr span-level dedup)",
+    )
+    reg.add(
+        "span_exact_dedup_fast",
+        span_exact_dedup_fast,
+        SQL_SPAN_EXACT_DEDUP,
+        "xxhash64-gram scale path of span_exact_dedup, hash-match-oracled "
+        "against the exact string-gram SQL (8-byte shuffle keys)",
     )
     reg.add(
         "dedup_incremental_lsh",

@@ -59,71 +59,18 @@ class Registry:
 # operators, then flagships, then the long-green relational tail. Names not
 # present (e.g. reference_* when the fixture corpus is absent) are skipped.
 _PRIORITY: tuple[str, ...] = (
-    # ========== round-9 window: exactly 50 names to the driver cap ==========
+    # ========= round-10 window: exactly 50 names to the driver cap =========
     # Ordered purely by driver-evidence vintage (latest CORRECTNESS_r* row
-    # per query, computed from r01..r08): the reference-parity trio first
-    # (VERDICT r8 item 1), then every remaining r4-vintage oracled query,
-    # then the oldest r5-vintage names up to the 50 cap. Rows-only sketches
+    # per query, computed from r01..r09): the round-10 addition first (no
+    # driver evidence yet), then the full 27-name r5-vintage oracled block
+    # (the oldest evidence left after the r9 re-queue), then the oldest 22
+    # r6-vintage names up to the 50 cap. Rows-only sketches
     # (approx_distinct_users, minhash_cols_fast, percentiles_by_flag_approx)
     # stay OUT of windows -- their hash evidence lives in the r8-green
     # error-bound companions.
-    # --- 1: the round-9 addition (no driver evidence yet) ---
-    "span_exact_dedup",
-    # --- 2-4: reference corpus parity trio (oldest flagship evidence) ---
-    "reference_bm25_big_data",
-    "reference_bm25_ml_model",
-    "reference_bm25_distributed_db",
-    # --- 5-33: the full r4-vintage oracled block ---
-    "matview_incremental_refresh",
-    "dpp_pruned_join",
-    "small_files_compaction",
-    "scd2_point_in_time_join",
-    "runtime_bloom_join",
-    "python_datasource_textdir",
-    "observe_pipeline_metrics",
-    "streaming_checkpoint_resume",
-    "schema_evolution_read",
-    "unpivot_event_counts",
-    "sample_weighted",
-    "scan_project_orderby_limit",
-    "filter_isin_project",
-    "corpus_clean",
-    "join_broadcast_agg",
-    "text_quality",
-    "lang_id",
-    "token_counts",
-    "doc_fingerprint",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "q18_large_orders",
-    "percentiles_by_flag",
-    "q4_exists_semi",
-    "q14_promo_revenue",
-    "join_semi",
-    "join_salted_agg",
-    # --- 34-50: oldest r5-vintage names (CORRECTNESS_r05 order) ---
-    "tsv_export",
-    "doc_filenames",
-    "tokenize_explode",
-    "inverted_index",
-    "doc_term_list",
-    "vocab",
-    "doc_stats",
-    "corpus_stats",
-    "window_rank_topn",
-    "intersect_except_keys",
-    "correlated_above_avg",
-    "union_all_agg",
-    "agg_count_distinct",
-    "distinct_projection",
-    "rollup_agg",
-    "grouping_sets_agg",
-    "bm25_search",
-    # ========== positions 51+: past the cap this round ==========
-    # --- remaining r5-vintage rows, oldest-evidence-first, then the
-    # r6 / r7 / r8 blocks (freshest driver evidence last) ---
+    # --- 1: the round-10 addition (no driver evidence yet) ---
+    "span_exact_dedup_fast",
+    # --- 2-28: the full r5-vintage oracled block ---
     "bm25_search_persisted",
     "dedup_exact",
     "ngram_jaccard_pairs",
@@ -151,7 +98,7 @@ _PRIORITY: tuple[str, ...] = (
     "q15_top_supplier",
     "q19_disjunctive_filter",
     "q22_idle_customers",
-    # --- r6-green block ---
+    # --- 29-50: oldest r6-vintage names (CORRECTNESS_r06 order) ---
     "python_datasource_writer_roundtrip",
     "events_variant_extract",
     "cbo_join_reorder",
@@ -174,6 +121,9 @@ _PRIORITY: tuple[str, ...] = (
     "window_sliding",
     "window_session",
     "streaming_tumbling",
+    # ========== positions 51+: past the cap this round ==========
+    # --- remaining r6-vintage rows, then the r7 / r8 / r9 blocks
+    # (freshest driver evidence last) ---
     "streaming_sessionize",
     "streaming_dedup",
     "streaming_static_join",
@@ -196,7 +146,6 @@ _PRIORITY: tuple[str, ...] = (
     "q16_part_supplier_counts",
     "q17_small_qty_revenue",
     "q20_promotable_suppliers",
-    # --- r7-green block (freshest, CORRECTNESS_r07) ---
     "global_row_ids",
     "user_activity_bitmap",
     "cdc_apply",
@@ -247,7 +196,6 @@ _PRIORITY: tuple[str, ...] = (
     "spatial_radius_join",
     "join_anti",
     "embedding_neardup_pairs",
-    # --- r8-green block (freshest, CORRECTNESS_r08) ---
     "prefix_edit_pairs",
     "profile_table",
     "table_checksum",
@@ -298,6 +246,56 @@ _PRIORITY: tuple[str, ...] = (
     "pagerank_3iter",
     "streaming_late_data",
     "prefix_hamming_pairs",
+    "span_exact_dedup",
+    "reference_bm25_big_data",
+    "reference_bm25_ml_model",
+    "reference_bm25_distributed_db",
+    "matview_incremental_refresh",
+    "dpp_pruned_join",
+    "small_files_compaction",
+    "scd2_point_in_time_join",
+    "runtime_bloom_join",
+    "python_datasource_textdir",
+    "observe_pipeline_metrics",
+    "streaming_checkpoint_resume",
+    "schema_evolution_read",
+    "unpivot_event_counts",
+    "sample_weighted",
+    "scan_project_orderby_limit",
+    "filter_isin_project",
+    "corpus_clean",
+    "join_broadcast_agg",
+    "text_quality",
+    "lang_id",
+    "token_counts",
+    "doc_fingerprint",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "percentiles_by_flag",
+    "q4_exists_semi",
+    "q14_promo_revenue",
+    "join_semi",
+    "join_salted_agg",
+    "tsv_export",
+    "doc_filenames",
+    "tokenize_explode",
+    "inverted_index",
+    "doc_term_list",
+    "vocab",
+    "doc_stats",
+    "corpus_stats",
+    "window_rank_topn",
+    "intersect_except_keys",
+    "correlated_above_avg",
+    "union_all_agg",
+    "agg_count_distinct",
+    "distinct_projection",
+    "rollup_agg",
+    "grouping_sets_agg",
+    "bm25_search",
     # --- rows-only sketches with an existing driver row: NEVER window
     # material (a slot here can only re-record "no_oracle"); hash evidence
     # lives in their error-bound companions ---

@@ -566,13 +566,16 @@ def test_span_exact_dedup_semantics(spark, sf_dir):
             assert counts[" ".join(toks[s + ln - K_SPAN + 1 : s + ln + 1])] == 1, r
 
 
-def test_span_exact_dedup_constructed_corpus(spark, tmp_path):
+@pytest.mark.parametrize("variant", ["span_exact_dedup", "span_exact_dedup_fast"])
+def test_span_exact_dedup_constructed_corpus(spark, tmp_path, variant):
     """Pin span boundaries on a hand-built corpus: two docs sharing one
     exact 12-token span (different surroundings), a doc shorter than
     K_SPAN (must not crash or emit), and an unrelated doc. Expect exactly
-    one span per sharing doc at the right offset/length."""
-    from big_data_assignment2_spark.operators.dedup import K_SPAN, span_exact_dedup
+    one span per sharing doc at the right offset/length -- for BOTH the
+    exact string-gram version and the xxhash64 scale twin."""
+    from big_data_assignment2_spark.operators import dedup
 
+    fn = getattr(dedup, variant)
     shared = " ".join(f"tok{i}" for i in range(12))  # 12 > K_SPAN
     rows = [
         (1, "alpha beta " + shared + " gamma", "s0"),
@@ -587,6 +590,22 @@ def test_span_exact_dedup_constructed_corpus(spark, tmp_path):
 
     got = {
         r["doc_id"]: (r["span_start"], r["span_len"])
-        for r in span_exact_dedup(spark, d).collect()
+        for r in fn(spark, d).collect()
     }
     assert got == {1: (2, 12), 2: (0, 12)}
+
+
+def test_span_exact_dedup_fast_matches_exact(spark, sf_dir):
+    """The xxhash64 gram key must not change the output: the fast twin's
+    spans equal the exact string-gram version's row-for-row at fixture
+    scale (any 64-bit gram collision here would surface as a diff -- the
+    same property the driver's shared-oracle hash check enforces)."""
+    from big_data_assignment2_spark.operators.dedup import (
+        span_exact_dedup,
+        span_exact_dedup_fast,
+    )
+
+    exact = {tuple(r) for r in span_exact_dedup(spark, sf_dir).collect()}
+    fast = {tuple(r) for r in span_exact_dedup_fast(spark, sf_dir).collect()}
+    assert len(exact) > 0
+    assert fast == exact

@@ -686,18 +686,17 @@ def test_meta_readers_survive_swap_window(spark, sf_dir, tmp_path):
     engine.build_index(docs, d, n_buckets=8)
     assert engine._read_n_buckets(spark, d) == 8
     shutil.rmtree(f"{d}/meta")
-    assert engine._read_n_buckets(spark, d) == 8  # cache, mtime == -1
+    assert engine._read_n_buckets(spark, d) == 8  # cached serve: fingerprint None (dir gone)
     assert engine._read_meta_counts(spark, d) is None
 
 
 def test_n_buckets_cache_invalidates_on_external_rebuild(spark, sf_dir, tmp_path):
     """A long-lived process (streaming driver) must notice when ANOTHER
     process rebuilds the same index_dir with a different n_buckets -- the
-    memoized value is validated against the meta directory's mtime, so an
-    external rewrite invalidates it and search cannot silently prune with
-    a stale layout."""
-    import os
-
+    memoized value is validated against the meta directory's child
+    listing (fresh part-file UUIDs per write), so an external rewrite
+    invalidates it even on filesystems with coarse mtime granularity and
+    search cannot silently prune with a stale layout."""
     d = str(tmp_path / "ext")
     docs = index_build.documents_with_title(spark, sf_dir)
     engine.build_index(docs, d, n_buckets=8)
@@ -712,7 +711,8 @@ def test_n_buckets_cache_invalidates_on_external_rebuild(spark, sf_dir, tmp_path
     spark.createDataFrame(rows, "key string, value string").write.mode(
         "overwrite"
     ).parquet(f"{d}/meta")
-    os.utime(f"{d}/meta")  # ensure the dir mtime moves past any rounding
+    # deliberately NO os.utime: the listing fingerprint must catch the
+    # rewrite from the fresh part filenames alone, timestamps aside
 
     assert engine._read_n_buckets(spark, d) == 4
 

@@ -620,14 +620,16 @@ def test_m4_branches_use_window_group_limit(spark, sf_dir):
     assert sum(1 for o in ops if o.startswith("Exchange")) == 4, ops
 
 
-def test_span_dedup_gram_count_is_partial_hash_agg(spark, sf_dir):
-    """span_exact_dedup's gram occurrence count must be a two-phase
+@pytest.mark.parametrize("name", ["span_exact_dedup", "span_exact_dedup_fast"])
+def test_span_dedup_gram_count_is_partial_hash_agg(spark, sf_dir, name):
+    """Both span-dedup variants' gram occurrence count must be a two-phase
     HashAggregate (map-side partials absorb hot boilerplate grams before
     the exchange -- the skew argument), the verdict rejoin must be a real
     shuffle join (never a pointless broadcast of a corpus-scaled set, and
     never a window count, which has no partial), and the whole plan stays
-    JVM-side with no cartesian blowup."""
-    df = _df(spark, sf_dir, "span_exact_dedup")
+    JVM-side with no cartesian blowup. The fast twin must additionally
+    shuffle an 8-byte xxhash64 gram key, never the K-token string."""
+    df = _df(spark, sf_dir, name)
     ops = operators(df)
     assert not audit(df, forbids=("CartesianProduct",))
     # two-phase count: at least two HashAggregates (partial + final) and
@@ -640,3 +642,6 @@ def test_span_dedup_gram_count_is_partial_hash_agg(spark, sf_dir):
     # over gram instead -- the only Window here is the per-doc run merge
     assert plan.count("Window") >= 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    if name.endswith("_fast"):
+        assert "xxhash64" in plan
+        assert "concat_ws" not in plan
