@@ -672,6 +672,60 @@ def test_torn_swap_heals_on_next_maintenance(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_replace_dir_tolerates_lost_heal_race(spark, tmp_path, monkeypatch):
+    """A reader's _heal_torn_swaps can observe a live writer mid-swap (dst
+    deleted, tmp present) and issue the same tmp->dst rename; whichever
+    process loses sees fs.rename()==False with the swap already complete.
+    _replace_dir must treat that as success (the alternative spuriously
+    fails a concurrent search or the writer's own maintenance op) -- but a
+    rename failure where the swap did NOT complete must still raise."""
+    import os
+
+    real = engine._fs_and_path
+
+    class RacedFS:
+        """fs whose rename is beaten to the punch: the competing process's
+        rename lands (we perform it), then ours reports failure."""
+
+        def __init__(self, fs):
+            self._fs = fs
+
+        def exists(self, p):
+            return self._fs.exists(p)
+
+        def delete(self, p, rec):
+            return self._fs.delete(p, rec)
+
+        def rename(self, a, b):
+            self._fs.rename(a, b)
+            return False
+
+    class DeadFS(RacedFS):
+        """fs whose rename genuinely fails (nothing moved)."""
+
+        def rename(self, a, b):
+            return False
+
+    wrapper = RacedFS
+    monkeypatch.setattr(
+        engine,
+        "_fs_and_path",
+        lambda sp, path: (lambda fs_p: (wrapper(fs_p[0]), fs_p[1]))(real(sp, path)),
+    )
+
+    src, dst = str(tmp_path / "t.tmp"), str(tmp_path / "t")
+    os.makedirs(src)
+    open(f"{src}/part-0.parquet", "w").write("x")
+    engine._replace_dir(spark, src, dst)  # lost race == success, no raise
+    assert os.path.isdir(dst) and not os.path.exists(src)
+
+    wrapper = DeadFS
+    src2, dst2 = str(tmp_path / "u.tmp"), str(tmp_path / "u")
+    os.makedirs(src2)
+    with pytest.raises(IOError):
+        engine._replace_dir(spark, src2, dst2)
+
+
 def test_meta_readers_survive_swap_window(spark, sf_dir, tmp_path):
     """Torn-meta resilience: with the meta directory absent (the
     delete->rename window of a swap, or a crash mid-rewrite), the cached

@@ -45,6 +45,7 @@ QUERIES = (
     "prefix_edit_pairs",
     "minhash_lsh_pairs",
     "span_exact_dedup",
+    "span_exact_dedup_fast",
 )
 
 
