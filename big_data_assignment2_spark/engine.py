@@ -231,7 +231,12 @@ def _replace_dir(spark: SparkSession, src: str, dst: str) -> None:
     _, src_path = _fs_and_path(spark, src)
     if fs.exists(dst_path):
         fs.delete(dst_path, True)
-    if not fs.rename(src_path, dst_path):
+    try:
+        renamed = fs.rename(src_path, dst_path)
+    except Exception:  # noqa: BLE001 -- RawLocalFileSystem raises
+        # FileNotFoundException (not false) when src is already gone
+        renamed = False
+    if not renamed:
         if fs.exists(dst_path) and not fs.exists(src_path):
             return  # a concurrent healer completed this exact swap
         raise IOError(f"failed to move {src} into place at {dst}")
@@ -256,12 +261,35 @@ def _heal_torn_swaps(spark: SparkSession, index_dir: str) -> None:
     forever). A ``.tmp`` next to an EXISTING table (crash before the
     swap's delete) is left alone: the next rewrite overwrites it.
     Existence checks are os.stat locally, two py4j roundtrips per table
-    via Hadoop -- negligible against any Spark job."""
+    via Hadoop -- negligible against any Spark job.
+
+    The heal is RENAME-ONLY -- deliberately not :func:`_replace_dir`,
+    whose delete-then-rename would let a healer that raced a live
+    writer's swap DELETE the destination the writer just installed
+    (observed-dst-missing -> writer renames -> healer's delete removes
+    the fresh table -> healer's rename fails with the tmp consumed --
+    the table would be gone until the next full rewrite). A bare rename
+    cannot destroy anything: if it fails because a concurrent writer or
+    healer completed the same swap first (dst now present), that IS the
+    healed state; only a failure with dst still missing -- a genuinely
+    unrenameable tmp -- raises. Nor can the rename install a
+    partially-written tmp: under the single-writer contract a torn swap
+    always leaves a COMPLETE tmp (the write action finishes before the
+    swap starts), and a writer mid-tmp-write has the destination table
+    still live, so the dst-missing entry check never fires then."""
     for table in _SWAP_TABLES:
         dst = f"{index_dir}/{table}"
         tmp = f"{dst}.tmp"
         if not _path_exists(spark, dst) and _path_exists(spark, tmp):
-            _replace_dir(spark, tmp, dst)
+            fs, dst_path = _fs_and_path(spark, dst)
+            _, tmp_path = _fs_and_path(spark, tmp)
+            try:
+                renamed = fs.rename(tmp_path, dst_path)
+            except Exception:  # noqa: BLE001 -- local FS raises (not
+                # false) when a racing writer consumed the tmp first
+                renamed = False
+            if not renamed and not fs.exists(dst_path):
+                raise IOError(f"failed to heal torn swap {tmp} -> {dst}")
 
 
 def _touch(spark: SparkSession, path: str) -> None:

@@ -726,6 +726,37 @@ def test_replace_dir_tolerates_lost_heal_race(spark, tmp_path, monkeypatch):
         engine._replace_dir(spark, src2, dst2)
 
 
+def test_heal_never_deletes_a_winners_table(spark, tmp_path, monkeypatch):
+    """The OTHER half of the heal race: a healer that observed the swap
+    window (dst missing, tmp present) but acts only AFTER the writer's
+    rename installed the table must not destroy it. The heal is
+    rename-only -- its rename fails harmlessly (the tmp was consumed by
+    the writer) and the now-present destination is recognized as the
+    healed state. A delete-then-rename heal would remove the fresh table
+    here and then raise with the tmp gone -- the table lost until the
+    next full rewrite."""
+    import os
+
+    d = str(tmp_path / "idx")
+    os.makedirs(f"{d}/meta")
+    open(f"{d}/meta/part-0.parquet", "w").write("live")
+
+    # freeze the healer's STALE observation: it saw dst missing and tmp
+    # present, but by act time the writer has already swapped tmp -> dst
+    real_exists = engine._path_exists
+
+    def stale(spark_, path):
+        if path.endswith("/meta"):
+            return False
+        if path.endswith("/meta.tmp"):
+            return True
+        return real_exists(spark_, path)
+
+    monkeypatch.setattr(engine, "_path_exists", stale)
+    engine._heal_torn_swaps(spark, d)  # must neither raise nor delete
+    assert open(f"{d}/meta/part-0.parquet").read() == "live"
+
+
 def test_meta_readers_survive_swap_window(spark, sf_dir, tmp_path):
     """Torn-meta resilience: with the meta directory absent (the
     delete->rename window of a swap, or a crash mid-rewrite), the cached

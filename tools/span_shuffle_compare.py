@@ -2,12 +2,17 @@
 
 The fast twin's whole point is shuffle WIDTH -- the gram key crossing the
 wire twice (groupBy(gram) count + occurrence rejoin) is an 8-byte xxhash64
-instead of a ~K-token string. Wall time at test scale is dominated by fixed
-overheads, so the honest metric is bytes: run each variant in its own
-SparkSession (fresh app => clean stage list) and sum shuffle write bytes
-across all completed stages via the UI REST API. Both variants share every
-other pipeline stage (scan, tokenize, run-merge window), so the delta is
-the gram key itself.
+instead of a ~K-token string. The headline metric is BYTES: run each
+variant in its own SparkSession (fresh app => clean stage list) and sum
+shuffle write bytes across all completed stages via the UI REST API. Both
+variants share every other pipeline stage (scan, tokenize, run-merge
+window), so the delta is the gram key itself.
+
+The ``sec`` field is informational only: the py4j gateway JVM survives
+``spark.stop()``, so the second variant runs JIT-warmed while the first
+pays cold-start -- wall comparisons belong to tools/scale_check_organic.py,
+which times both variants inside one warmed session. Shuffle-byte totals
+are order-independent.
 
 Usage: python tools/span_shuffle_compare.py [sf_dir]
 Prints one JSON line per variant plus a ratio summary.
@@ -23,36 +28,28 @@ import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
-
-UI_PORT = 4049
-
-
-def _rest(path: str):
-    with urllib.request.urlopen(f"http://localhost:{UI_PORT}{path}") as r:
-        return json.load(r)
-
 
 def run_variant(name: str, sf_dir: str) -> dict:
     from big_data_assignment2_spark.registry import build_registry
+    from big_data_assignment2_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
-        .appName(f"span-shuffle-{name}")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "true")
-        .config("spark.ui.port", str(UI_PORT))
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
-    )
+    os.environ["SPARK_UI"] = "true"  # read by the session factory
+    spark = get_spark(f"span-shuffle-{name}")
     spark.sparkContext.setLogLevel("ERROR")
     try:
         fn = build_registry().fns()[name]
         t0 = time.perf_counter()
         rows = fn(spark, sf_dir).count()
         sec = time.perf_counter() - t0
+        # the REST base comes from the LIVE context: Spark silently binds
+        # the next free port when its default is taken, so a hardcoded
+        # port would scrape the wrong (or no) application
+        ui = spark.sparkContext.uiWebUrl
         app_id = spark.sparkContext.applicationId
-        stages = _rest(f"/api/v1/applications/{app_id}/stages?status=complete")
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages?status=complete", timeout=30
+        ) as r:
+            stages = json.load(r)
         shuffle_write = sum(s["shuffleWriteBytes"] for s in stages)
         shuffle_read = sum(s["shuffleReadBytes"] for s in stages)
     finally:
