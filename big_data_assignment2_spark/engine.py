@@ -233,13 +233,17 @@ def _replace_dir(spark: SparkSession, src: str, dst: str) -> None:
         fs.delete(dst_path, True)
     try:
         renamed = fs.rename(src_path, dst_path)
-    except Exception:  # noqa: BLE001 -- RawLocalFileSystem raises
+        cause = None
+    except Exception as exc:  # noqa: BLE001 -- RawLocalFileSystem raises
         # FileNotFoundException (not false) when src is already gone
-        renamed = False
+        renamed, cause = False, exc
     if not renamed:
         if fs.exists(dst_path) and not fs.exists(src_path):
             return  # a concurrent healer completed this exact swap
-        raise IOError(f"failed to move {src} into place at {dst}")
+        # chain the original failure: an AccessControlException /
+        # safe-mode / quota error must stay distinguishable from the
+        # benign consumed-src race above
+        raise IOError(f"failed to move {src} into place at {dst}") from cause
 
 
 # every table that is rewritten via write-to-tmp + swap somewhere in the
@@ -283,13 +287,27 @@ def _heal_torn_swaps(spark: SparkSession, index_dir: str) -> None:
         if not _path_exists(spark, dst) and _path_exists(spark, tmp):
             fs, dst_path = _fs_and_path(spark, dst)
             _, tmp_path = _fs_and_path(spark, tmp)
+            # re-check IMMEDIATELY before the rename: HDFS-semantics
+            # filesystems rename src INTO an existing destination
+            # directory (and return true), so a healer acting on a stale
+            # dst-missing observation could nest the tmp inside a live
+            # table. After this check, any transition to dst-present
+            # consumes this same tmp (the only creator of dst under the
+            # single-writer contract is a rename OF this tmp), which
+            # makes our rename fail src-gone -- the benign race below --
+            # rather than nest.
+            if fs.exists(dst_path):
+                continue
             try:
                 renamed = fs.rename(tmp_path, dst_path)
-            except Exception:  # noqa: BLE001 -- local FS raises (not
-                # false) when a racing writer consumed the tmp first
-                renamed = False
+                cause = None
+            except Exception as exc:  # noqa: BLE001 -- local FS raises
+                # (not false) when a racing writer consumed the tmp first
+                renamed, cause = False, exc
             if not renamed and not fs.exists(dst_path):
-                raise IOError(f"failed to heal torn swap {tmp} -> {dst}")
+                raise IOError(
+                    f"failed to heal torn swap {tmp} -> {dst}"
+                ) from cause
 
 
 def _touch(spark: SparkSession, path: str) -> None:
