@@ -1040,11 +1040,44 @@ def _tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
     Existence is tested explicitly -- a real read failure of an existing
     tombstone table must PROPAGATE, not be swallowed into "no deletes"
     (which would silently serve deleted documents against
-    delete-corrected vocab/meta)."""
+    delete-corrected vocab/meta).
+
+    Two narrow transient exceptions, both confined to a racing reader:
+
+    - the table can legitimately DISAPPEAR between the existence check
+      and the read -- :func:`compact_index` clears it as its strictly-
+      LAST step, after every purged table swap completed, so a
+      confirmed-gone-again path means the dead postings are already off
+      disk and "no tombstones" is the correct answer;
+    - the FIRST delete's ``mode("append")`` is the only in-place write
+      to a live table in the layout (every rewrite goes tmp+swap): a
+      read inside its commit window sees a directory holding only
+      ``_temporary`` (no footers -> UNABLE_TO_INFER_SCHEMA). That state
+      resolves in milliseconds, so it retries briefly; pre-commit the
+      consistent answer is the old stats with no tombstones, post-commit
+      the retry reads the committed batch.
+
+    A read failure that persists with the path still present (a
+    genuinely corrupt table) propagates as before."""
+    import time as _time
+
     path = f"{index_dir}/tombstones"
     if not _path_exists(spark, path):
         return None
-    return spark.read.parquet(path)
+    for attempt in range(3):
+        try:
+            return spark.read.parquet(path)
+        except Exception as exc:  # noqa: BLE001 -- see re-checks below
+            msg = str(exc)
+            if ("PATH_NOT_FOUND" in msg or "does not exist" in msg) and (
+                not _path_exists(spark, path)
+            ):
+                return None
+            if "UNABLE_TO_INFER_SCHEMA" in msg and attempt < 2:
+                _time.sleep(0.05)
+                continue
+            raise
+    raise AssertionError("unreachable")
 
 
 def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -1087,15 +1120,41 @@ def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
+def _read_table_retry(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with a short bounded retry on a MISSING path:
+    a reader that plans a scan inside a live swap's delete->rename window
+    (milliseconds) sees PATH_NOT_FOUND at footer-inference time; one
+    brief re-check turns that spurious failure into a read of the swapped
+    table. Only the missing-path failure retries -- corrupt-footer or
+    permission errors propagate on the first attempt; a path still
+    missing after the retries (a genuinely broken index) propagates too.
+    Task-time failures (files vanishing under an already-running job)
+    are out of scope here -- only a versioned table layout can absorb
+    those; SCALE.md documents the trade."""
+    import time as _time
+
+    for attempt in range(3):
+        try:
+            return spark.read.parquet(path)
+        except Exception as exc:  # noqa: BLE001 -- AnalysisException
+            msg = str(exc)
+            if "PATH_NOT_FOUND" not in msg and "does not exist" not in msg:
+                raise
+            if attempt == 2:
+                raise
+            _time.sleep(0.05)
+    raise AssertionError("unreachable")
+
+
 def load_index(spark: SparkSession, index_dir: str) -> IndexTables:
     """S2: the four index tables back as DataFrames (completing any
     crash-torn table swap first -- see :func:`_heal_torn_swaps`)."""
     _heal_torn_swaps(spark, index_dir)
     return IndexTables(
-        doc_stats=spark.read.parquet(f"{index_dir}/doc_stats"),
-        inverted_index=spark.read.parquet(f"{index_dir}/inverted_index"),
-        vocab=spark.read.parquet(f"{index_dir}/vocab"),
-        meta=spark.read.parquet(f"{index_dir}/meta"),
+        doc_stats=_read_table_retry(spark, f"{index_dir}/doc_stats"),
+        inverted_index=_read_table_retry(spark, f"{index_dir}/inverted_index"),
+        vocab=_read_table_retry(spark, f"{index_dir}/vocab"),
+        meta=_read_table_retry(spark, f"{index_dir}/meta"),
     )
 
 

@@ -726,6 +726,63 @@ def test_replace_dir_tolerates_lost_heal_race(spark, tmp_path, monkeypatch):
         engine._replace_dir(spark, src2, dst2)
 
 
+def test_read_table_retry_absorbs_swap_window(spark, sf_dir, tmp_path):
+    """A reader planning a scan inside a swap's delete->rename window
+    (milliseconds) must not spuriously fail: load_index's table reads
+    retry briefly on a MISSING path. Simulated by installing the table
+    from a background thread shortly after the read starts. A path that
+    never appears still raises."""
+    import os
+    import threading
+    import time
+
+    docs = index_build.documents_with_title(spark, sf_dir)
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "tbl")
+    docs.limit(5).write.parquet(src)
+
+    t = threading.Thread(target=lambda: (time.sleep(0.06), os.rename(src, target)))
+    t.start()
+    try:
+        assert engine._read_table_retry(spark, target).count() == 5
+    finally:
+        t.join()
+
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
+        engine._read_table_retry(spark, str(tmp_path / "never"))
+
+
+def test_tombstones_toctou_returns_none(spark, tmp_path, monkeypatch):
+    """A tombstone table that disappears between the existence check and
+    the read (compact_index clears it strictly LAST, after the purged
+    tables swapped in) must read as 'no tombstones', not raise -- while a
+    read failure of a STILL-PRESENT table keeps propagating."""
+    import os
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+
+    # freeze the STALE observation: exists said True, but the dir is gone
+    real_exists = engine._path_exists
+    seen = []
+
+    def stale_once(spark_, path):
+        if path.endswith("/tombstones") and not seen:
+            seen.append(path)
+            return True
+        return real_exists(spark_, path)
+
+    monkeypatch.setattr(engine, "_path_exists", stale_once)
+    assert engine._tombstones(spark, d) is None
+
+    # a present-but-unreadable table still propagates
+    monkeypatch.setattr(engine, "_path_exists", real_exists)
+    os.makedirs(f"{d}/tombstones")
+    open(f"{d}/tombstones/garbage.parquet", "w").write("not parquet")
+    with pytest.raises(Exception):
+        engine._tombstones(spark, d)
+
+
 def test_heal_never_deletes_a_winners_table(spark, tmp_path, monkeypatch):
     """The OTHER half of the heal race: a healer that observed the swap
     window (dst missing, tmp present) but acts only AFTER the writer's
