@@ -59,71 +59,15 @@ class Registry:
 # operators, then flagships, then the long-green relational tail. Names not
 # present (e.g. reference_* when the fixture corpus is absent) are skipped.
 _PRIORITY: tuple[str, ...] = (
-    # ========= round-10 window: exactly 50 names to the driver cap =========
+    # ========= round-11 window: exactly 50 names to the driver cap =========
     # Ordered purely by driver-evidence vintage (latest CORRECTNESS_r* row
-    # per query, computed from r01..r09): the round-10 addition first (no
-    # driver evidence yet), then the full 27-name r5-vintage oracled block
-    # (the oldest evidence left after the r9 re-queue), then the oldest 22
-    # r6-vintage names up to the 50 cap. Rows-only sketches
-    # (approx_distinct_users, minhash_cols_fast, percentiles_by_flag_approx)
-    # stay OUT of windows -- their hash evidence lives in the r8-green
-    # error-bound companions.
-    # --- 1: the round-10 addition (no driver evidence yet) ---
-    "span_exact_dedup_fast",
-    # --- 2-28: the full r5-vintage oracled block ---
-    "bm25_search_persisted",
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "simhash",
-    "ann_topk_bruteforce",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "cube_agg",
-    "bigrams_udtf",
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    "dedup_apply",
-    "ann_topk_persisted",
-    "doc_file_export",
-    "neardup_components",
-    "dedup_apply_neardup",
-    "quality_filter_apply",
-    "sample_stratified",
-    "doc_chunks",
-    "decontaminate",
-    "ngram_counts",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q19_disjunctive_filter",
-    "q22_idle_customers",
-    # --- 29-50: oldest r6-vintage names (CORRECTNESS_r06 order) ---
-    "python_datasource_writer_roundtrip",
-    "events_variant_extract",
-    "cbo_join_reorder",
-    "recursive_order_chains",
-    "sql_udf_revenue",
-    "tf_cosine_pairs",
-    "gapfill_locf",
-    "intervals_consolidate",
-    "lateral_topn_customers",
-    "xml_roundtrip",
-    "window_trailing_range",
-    "fk_integrity_report",
-    "pivot_dynamic",
-    "full_outer_reconcile",
-    "cogroup_user_days",
-    "groupwise_linreg",
-    "asof_join_events",
-    "pivot_event_counts",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "streaming_tumbling",
-    # ========== positions 51+: past the cap this round ==========
-    # --- remaining r6-vintage rows, then the r7 / r8 / r9 blocks
-    # (freshest driver evidence last) ---
+    # per query, computed from r01..r10): the 22 oracled r6-vintage names
+    # (the oldest evidence left after the r10 re-queue), then the oldest 28
+    # r7-vintage names up to the 50 cap. Rows-only sketches
+    # (approx_distinct_users, minhash_cols_fast, percentiles_by_flag_approx,
+    # cms_partkey_counts, hll_union_by_source) stay OUT of windows -- their
+    # hash evidence lives in the r8-green error-bound companions.
+    # --- 1-22: the oracled r6-vintage block (CORRECTNESS_r06 order) ---
     "streaming_sessionize",
     "streaming_dedup",
     "streaming_static_join",
@@ -146,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "q16_part_supplier_counts",
     "q17_small_qty_revenue",
     "q20_promotable_suppliers",
+    # --- 23-50: oldest 28 r7-vintage names (CORRECTNESS_r07 order) ---
     "global_row_ids",
     "user_activity_bitmap",
     "cdc_apply",
@@ -174,6 +119,9 @@ _PRIORITY: tuple[str, ...] = (
     "winsorize_values",
     "token_kl_by_source",
     "embedding_gram",
+    # ========== positions 51+: past the cap this round ==========
+    # --- remaining r7-vintage rows, then the r8 / r9 / r10 blocks
+    # (freshest driver evidence last) ---
     "basket_pair_lift",
     "rfm_segments",
     "time_decay_attribution",
@@ -205,8 +153,6 @@ _PRIORITY: tuple[str, ...] = (
     "approx_distinct_error_check",
     "hll_union_error_check",
     "cms_overestimate_check",
-    "cms_partkey_counts",
-    "hll_union_by_source",
     "q21_waiting_suppliers",
     "doc_pack_greedy",
     "blocklist_scan",
@@ -296,12 +242,64 @@ _PRIORITY: tuple[str, ...] = (
     "rollup_agg",
     "grouping_sets_agg",
     "bm25_search",
+    "span_exact_dedup_fast",
+    "bm25_search_persisted",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "cube_agg",
+    "bigrams_udtf",
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "dedup_apply",
+    "ann_topk_persisted",
+    "doc_file_export",
+    "neardup_components",
+    "dedup_apply_neardup",
+    "quality_filter_apply",
+    "sample_stratified",
+    "doc_chunks",
+    "decontaminate",
+    "ngram_counts",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q19_disjunctive_filter",
+    "q22_idle_customers",
+    "python_datasource_writer_roundtrip",
+    "events_variant_extract",
+    "cbo_join_reorder",
+    "recursive_order_chains",
+    "sql_udf_revenue",
+    "tf_cosine_pairs",
+    "gapfill_locf",
+    "intervals_consolidate",
+    "lateral_topn_customers",
+    "xml_roundtrip",
+    "window_trailing_range",
+    "fk_integrity_report",
+    "pivot_dynamic",
+    "full_outer_reconcile",
+    "cogroup_user_days",
+    "groupwise_linreg",
+    "asof_join_events",
+    "pivot_event_counts",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "streaming_tumbling",
     # --- rows-only sketches with an existing driver row: NEVER window
     # material (a slot here can only re-record "no_oracle"); hash evidence
     # lives in their error-bound companions ---
     "approx_distinct_users",
     "minhash_cols_fast",
     "percentiles_by_flag_approx",
+    "cms_partkey_counts",
+    "hll_union_by_source",
 )
 
 
