@@ -252,6 +252,24 @@ def _replace_dir(spark: SparkSession, src: str, dst: str) -> None:
 _SWAP_TABLES = ("meta", "vocab", "inverted_index", "forward", "doc_stats")
 
 
+def _dir_signature(fs, jpath):
+    """Identity token for a directory INSTANCE: the (name, length, mtime)
+    child listing, or None if the path is gone. Spark part filenames carry
+    a fresh UUID per write, so two different write jobs at the same
+    pathname can never produce an equal signature -- name equality alone
+    would already distinguish instances; length+mtime are belt and
+    braces. One listStatus roundtrip."""
+    try:
+        return tuple(
+            sorted(
+                (st.getPath().getName(), st.getLen(), st.getModificationTime())
+                for st in fs.listStatus(jpath)
+            )
+        )
+    except Exception:  # noqa: BLE001 -- missing path raises through py4j
+        return None
+
+
 def _heal_torn_swaps(spark: SparkSession, index_dir: str) -> None:
     """Complete any ``<table>.tmp -> <table>`` swap a crash tore mid-way.
 
@@ -287,6 +305,12 @@ def _heal_torn_swaps(spark: SparkSession, index_dir: str) -> None:
         if not _path_exists(spark, dst) and _path_exists(spark, tmp):
             fs, dst_path = _fs_and_path(spark, dst)
             _, tmp_path = _fs_and_path(spark, tmp)
+            # snapshot the tmp INSTANCE we observed: Spark part filenames
+            # embed a fresh UUID per write, so an identical child listing
+            # means the same tmp, not a re-created one
+            entry_sig = _dir_signature(fs, tmp_path)
+            if entry_sig is None:
+                continue  # consumed already -- a racing swap healed it
             # re-check IMMEDIATELY before the rename: HDFS-semantics
             # filesystems rename src INTO an existing destination
             # directory (and return true), so a healer acting on a stale
@@ -297,6 +321,19 @@ def _heal_torn_swaps(spark: SparkSession, index_dir: str) -> None:
             # makes our rename fail src-gone -- the benign race below --
             # rather than nest.
             if fs.exists(dst_path):
+                continue
+            # ... and that the tmp is still OUR instance: a writer that
+            # completed its swap and already wrote a complete NEW tmp at
+            # this pathname is mid-lifecycle -- that tmp is the writer's
+            # to install, never the healer's. RESIDUAL WINDOW (documented,
+            # not closed): a writer completing its swap AND finishing an
+            # entire new tmp write between this signature re-check and
+            # our rename would still be renamed by us -- that needs a
+            # multi-second write job inside a microsecond stat-to-rename
+            # gap, and the nested result additionally requires dst to
+            # reappear in the same gap; treated as practically
+            # unreachable under the single-writer contract.
+            if _dir_signature(fs, tmp_path) != entry_sig:
                 continue
             try:
                 renamed = fs.rename(tmp_path, dst_path)
@@ -460,7 +497,12 @@ def _meta_fingerprint(spark: SparkSession, index_dir: str):
                         for st in (e.stat(),)
                     )
                 )
-        except OSError:
+        except (FileNotFoundError, NotADirectoryError):
+            # the dir (or a child, mid-swap) is momentarily absent --
+            # the caller legitimately serves its cached value through
+            # the swap window. Other OSErrors (e.g. a persistent
+            # permission failure) PROPAGATE: swallowing them would keep
+            # serving a cached n_buckets forever with no signal.
             return None
     fs, p = _fs_and_path(spark, path)
     try:
@@ -1034,6 +1076,46 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
     fs.delete(tomb_path, True)
 
 
+def _error_condition(exc: Exception) -> str:
+    """Spark's structured error class for *exc* ('' if it carries none).
+
+    Prefers ``getCondition()`` (PySpark 4) then the older
+    ``getErrorClass()`` -- classifying transient read failures by the
+    structured class survives Spark releases rewording the message text,
+    which silent-degrades a substring match back into spurious reader
+    failures (fails safe -- re-raise -- but the resilience is gone)."""
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, attr, None)
+        if fn is None:
+            continue
+        try:
+            cond = fn()
+        except Exception:  # noqa: BLE001 -- classification must not raise
+            continue
+        if cond:
+            return str(cond)
+    return ""
+
+
+def _is_missing_path_error(exc: Exception) -> bool:
+    """True iff *exc* is Spark's missing-input-path failure (structured
+    error class when present, message substrings as the fallback)."""
+    cond = _error_condition(exc)
+    if cond:
+        return cond.startswith("PATH_NOT_FOUND")
+    msg = str(exc)
+    return "PATH_NOT_FOUND" in msg or "does not exist" in msg
+
+
+def _is_empty_dir_error(exc: Exception) -> bool:
+    """True iff *exc* is Spark's no-footers-to-infer-from failure (a
+    directory holding only ``_temporary`` mid-commit reads like this)."""
+    cond = _error_condition(exc)
+    if cond:
+        return cond.startswith("UNABLE_TO_INFER_SCHEMA")
+    return "UNABLE_TO_INFER_SCHEMA" in str(exc)
+
+
 def _tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
     """The tombstone table if any deletes happened, else None.
 
@@ -1068,12 +1150,19 @@ def _tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
         try:
             return spark.read.parquet(path)
         except Exception as exc:  # noqa: BLE001 -- see re-checks below
-            msg = str(exc)
-            if ("PATH_NOT_FOUND" in msg or "does not exist" in msg) and (
-                not _path_exists(spark, path)
-            ):
-                return None
-            if "UNABLE_TO_INFER_SCHEMA" in msg and attempt < 2:
+            if _is_missing_path_error(exc):
+                if not _path_exists(spark, path):
+                    # confirmed gone again: compaction's strictly-last
+                    # clear already purged the dead postings
+                    return None
+                # the path REAPPEARED (compaction cleared it, then a new
+                # delete re-created it): the now-present table is the
+                # correct answer, so retry the read instead of raising
+                if attempt < 2:
+                    _time.sleep(0.05)
+                    continue
+                raise
+            if _is_empty_dir_error(exc) and attempt < 2:
                 _time.sleep(0.05)
                 continue
             raise
@@ -1137,8 +1226,7 @@ def _read_table_retry(spark: SparkSession, path: str) -> DataFrame:
         try:
             return spark.read.parquet(path)
         except Exception as exc:  # noqa: BLE001 -- AnalysisException
-            msg = str(exc)
-            if "PATH_NOT_FOUND" not in msg and "does not exist" not in msg:
+            if not _is_missing_path_error(exc):
                 raise
             if attempt == 2:
                 raise

@@ -915,3 +915,146 @@ def test_lifecycle_readd_equals_fresh(spark, sf_dir, index_dir):
         for r in engine.search(spark, index_dir, "spark query window merge").collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_heal_skips_recreated_tmp_instance(spark, tmp_path, monkeypatch):
+    """Round-11 ADVICE: the dst-exists re-check alone does not stop a
+    healer whose tmp was CONSUMED and RE-CREATED between its entry check
+    and its rename -- the new tmp belongs to a live writer mid-lifecycle
+    and is never the healer's to install (on HDFS semantics the rename
+    would nest it inside the writer's fresh table). The heal snapshots
+    the tmp's child listing at entry (part-file UUIDs make listings
+    instance-unique) and must SKIP -- rename never issued -- when the
+    listing changed by act time."""
+    import os
+    import shutil
+
+    d = str(tmp_path / "idx")
+    os.makedirs(f"{d}/meta.tmp")
+    open(f"{d}/meta.tmp/part-old.parquet", "w").write("old tmp instance")
+
+    real = engine._fs_and_path
+    renames = []
+
+    class WriterRacesFS:
+        """fs whose dst-exists re-check triggers the concurrent writer:
+        it completes the observed swap (consuming the healer's tmp) and
+        writes a complete NEW tmp at the same pathname -- then answers
+        the healer's question stale (False), exactly the interleaving
+        the listing snapshot exists for."""
+
+        def __init__(self, fs):
+            self._fs = fs
+
+        def exists(self, p):
+            path = p.toString() if hasattr(p, "toString") else str(p)
+            if path.rstrip("/").endswith("/meta"):
+                if os.path.exists(f"{d}/meta.tmp/part-old.parquet"):
+                    shutil.move(f"{d}/meta.tmp", f"{d}/meta")  # writer's swap
+                    os.makedirs(f"{d}/meta.tmp")  # writer's NEXT rewrite
+                    open(f"{d}/meta.tmp/part-new.parquet", "w").write("new")
+                return False  # stale observation
+            return self._fs.exists(p)
+
+        def listStatus(self, p):
+            return self._fs.listStatus(p)
+
+        def rename(self, a, b):
+            renames.append((str(a), str(b)))
+            return self._fs.rename(a, b)
+
+    monkeypatch.setattr(
+        engine,
+        "_fs_and_path",
+        lambda sp, path: (lambda fp: (WriterRacesFS(fp[0]), fp[1]))(real(sp, path)),
+    )
+    engine._heal_torn_swaps(spark, d)  # must skip: not our tmp instance
+
+    assert renames == []  # the healer never touched the writer's new tmp
+    assert open(f"{d}/meta/part-old.parquet").read() == "old tmp instance"
+    assert open(f"{d}/meta.tmp/part-new.parquet").read() == "new"
+
+
+def test_tombstones_reappeared_path_retries(spark, tmp_path, monkeypatch):
+    """Round-11 ADVICE: a PATH_NOT_FOUND read where the tombstone table
+    has REAPPEARED by the re-check (compaction cleared it, then a new
+    delete re-created it) must retry and return the now-present table --
+    not raise, and never misreport 'no tombstones'."""
+    import os
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    path = f"{d}/tombstones"
+
+    real_exists = engine._path_exists
+    calls = []
+
+    def exists_with_recreate(spark_, p):
+        if p == path:
+            calls.append(1)
+            if len(calls) > 1 and not os.path.exists(path):
+                # the handler's re-check: a new delete re-created the
+                # table between the failed read and now
+                spark.createDataFrame(
+                    [("7",)], "doc_id string"
+                ).write.parquet(path)
+            return True  # entry check answers stale-True (table absent)
+        return real_exists(spark_, p)
+
+    monkeypatch.setattr(engine, "_path_exists", exists_with_recreate)
+    tomb = engine._tombstones(spark, d)
+    assert tomb is not None
+    assert [r["doc_id"] for r in tomb.collect()] == ["7"]
+
+
+def test_error_classification_prefers_structured_condition():
+    """Round-11 ADVICE: transient-failure classification must survive a
+    Spark release rewording its messages -- the structured error class
+    (getCondition / getErrorClass) wins over substrings, which remain
+    only as the fallback for exceptions carrying no class."""
+
+    class CondErr(Exception):
+        def getCondition(self):
+            return "PATH_NOT_FOUND"
+
+    class OtherCondErr(Exception):
+        def getCondition(self):
+            return "DIVIDE_BY_ZERO"
+
+    class LegacyErr(Exception):
+        def getCondition(self):
+            return None
+
+        def getErrorClass(self):
+            return "UNABLE_TO_INFER_SCHEMA"
+
+    # structured class decides, regardless of message wording
+    assert engine._is_missing_path_error(CondErr("totally reworded"))
+    assert not engine._is_missing_path_error(OtherCondErr("does not exist"))
+    # older API fallback
+    assert engine._is_empty_dir_error(LegacyErr("reworded too"))
+    # no structured class at all -> substring fallback
+    assert engine._is_missing_path_error(Exception("Path does not exist: /x"))
+    assert engine._is_empty_dir_error(Exception("[UNABLE_TO_INFER_SCHEMA] x"))
+    assert not engine._is_missing_path_error(Exception("quota exceeded"))
+
+
+def test_meta_fingerprint_propagates_persistent_errors(spark, tmp_path, monkeypatch):
+    """Round-11 ADVICE: only the benign momentarily-absent cases
+    (FileNotFoundError / NotADirectoryError -- a swap window) may serve
+    the cached n_buckets; a persistent local failure such as a
+    permission error must PROPAGATE instead of silently serving a cached
+    layout forever."""
+    import os
+
+    d = str(tmp_path / "idx")
+    assert engine._meta_fingerprint(spark, d) is None  # absent dir: benign
+
+    os.makedirs(f"{d}/meta")
+
+    def denied(p):
+        raise PermissionError(13, "Permission denied", p)
+
+    monkeypatch.setattr(engine.os, "scandir", denied)
+    with pytest.raises(PermissionError):
+        engine._meta_fingerprint(spark, d)
