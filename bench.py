@@ -235,7 +235,37 @@ def main() -> None:
     warm_medians: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_WARM_MEDIANS", "1") != "0":
         top = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:10]]
-        for name in top:
+        # ... plus every regression SUSPECT: a query reading >1.5x its
+        # historical best across the committed BENCH_r*.json artifacts
+        # (and >0.5s now -- sub-second swings are pure position noise).
+        # These are exactly the rows warm medians exist to settle:
+        # position/cold-head cost vs a real code regression.
+        hist_best: dict[str, float] = {}
+        import glob as _glob
+
+        for bf in sorted(
+            _glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
+        ):
+            try:
+                with open(bf) as fh:
+                    past = json.load(fh).get("queries") or {}
+            except Exception:  # noqa: BLE001 -- a malformed artifact never kills the bench
+                continue
+            for n, s in past.items():
+                if isinstance(s, (int, float)) and s > 0 and s < hist_best.get(n, float("inf")):
+                    hist_best[n] = s
+        suspects = sorted(
+            (
+                n
+                for n, t in timings.items()
+                if n not in top
+                and t > 0.5
+                and n in hist_best
+                and t > 1.5 * hist_best[n]
+            ),
+            key=lambda n: -(timings[n] / hist_best[n]),
+        )[:15]
+        for name in top + suspects:
             reps: dict[str, float] = {}
             # warm-rep failures stay OUT of the headline errors dict: a
             # flaky rep must not flip the lockstep "0 errors" verdict
@@ -255,6 +285,7 @@ def main() -> None:
 
                 warm_medians[name] = {
                     "in_bench": timings[name],
+                    "best_r": hist_best.get(name),
                     "reps": [reps.get(f"warm{i}:{name}") for i in range(3)],
                     # statistics.median averages the middle pair when a
                     # failed rep leaves an even count -- vals[n//2] would

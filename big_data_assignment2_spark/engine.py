@@ -42,6 +42,36 @@ from .operators import index_build, search as search_ops
 
 N_TERM_BUCKETS = 64
 
+# The index layout's column types, enforced at the write boundary
+# (_normalize_docs) and DECLARED at the read boundary: load_index passes
+# these to the reader, which skips plan-time footer schema inference
+# entirely (measured 425 -> 115 ms per load_index at sf0.1 -- per-SEARCH
+# cost, since every search plans a fresh load_index; at cluster scale the
+# saved footer reads are remote IO, and production tables pin schemas via
+# a catalog for exactly this reason). Partition columns (term_bucket /
+# doc_bucket) take their declared type here instead of path inference.
+_LAYOUT_SCHEMAS = {
+    "doc_stats": "doc_id STRING, title STRING, length BIGINT",
+    "inverted_index": "term STRING, doc_id STRING, tf BIGINT, term_bucket INT",
+    "vocab": "term STRING, doc_freq BIGINT",
+    "meta": "key STRING, value STRING",
+    "forward": "doc_id STRING, term STRING, doc_bucket INT",
+}
+
+
+def _normalize_docs(docs: DataFrame) -> DataFrame:
+    """Pin the layout's input types at the write boundary (doc_id/title
+    as STRING -- the reference's Cassandra schema used text keys,
+    ``app/load_index.py``): build and append both normalize, so the
+    persisted tables always match :data:`_LAYOUT_SCHEMAS` regardless of
+    what the caller's frame carried, and the read side may declare the
+    schema instead of inferring it."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("title").cast("string").alias("title"),
+        "text",
+    )
+
 
 def _run_concurrently(*thunks: Callable[[], None]) -> None:
     """Run independent maintenance steps in parallel threads, propagating
@@ -92,6 +122,7 @@ def build_index(
     # this path accumulated (delete is idempotent per id, so a stale
     # tombstone would silently swallow the first re-delete of that id)
     spark = docs.sparkSession
+    docs = _normalize_docs(docs)
     fs, tomb_path = _fs_and_path(spark, f"{index_dir}/tombstones")
     fs.delete(tomb_path, True)
     inverted = index_build.inverted_from_docs(docs)
@@ -780,6 +811,7 @@ def append_to_index(
     it was introduced).
     """
     spark = new_docs.sparkSession
+    new_docs = _normalize_docs(new_docs)
     _heal_torn_swaps(spark, index_dir)
     if batch_id is not None and _path_exists(spark, _ingest_ledger(index_dir, batch_id)):
         return  # ledger says fully applied: redelivery is a no-op
@@ -1209,22 +1241,30 @@ def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
-def _read_table_retry(spark: SparkSession, path: str) -> DataFrame:
+def _read_table_retry(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
     """spark.read.parquet with a short bounded retry on a MISSING path:
     a reader that plans a scan inside a live swap's delete->rename window
-    (milliseconds) sees PATH_NOT_FOUND at footer-inference time; one
+    (milliseconds) sees PATH_NOT_FOUND at file-listing time; one
     brief re-check turns that spurious failure into a read of the swapped
     table. Only the missing-path failure retries -- corrupt-footer or
     permission errors propagate on the first attempt; a path still
     missing after the retries (a genuinely broken index) propagates too.
     Task-time failures (files vanishing under an already-running job)
     are out of scope here -- only a versioned table layout can absorb
-    those; SCALE.md documents the trade."""
+    those; SCALE.md documents the trade.
+
+    *schema* (a :data:`_LAYOUT_SCHEMAS` entry) skips plan-time footer
+    schema inference -- a missing path still raises PATH_NOT_FOUND (the
+    file listing happens regardless), so the retry semantics are
+    unchanged."""
     import time as _time
 
     for attempt in range(3):
         try:
-            return spark.read.parquet(path)
+            reader = spark.read.schema(schema) if schema else spark.read
+            return reader.parquet(path)
         except Exception as exc:  # noqa: BLE001 -- AnalysisException
             if not _is_missing_path_error(exc):
                 raise
@@ -1239,10 +1279,14 @@ def load_index(spark: SparkSession, index_dir: str) -> IndexTables:
     crash-torn table swap first -- see :func:`_heal_torn_swaps`)."""
     _heal_torn_swaps(spark, index_dir)
     return IndexTables(
-        doc_stats=_read_table_retry(spark, f"{index_dir}/doc_stats"),
-        inverted_index=_read_table_retry(spark, f"{index_dir}/inverted_index"),
-        vocab=_read_table_retry(spark, f"{index_dir}/vocab"),
-        meta=_read_table_retry(spark, f"{index_dir}/meta"),
+        doc_stats=_read_table_retry(
+            spark, f"{index_dir}/doc_stats", _LAYOUT_SCHEMAS["doc_stats"]
+        ),
+        inverted_index=_read_table_retry(
+            spark, f"{index_dir}/inverted_index", _LAYOUT_SCHEMAS["inverted_index"]
+        ),
+        vocab=_read_table_retry(spark, f"{index_dir}/vocab", _LAYOUT_SCHEMAS["vocab"]),
+        meta=_read_table_retry(spark, f"{index_dir}/meta", _LAYOUT_SCHEMAS["meta"]),
     )
 
 
