@@ -236,22 +236,31 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_WARM_MEDIANS", "1") != "0":
         top = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:10]]
         # ... plus every regression SUSPECT: a query reading >1.5x its
-        # historical best across the committed BENCH_r*.json artifacts
-        # (and >0.5s now -- sub-second swings are pure position noise).
-        # These are exactly the rows warm medians exist to settle:
-        # position/cold-head cost vs a real code regression.
+        # historical best across the committed bench artifacts (and >0.5s
+        # now -- sub-second swings are pure position noise). These are
+        # exactly the rows warm medians exist to settle: position/cold-
+        # head cost vs a real code regression. History sources, SAME-sf
+        # only (a sf0.01 run must not compare against sf0.1 bests):
+        # driver BENCH_r*.json artifacts carry per-query timings under
+        # parsed.queries (the truncated top-cost tail), and the on-disk
+        # BENCH_DETAIL.json -- not yet overwritten at this point -- is
+        # the PREVIOUS run's full 225-query map.
         hist_best: dict[str, float] = {}
         import glob as _glob
 
-        for bf in sorted(
-            _glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
-        ):
+        here = os.path.dirname(os.path.abspath(__file__))
+        for bf in sorted(_glob.glob(os.path.join(here, "BENCH_r*.json"))) + [
+            os.path.join(here, "BENCH_DETAIL.json")
+        ]:
             try:
                 with open(bf) as fh:
-                    past = json.load(fh).get("queries") or {}
+                    art = json.load(fh)
             except Exception:  # noqa: BLE001 -- a malformed artifact never kills the bench
                 continue
-            for n, s in past.items():
+            payload = art.get("parsed") or art  # parsed: null on a failed round
+            if payload.get("sf") != sf and art.get("sf") != sf:
+                continue
+            for n, s in (payload.get("queries") or {}).items():
                 if isinstance(s, (int, float)) and s > 0 and s < hist_best.get(n, float("inf")):
                     hist_best[n] = s
         suspects = sorted(

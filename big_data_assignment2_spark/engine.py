@@ -289,7 +289,14 @@ def _dir_signature(fs, jpath):
     a fresh UUID per write, so two different write jobs at the same
     pathname can never produce an equal signature -- name equality alone
     would already distinguish instances; length+mtime are belt and
-    braces. One listStatus roundtrip."""
+    braces. One listStatus roundtrip.
+
+    Only a MISSING path maps to None (the caller treats it as a benign
+    race: the dir was consumed). A persistent listing failure -- e.g. an
+    AccessControlException on the tmp -- must PROPAGATE: mapping it to
+    None would make the torn-swap healer silently skip forever, leaving
+    every subsequent load raising on the missing destination with no
+    signal pointing at the unreadable tmp."""
     try:
         return tuple(
             sorted(
@@ -297,8 +304,11 @@ def _dir_signature(fs, jpath):
                 for st in fs.listStatus(jpath)
             )
         )
-    except Exception:  # noqa: BLE001 -- missing path raises through py4j
-        return None
+    except Exception as exc:  # noqa: BLE001 -- py4j wraps the Java cause
+        msg = str(exc)
+        if "FileNotFoundException" in msg or "does not exist" in msg:
+            return None
+        raise
 
 
 def _heal_torn_swaps(spark: SparkSession, index_dir: str) -> None:
@@ -503,6 +513,7 @@ def invalidate_fs_caches() -> None:
     ``fs.defaultFS`` -- than the session that populated them."""
     global _DEFAULT_FS_IS_LOCAL
     _N_BUCKETS_CACHE.clear()
+    _LAYOUT_VALIDATED.clear()
     _DEFAULT_FS_IS_LOCAL = None
 
 
@@ -1054,7 +1065,8 @@ def _df_delta_for_ids(
         ).distinct().collect()
     )
     return (
-        spark.read.parquet(f"{index_dir}/forward")
+        spark.read.schema(_LAYOUT_SCHEMAS["forward"])
+        .parquet(f"{index_dir}/forward")
         .where(F.col("doc_bucket").isin(buckets))
         .join(F.broadcast(ids), "doc_id", "left_semi")
         .groupBy("term")
@@ -1085,7 +1097,11 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
 
     def _compact_table(table: str, part_col: str | None) -> None:
         path = f"{index_dir}/{table}"
-        df = spark.read.parquet(path).join(F.broadcast(tomb), "doc_id", "left_anti")
+        df = (
+            spark.read.schema(_LAYOUT_SCHEMAS[table])
+            .parquet(path)
+            .join(F.broadcast(tomb), "doc_id", "left_anti")
+        )
         if part_col:
             df = df.repartition(part_col)
         w = df.write.mode("overwrite")
@@ -1274,10 +1290,44 @@ def _read_table_retry(
     raise AssertionError("unreachable")
 
 
+_LAYOUT_VALIDATED: set[str] = set()
+
+
+def _validate_layout(spark: SparkSession, index_dir: str) -> None:
+    """Fail fast on a FOREIGN directory: declared read schemas null-fill
+    columns the files lack instead of erroring, so a dir whose tables
+    were written by something else (the CLI reuses any existing on-disk
+    index_dir) would otherwise search to zero hits silently where schema
+    inference used to raise. One pyarrow footer read of one doc_stats
+    data file on the local fast path (microseconds), memoized per
+    process; remote paths skip -- the engine is the only writer of
+    cluster dirs under the single-writer contract, and a per-load remote
+    footer roundtrip would re-pay the plan cost the declared schemas
+    exist to remove."""
+    if index_dir in _LAYOUT_VALIDATED:
+        return
+    path = f"{index_dir}/doc_stats"
+    if _is_local_path(spark, path):
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(f"{_strip_file_scheme(path)}/*.parquet"))
+        if files:
+            got = set(pq.read_schema(files[0]).names)
+            want = {"doc_id", "title", "length"}
+            if got != want:
+                raise ValueError(
+                    f"{path} is not an index doc_stats table (columns "
+                    f"{sorted(got)}, expected {sorted(want)}) -- was "
+                    f"{index_dir} written by something else?"
+                )
+    _LAYOUT_VALIDATED.add(index_dir)
+
+
 def load_index(spark: SparkSession, index_dir: str) -> IndexTables:
     """S2: the four index tables back as DataFrames (completing any
     crash-torn table swap first -- see :func:`_heal_torn_swaps`)."""
     _heal_torn_swaps(spark, index_dir)
+    _validate_layout(spark, index_dir)
     return IndexTables(
         doc_stats=_read_table_retry(
             spark, f"{index_dir}/doc_stats", _LAYOUT_SCHEMAS["doc_stats"]

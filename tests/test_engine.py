@@ -1058,3 +1058,42 @@ def test_meta_fingerprint_propagates_persistent_errors(spark, tmp_path, monkeypa
     monkeypatch.setattr(engine.os, "scandir", denied)
     with pytest.raises(PermissionError):
         engine._meta_fingerprint(spark, d)
+
+
+def test_load_index_rejects_foreign_dir(spark, tmp_path):
+    """Declared read schemas null-fill columns the files lack, so a
+    directory whose tables were written by something else (the CLI
+    reuses any existing on-disk index_dir) would search to zero hits
+    silently where schema inference used to raise -- load_index now
+    fails fast on a doc_stats footer that doesn't match the layout."""
+    d = str(tmp_path / "foreign")
+    spark.range(5).selectExpr("id AS a", "id * 2 AS b").write.parquet(
+        f"{d}/doc_stats"
+    )
+    for t in ("inverted_index", "vocab", "meta"):
+        spark.range(1).selectExpr("id AS x").write.parquet(f"{d}/{t}")
+    with pytest.raises(ValueError, match="doc_stats"):
+        engine.load_index(spark, d)
+
+
+def test_dir_signature_distinguishes_gone_from_denied():
+    """_dir_signature maps only a MISSING path to None (benign race: the
+    tmp was consumed); a persistent listing failure must propagate --
+    swallowing it would make the torn-swap healer silently skip forever
+    with every subsequent load raising on the missing destination."""
+
+    class DeniedFS:
+        def listStatus(self, p):
+            raise RuntimeError(
+                "org.apache.hadoop.security.AccessControlException: denied"
+            )
+
+    class GoneFS:
+        def listStatus(self, p):
+            raise RuntimeError(
+                "java.io.FileNotFoundException: File /x does not exist"
+            )
+
+    with pytest.raises(RuntimeError, match="AccessControlException"):
+        engine._dir_signature(DeniedFS(), "/x")
+    assert engine._dir_signature(GoneFS(), "/x") is None
