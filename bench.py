@@ -255,12 +255,14 @@ def main() -> None:
             try:
                 with open(bf) as fh:
                     art = json.load(fh)
-            except Exception:  # noqa: BLE001 -- a malformed artifact never kills the bench
-                continue
-            payload = art.get("parsed") or art  # parsed: null on a failed round
-            if payload.get("sf") != sf and art.get("sf") != sf:
-                continue
-            for n, s in (payload.get("queries") or {}).items():
+                payload = art.get("parsed") or art  # parsed: null on a failed round
+                if payload.get("sf") != sf and art.get("sf") != sf:
+                    continue
+                queries = payload.get("queries")
+                items = queries.items() if isinstance(queries, dict) else ()
+            except Exception:  # noqa: BLE001 -- a malformed artifact (bad JSON
+                continue  # or a non-object shape) never kills the bench
+            for n, s in items:
                 if isinstance(s, (int, float)) and s > 0 and s < hist_best.get(n, float("inf")):
                     hist_best[n] = s
         suspects = sorted(

@@ -548,13 +548,10 @@ def _meta_fingerprint(spark: SparkSession, index_dir: str):
             return None
     fs, p = _fs_and_path(spark, path)
     try:
-        return tuple(
-            sorted(
-                (st.getPath().getName(), st.getLen(), st.getModificationTime())
-                for st in fs.listStatus(p)
-            )
-        )
-    except Exception:  # noqa: BLE001 -- missing path raises through py4j
+        return _dir_signature(fs, p)
+    except Exception:  # noqa: BLE001 -- pre-existing remote-branch policy:
+        # any listing failure (not just missing-path) serves the cached
+        # value; n_buckets is maintenance-invariant so that stays correct
         return None
 
 
@@ -830,7 +827,7 @@ def append_to_index(
     tomb = _tombstones(spark, index_dir)
     if tomb is not None:
         clash = (
-            new_docs.select(F.col("doc_id").cast("string").alias("doc_id"))
+            new_docs.select("doc_id")  # already STRING via _normalize_docs
             .join(F.broadcast(tomb), "doc_id", "left_semi")
             .limit(1)
             .collect()
@@ -1307,19 +1304,32 @@ def _validate_layout(spark: SparkSession, index_dir: str) -> None:
     if index_dir in _LAYOUT_VALIDATED:
         return
     path = f"{index_dir}/doc_stats"
-    if _is_local_path(spark, path):
-        import pyarrow.parquet as pq
+    if not _is_local_path(spark, path):
+        return
+    import pyarrow.parquet as pq
 
+    try:
         files = sorted(glob.glob(f"{_strip_file_scheme(path)}/*.parquet"))
-        if files:
-            got = set(pq.read_schema(files[0]).names)
-            want = {"doc_id", "title", "length"}
-            if got != want:
-                raise ValueError(
-                    f"{path} is not an index doc_stats table (columns "
-                    f"{sorted(got)}, expected {sorted(want)}) -- was "
-                    f"{index_dir} written by something else?"
-                )
+        if not files:
+            # momentarily absent/empty (mid-swap, or not yet built):
+            # deliberately NOT memoized, so the next load re-validates
+            # once the table exists -- memoizing here would permanently
+            # disable the guard for this index_dir
+            return
+        schema = pq.read_schema(files[0])
+    except (FileNotFoundError, NotADirectoryError):
+        # the swap's delete->rename window hit between glob and footer
+        # read; the table read below absorbs it via _read_table_retry,
+        # and validation retries on the next un-memoized load
+        return
+    got = {schema.field(i).name: str(schema.field(i).type) for i in range(len(schema))}
+    want = {"doc_id": "string", "title": "string", "length": "int64"}
+    if got != want:
+        raise ValueError(
+            f"{path} does not match the index layout (found {got}, "
+            f"expected {want}) -- {index_dir} was written by another tool "
+            "or an older layout; rebuild with build_index()"
+        )
     _LAYOUT_VALIDATED.add(index_dir)
 
 

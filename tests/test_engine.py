@@ -1075,6 +1075,17 @@ def test_load_index_rejects_foreign_dir(spark, tmp_path):
     with pytest.raises(ValueError, match="doc_stats"):
         engine.load_index(spark, d)
 
+    # right column NAMES but legacy/foreign TYPES (doc_id bigint was
+    # silently accepted by schema inference; declared STRING would now
+    # fail at task time with an obscure Parquet conversion error) --
+    # the guard turns it into a clear rebuild message
+    d2 = str(tmp_path / "legacy")
+    spark.range(5).selectExpr(
+        "id AS doc_id", "CAST(id AS STRING) AS title", "id AS length"
+    ).write.parquet(f"{d2}/doc_stats")
+    with pytest.raises(ValueError, match="rebuild"):
+        engine._validate_layout(spark, d2)
+
 
 def test_dir_signature_distinguishes_gone_from_denied():
     """_dir_signature maps only a MISSING path to None (benign race: the
