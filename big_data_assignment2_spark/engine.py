@@ -150,7 +150,11 @@ def build_index(
     _run_concurrently(_write_postings, _write_doc_stats)
     # vocab/forward re-read the persisted postings rather than recomputing
     # the tokenize shuffle a second time; they're independent of each other
-    persisted = spark.read.parquet(f"{index_dir}/inverted_index")
+    # (declared schema: the build just wrote this layout -- see
+    # _LAYOUT_SCHEMAS)
+    persisted = spark.read.schema(_LAYOUT_SCHEMAS["inverted_index"]).parquet(
+        f"{index_dir}/inverted_index"
+    )
 
     def _write_vocab() -> None:
         index_build.vocab_from_inverted(persisted).write.mode("overwrite").parquet(
@@ -175,7 +179,11 @@ def build_index(
             spark,
             index_dir,
             n_buckets,
-            _count_and_total_dl(spark.read.parquet(f"{index_dir}/doc_stats")),
+            _count_and_total_dl(
+                spark.read.schema(_LAYOUT_SCHEMAS["doc_stats"]).parquet(
+                    f"{index_dir}/doc_stats"
+                )
+            ),
         )
 
     # vocab/forward read the persisted postings, meta reads the persisted
@@ -577,7 +585,17 @@ def _read_meta_kv(spark: SparkSession, index_dir: str) -> dict[str, str | None]:
             )
         # fall through to the Spark reader for a clean error on a
         # genuinely missing/empty meta table
-    rows = spark.read.parquet(path).collect()
+    # declared schema (skips per-call footer inference -- on a cluster
+    # this read runs once per micro-batch/search); a missing path still
+    # raises PATH_NOT_FOUND, and the explicit rows check below restores
+    # the loud failure inference gave on a file-less dir, which the
+    # declared schema would otherwise read as silently empty
+    rows = spark.read.schema(_LAYOUT_SCHEMAS["meta"]).parquet(path).collect()
+    if not rows:
+        raise RuntimeError(
+            f"{path} exists but has no rows -- the index meta was never "
+            "written or a rebuild is in progress; rebuild with build_index()"
+        )
     return {r["key"]: r["value"] for r in rows}
 
 
@@ -713,7 +731,12 @@ def _write_meta_from_live_stats(
     upgrade path, which also writes the total_dl key) cannot be
     double-counted by the now-enabled INCREMENTAL path on redelivery."""
     if live is None:
-        live = spark.read.parquet(f"{index_dir}/doc_stats")
+        # declared schema: an all-compacted index legitimately has a
+        # file-less doc_stats dir here, and the empty frame (-> 0-doc
+        # meta) is the CORRECT live view -- no emptiness guard wanted
+        live = spark.read.schema(_LAYOUT_SCHEMAS["doc_stats"]).parquet(
+            f"{index_dir}/doc_stats"
+        )
     tomb = _tombstones(spark, index_dir)
     if tomb is not None:
         live = live.join(F.broadcast(tomb), "doc_id", "left_anti")
@@ -821,6 +844,10 @@ def append_to_index(
     spark = new_docs.sparkSession
     new_docs = _normalize_docs(new_docs)
     _heal_torn_swaps(spark, index_dir)
+    # same fail-fast load_index gets: appending normalized STRING rows
+    # into a pre-contract (e.g. bigint doc_id) or foreign dir would
+    # otherwise create a mixed layout that fails obscurely at read time
+    _validate_layout(spark, index_dir)
     if batch_id is not None and _path_exists(spark, _ingest_ledger(index_dir, batch_id)):
         return  # ledger says fully applied: redelivery is a no-op
     n_buckets = _read_n_buckets(spark, index_dir)
@@ -882,7 +909,8 @@ def append_to_index(
             "doc_freq", "delta_df"
         )
         merged = (
-            spark.read.parquet(f"{index_dir}/vocab")
+            spark.read.schema(_LAYOUT_SCHEMAS["vocab"])
+            .parquet(f"{index_dir}/vocab")
             .join(delta, "term", "full_outer")
             .select(
                 "term",
@@ -1004,6 +1032,10 @@ def delete_from_index(doc_ids: DataFrame, index_dir: str) -> None:
     space-reclamation half."""
     spark = doc_ids.sparkSession
     _heal_torn_swaps(spark, index_dir)
+    # fail fast on a foreign/legacy dir: the declared forward-table
+    # schema below would otherwise die task-side with an opaque Parquet
+    # conversion error (or null-fill into a WRONG df delta)
+    _validate_layout(spark, index_dir)
     n_buckets = _read_n_buckets(spark, index_dir)
     ids = doc_ids.select(F.col("doc_id").cast("string").alias("doc_id")).distinct()
     prior = _tombstones(spark, index_dir)
@@ -1019,7 +1051,8 @@ def delete_from_index(doc_ids: DataFrame, index_dir: str) -> None:
     def _subtract_vocab_delta() -> None:
         delta = _df_delta_for_ids(spark, index_dir, ids, n_buckets)
         merged = (
-            spark.read.parquet(f"{index_dir}/vocab")
+            spark.read.schema(_LAYOUT_SCHEMAS["vocab"])
+            .parquet(f"{index_dir}/vocab")
             .join(delta, "term", "left")
             .select(
                 "term",
@@ -1088,6 +1121,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
     Each table is rewritten to ``<table>.tmp`` and swapped in, preserving
     the bucket-partitioned layouts (one writer task per bucket)."""
     _heal_torn_swaps(spark, index_dir)
+    _validate_layout(spark, index_dir)  # same fail-fast as load_index/delete
     tomb = _tombstones(spark, index_dir)
     if tomb is None:
         return
@@ -1271,23 +1305,73 @@ def _read_table_retry(
     *schema* (a :data:`_LAYOUT_SCHEMAS` entry) skips plan-time footer
     schema inference -- a missing path still raises PATH_NOT_FOUND (the
     file listing happens regardless), so the retry semantics are
-    unchanged."""
+    unchanged. A dir with NO data files, however, would plan an EMPTY
+    scan under a declared schema where inference raised
+    UNABLE_TO_INFER_SCHEMA -- silent zero results during an in-place
+    rebuild's overwrite window (``build_index`` over an existing dir is
+    the one live write that empties a table dir mid-job). The zero-file
+    state is re-checked from the already-planned relation (no extra
+    listing) and raises after the same brief retry, restoring the loud
+    failure inference used to provide."""
     import time as _time
 
     for attempt in range(3):
         try:
             reader = spark.read.schema(schema) if schema else spark.read
-            return reader.parquet(path)
+            df = reader.parquet(path)
         except Exception as exc:  # noqa: BLE001 -- AnalysisException
             if not _is_missing_path_error(exc):
                 raise
             if attempt == 2:
                 raise
             _time.sleep(0.05)
+            continue
+        if schema is None or _n_input_files(df):
+            return df
+        if attempt == 2:
+            raise RuntimeError(
+                f"{path} exists but contains no data files -- a concurrent "
+                "build_index() overwrite in progress, a never-built table, "
+                "or an index emptied by compaction; re-run after the "
+                "rebuild completes (schema inference used to raise "
+                "UNABLE_TO_INFER_SCHEMA here; the declared layout schema "
+                "would otherwise read this as silently EMPTY)"
+            )
+        _time.sleep(0.05)
     raise AssertionError("unreachable")
 
 
+def _n_input_files(df: DataFrame) -> int:
+    """File count of a just-planned file scan. The listing already
+    happened at plan time; asking the JVM for the array LENGTH avoids
+    shipping the (possibly huge at cluster scale) path array to the
+    driver on every read."""
+    try:
+        return len(df._jdf.inputFiles())  # py4j array: length-only roundtrip
+    except Exception:  # pragma: no cover -- e.g. Spark Connect (no _jdf)
+        return len(df.inputFiles())
+
+
 _LAYOUT_VALIDATED: set[str] = set()
+
+# Partition columns live in directory names, never in data-file footers.
+_LAYOUT_PARTITION = {"inverted_index": "term_bucket", "forward": "doc_bucket"}
+
+_DDL_TO_ARROW = {"STRING": "string", "BIGINT": "int64", "INT": "int32"}
+
+
+def _expected_footer(table: str) -> dict[str, str]:
+    """The pyarrow footer schema a conforming *table* data file carries,
+    derived from :data:`_LAYOUT_SCHEMAS` (single source of truth -- a
+    layout change updating one side cannot drift from the other) minus
+    the partition column, which lives in the directory name."""
+    part = _LAYOUT_PARTITION.get(table)
+    want: dict[str, str] = {}
+    for field in _LAYOUT_SCHEMAS[table].split(","):
+        name, ddl = field.strip().split(" ", 1)
+        if name != part:
+            want[name] = _DDL_TO_ARROW[ddl.strip().upper()]
+    return want
 
 
 def _validate_layout(spark: SparkSession, index_dir: str) -> None:
@@ -1295,42 +1379,59 @@ def _validate_layout(spark: SparkSession, index_dir: str) -> None:
     columns the files lack instead of erroring, so a dir whose tables
     were written by something else (the CLI reuses any existing on-disk
     index_dir) would otherwise search to zero hits silently where schema
-    inference used to raise. One pyarrow footer read of one doc_stats
-    data file on the local fast path (microseconds), memoized per
-    process; remote paths skip -- the engine is the only writer of
-    cluster dirs under the single-writer contract, and a per-load remote
-    footer roundtrip would re-pay the plan cost the declared schemas
-    exist to remove."""
+    inference used to raise. EVERY table with a declared schema is
+    checked -- a conforming doc_stats over a foreign vocab must not
+    null-fill to zero hits either -- one pyarrow footer read per table
+    on the local fast path (microseconds), memoized per process; remote
+    paths skip: the engine is the only writer of cluster dirs under the
+    single-writer contract, and per-load remote footer roundtrips would
+    re-pay the plan cost the declared schemas exist to remove.
+
+    A table that is momentarily absent or file-less (mid-swap, not yet
+    built, a pre-forward legacy layout, or a rebuild's overwrite window)
+    is skipped WITHOUT memoizing, so the next load re-validates it --
+    memoizing would permanently disable the guard for this index_dir;
+    the read path reports the file-less state loudly itself (see
+    :func:`_read_table_retry`)."""
     if index_dir in _LAYOUT_VALIDATED:
         return
-    path = f"{index_dir}/doc_stats"
-    if not _is_local_path(spark, path):
+    if not _is_local_path(spark, index_dir):
         return
     import pyarrow.parquet as pq
 
-    try:
-        files = sorted(glob.glob(f"{_strip_file_scheme(path)}/*.parquet"))
-        if not files:
-            # momentarily absent/empty (mid-swap, or not yet built):
-            # deliberately NOT memoized, so the next load re-validates
-            # once the table exists -- memoizing here would permanently
-            # disable the guard for this index_dir
-            return
-        schema = pq.read_schema(files[0])
-    except (FileNotFoundError, NotADirectoryError):
-        # the swap's delete->rename window hit between glob and footer
-        # read; the table read below absorbs it via _read_table_retry,
-        # and validation retries on the next un-memoized load
-        return
-    got = {schema.field(i).name: str(schema.field(i).type) for i in range(len(schema))}
-    want = {"doc_id": "string", "title": "string", "length": "int64"}
-    if got != want:
-        raise ValueError(
-            f"{path} does not match the index layout (found {got}, "
-            f"expected {want}) -- {index_dir} was written by another tool "
-            "or an older layout; rebuild with build_index()"
+    base = _strip_file_scheme(index_dir)
+    checked_all = True
+    for table in _LAYOUT_SCHEMAS:
+        part = _LAYOUT_PARTITION.get(table)
+        pattern = (
+            f"{base}/{table}/{part}=*/*.parquet" if part else f"{base}/{table}/*.parquet"
         )
-    _LAYOUT_VALIDATED.add(index_dir)
+        try:
+            files = sorted(glob.glob(pattern))
+            if not files:
+                checked_all = False
+                continue
+            schema = pq.read_schema(files[0])
+        except (FileNotFoundError, NotADirectoryError):
+            # the swap's delete->rename window hit between glob and
+            # footer read; the table read absorbs it via
+            # _read_table_retry, and validation retries on the next
+            # un-memoized load
+            checked_all = False
+            continue
+        got = {
+            schema.field(i).name: str(schema.field(i).type) for i in range(len(schema))
+        }
+        want = _expected_footer(table)
+        if got != want:
+            raise ValueError(
+                f"{index_dir}/{table} does not match the index layout "
+                f"(found {got}, expected {want}) -- {index_dir} was "
+                "written by another tool or an older layout; rebuild "
+                "with build_index()"
+            )
+    if checked_all:
+        _LAYOUT_VALIDATED.add(index_dir)
 
 
 def load_index(spark: SparkSession, index_dir: str) -> IndexTables:

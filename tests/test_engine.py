@@ -1108,3 +1108,106 @@ def test_dir_signature_distinguishes_gone_from_denied():
     with pytest.raises(RuntimeError, match="AccessControlException"):
         engine._dir_signature(DeniedFS(), "/x")
     assert engine._dir_signature(GoneFS(), "/x") is None
+
+
+def test_expected_footer_derives_from_layout_schemas():
+    """The validate-layout footer expectations derive from _LAYOUT_SCHEMAS
+    (single source of truth): a layout change updating the declared read
+    schema cannot silently drift from the guard's expectation."""
+    assert engine._expected_footer("doc_stats") == {
+        "doc_id": "string",
+        "title": "string",
+        "length": "int64",
+    }
+    # partition columns live in directory names, never in footers
+    assert "term_bucket" not in engine._expected_footer("inverted_index")
+    assert engine._expected_footer("inverted_index")["tf"] == "int64"
+    assert "doc_bucket" not in engine._expected_footer("forward")
+    assert engine._expected_footer("meta") == {"key": "string", "value": "string"}
+
+
+def test_validate_layout_checks_every_table(spark, tmp_path):
+    """A conforming doc_stats over a FOREIGN vocab must not null-fill to
+    zero hits: every table with a declared schema is footer-checked."""
+    d = str(tmp_path / "torn")
+    spark.createDataFrame(
+        [("1", "t", 3)], "doc_id string, title string, length long"
+    ).write.parquet(f"{d}/doc_stats")
+    spark.range(3).selectExpr("id AS x").write.parquet(f"{d}/vocab")
+    with pytest.raises(ValueError, match="vocab"):
+        engine._validate_layout(spark, d)
+
+
+def test_validate_layout_memoizes_conforming_index(spark, index_dir):
+    """A fully built index passes the per-table footer check for ALL five
+    tables and memoizes -- pins the partitioned-table glob (bucket
+    subdirectories), which would otherwise silently skip validation."""
+    engine._LAYOUT_VALIDATED.discard(index_dir)
+    engine._validate_layout(spark, index_dir)
+    assert index_dir in engine._LAYOUT_VALIDATED
+
+
+def test_read_table_retry_raises_on_fileless_dir(spark, tmp_path):
+    """A dir with no data files plans an EMPTY scan under a declared
+    schema where inference raised UNABLE_TO_INFER_SCHEMA -- the read must
+    restore the loud failure (an in-place rebuild's overwrite window, or
+    a never-built table), never return silent zero rows."""
+    import os
+
+    d = str(tmp_path / "idx")
+    os.makedirs(f"{d}/doc_stats")
+    open(f"{d}/doc_stats/_SUCCESS", "w").close()
+    with pytest.raises(RuntimeError, match="no data files"):
+        engine._read_table_retry(
+            spark, f"{d}/doc_stats", engine._LAYOUT_SCHEMAS["doc_stats"]
+        )
+
+
+def test_load_index_raises_loudly_on_fileless_table(spark, tmp_path):
+    """load_index during a concurrent rebuild's overwrite window (table
+    dir exists, data files deleted by mode('overwrite')) raises instead
+    of serving an empty index."""
+    import glob as _glob
+    import os
+
+    d = str(tmp_path / "midbuild")
+    spark.createDataFrame(
+        [("1", "t", 3)], "doc_id string, title string, length long"
+    ).write.parquet(f"{d}/doc_stats")
+    for p in _glob.glob(f"{d}/doc_stats/*.parquet"):
+        os.remove(p)
+    with pytest.raises(RuntimeError, match="no data files"):
+        engine.load_index(spark, d)
+
+
+def test_maintenance_rejects_foreign_dir(spark, tmp_path):
+    """delete/compact/append on a legacy dir (bigint doc_id) fail fast
+    with the clear rebuild message -- not an opaque task-side Parquet
+    conversion error (or a silently null-filled WRONG df delta)."""
+    d = str(tmp_path / "legacy")
+    spark.range(5).selectExpr(
+        "id AS doc_id", "CAST(id AS STRING) AS title", "id AS length"
+    ).write.parquet(f"{d}/doc_stats")
+    ids = spark.createDataFrame([("1",)], "doc_id string")
+    with pytest.raises(ValueError, match="rebuild"):
+        engine.delete_from_index(ids, d)
+    with pytest.raises(ValueError, match="rebuild"):
+        engine.compact_index(spark, d)
+    docs = spark.createDataFrame(
+        [("9", "t", "hello world")], "doc_id string, title string, text string"
+    )
+    with pytest.raises(ValueError, match="rebuild"):
+        engine.append_to_index(docs, d)
+
+
+def test_read_meta_kv_raises_on_fileless_meta(spark, tmp_path):
+    """The declared meta schema would read a file-less meta dir as {} --
+    and a missing n_buckets silently falls back to the default bucket
+    count, mis-pruning every search on an index built with another
+    layout. The explicit rows check restores the loud failure."""
+    import os
+
+    d = str(tmp_path / "idx")
+    os.makedirs(f"{d}/meta")
+    with pytest.raises(RuntimeError, match="no rows"):
+        engine._read_meta_kv(spark, d)
