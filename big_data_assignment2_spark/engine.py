@@ -580,6 +580,14 @@ def _read_meta_kv(spark: SparkSession, index_dir: str) -> dict[str, str | None]:
         files = sorted(glob.glob(f"{_strip_file_scheme(path)}/*.parquet"))
         if files:
             t = pq.ParquetDataset(files).read(columns=["key", "value"])
+            if t.num_rows == 0:
+                # a 0-row meta is always foreign/corrupt (_write_meta_table
+                # writes >= 3 rows): returning {} would silently serve the
+                # DEFAULT n_buckets and mis-prune every search
+                raise RuntimeError(
+                    f"{path} has data files but no rows -- the meta table "
+                    "is corrupt or foreign; rebuild with build_index()"
+                )
             return dict(
                 zip(t.column("key").to_pylist(), t.column("value").to_pylist())
             )
@@ -679,8 +687,14 @@ def _write_meta_table(
             F.create_map(
                 F.lit("total_docs"), F.col("total_docs").cast("string"),
                 F.lit("avg_dl"),
-                (F.col("total_dl").cast("double") / F.col("total_docs")).cast(
-                    "string"
+                # guard N == 0 (every document deleted): ANSI division by
+                # zero would otherwise crash the delete-path meta
+                # recompute; 0.0 is the sentinel for "no live docs", and
+                # the N > 0 branch stays the same bit-identical division
+                F.when(F.col("total_docs") == 0, F.lit("0.0")).otherwise(
+                    (F.col("total_dl").cast("double") / F.col("total_docs")).cast(
+                        "string"
+                    )
                 ),
                 F.lit("total_dl"), F.col("total_dl").cast("string"),
                 F.lit("n_buckets"), F.lit(str(n_buckets)),
@@ -731,11 +745,14 @@ def _write_meta_from_live_stats(
     upgrade path, which also writes the total_dl key) cannot be
     double-counted by the now-enabled INCREMENTAL path on redelivery."""
     if live is None:
-        # declared schema: an all-compacted index legitimately has a
-        # file-less doc_stats dir here, and the empty frame (-> 0-doc
-        # meta) is the CORRECT live view -- no emptiness guard wanted
-        live = spark.read.schema(_LAYOUT_SCHEMAS["doc_stats"]).parquet(
-            f"{index_dir}/doc_stats"
+        # _read_table_retry: a file-less doc_stats is always abnormal
+        # (even an all-compacted index keeps a zero-row schema-bearing
+        # file -- Spark writes one for empty non-partitioned frames), so
+        # reading it as EMPTY would silently persist a 0-doc meta over a
+        # torn rebuild; the zero-row-but-file-present state reads fine
+        # and a 0-doc meta is then genuinely correct
+        live = _read_table_retry(
+            spark, f"{index_dir}/doc_stats", _LAYOUT_SCHEMAS["doc_stats"]
         )
     tomb = _tombstones(spark, index_dir)
     if tomb is not None:
@@ -908,9 +925,14 @@ def append_to_index(
         delta = index_build.vocab_from_inverted(inverted_new).withColumnRenamed(
             "doc_freq", "delta_df"
         )
+        # _read_table_retry, not a bare declared-schema read: a torn
+        # rebuild leaves vocab file-less, and silently merging the delta
+        # into an EMPTY frame would swap in a vocab missing every prior
+        # term's df (an all-deleted index is NOT file-less -- Spark
+        # writes a zero-row schema-bearing file for empty non-partitioned
+        # frames, pinned by test_empty_write_leaves_data_file)
         merged = (
-            spark.read.schema(_LAYOUT_SCHEMAS["vocab"])
-            .parquet(f"{index_dir}/vocab")
+            _read_table_retry(spark, f"{index_dir}/vocab", _LAYOUT_SCHEMAS["vocab"])
             .join(delta, "term", "full_outer")
             .select(
                 "term",
@@ -959,7 +981,11 @@ def append_to_index(
             )
         ]
         if pre_files:
-            meta_live = spark.read.parquet(*pre_files).unionByName(stats_new)
+            meta_live = (
+                spark.read.schema(_LAYOUT_SCHEMAS["doc_stats"])
+                .parquet(*pre_files)
+                .unionByName(stats_new)
+            )
 
     def _apply_meta() -> None:
         if meta_counts is not None:
@@ -1050,9 +1076,12 @@ def delete_from_index(doc_ids: DataFrame, index_dir: str) -> None:
 
     def _subtract_vocab_delta() -> None:
         delta = _df_delta_for_ids(spark, index_dir, ids, n_buckets)
+        # _read_table_retry for the same reason as the append-path merge:
+        # a file-less vocab is always torn/never-built, never a legit
+        # empty table -- reading it as EMPTY would swap in a vocab that
+        # lost every term
         merged = (
-            spark.read.schema(_LAYOUT_SCHEMAS["vocab"])
-            .parquet(f"{index_dir}/vocab")
+            _read_table_retry(spark, f"{index_dir}/vocab", _LAYOUT_SCHEMAS["vocab"])
             .join(delta, "term", "left")
             .select(
                 "term",
@@ -1128,10 +1157,11 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
 
     def _compact_table(table: str, part_col: str | None) -> None:
         path = f"{index_dir}/{table}"
-        df = (
-            spark.read.schema(_LAYOUT_SCHEMAS[table])
-            .parquet(path)
-            .join(F.broadcast(tomb), "doc_id", "left_anti")
+        # _read_table_retry: compacting a torn-rebuild's file-less table
+        # as EMPTY would persist the loss; raises loudly instead (the
+        # pre-declared-schema behavior -- inference raised here too)
+        df = _read_table_retry(spark, path, _LAYOUT_SCHEMAS[table]).join(
+            F.broadcast(tomb), "doc_id", "left_anti"
         )
         if part_col:
             df = df.repartition(part_col)
@@ -1331,11 +1361,13 @@ def _read_table_retry(
         if attempt == 2:
             raise RuntimeError(
                 f"{path} exists but contains no data files -- a concurrent "
-                "build_index() overwrite in progress, a never-built table, "
-                "or an index emptied by compaction; re-run after the "
-                "rebuild completes (schema inference used to raise "
-                "UNABLE_TO_INFER_SCHEMA here; the declared layout schema "
-                "would otherwise read this as silently EMPTY)"
+                "build_index() overwrite in progress (re-run after it "
+                "completes), a torn rebuild, a never-built table, or an "
+                "index whose every document was deleted and compacted away "
+                "(append documents or rebuild). Schema inference raised "
+                "UNABLE_TO_INFER_SCHEMA in all of these states; the "
+                "declared layout schema would otherwise read them as "
+                "silently EMPTY"
             )
         _time.sleep(0.05)
     raise AssertionError("unreachable")
@@ -1352,7 +1384,8 @@ def _n_input_files(df: DataFrame) -> int:
         return len(df.inputFiles())
 
 
-_LAYOUT_VALIDATED: set[str] = set()
+_LAYOUT_VALIDATED: dict[str, set[str]] = {}
+"""index_dir -> tables whose footers already validated (per-table memo)."""
 
 # Partition columns live in directory names, never in data-file footers.
 _LAYOUT_PARTITION = {"inverted_index": "term_bucket", "forward": "doc_bucket"}
@@ -1387,37 +1420,42 @@ def _validate_layout(spark: SparkSession, index_dir: str) -> None:
     single-writer contract, and per-load remote footer roundtrips would
     re-pay the plan cost the declared schemas exist to remove.
 
-    A table that is momentarily absent or file-less (mid-swap, not yet
-    built, a pre-forward legacy layout, or a rebuild's overwrite window)
-    is skipped WITHOUT memoizing, so the next load re-validates it --
-    memoizing would permanently disable the guard for this index_dir;
-    the read path reports the file-less state loudly itself (see
-    :func:`_read_table_retry`)."""
-    if index_dir in _LAYOUT_VALIDATED:
+    Memoization is PER TABLE: a table that is momentarily absent or
+    file-less (mid-swap, not yet built, a pre-forward legacy layout, or
+    a rebuild's overwrite window) is skipped without memoizing, so the
+    next load re-validates just that table -- an all-or-nothing memo
+    would re-glob every bucket directory on every search of an index
+    permanently missing one table (a searchable pre-forward legacy
+    index); the read path reports the file-less state loudly itself
+    (see :func:`_read_table_retry`)."""
+    done = _LAYOUT_VALIDATED.setdefault(index_dir, set())
+    if len(done) == len(_LAYOUT_SCHEMAS):
         return
     if not _is_local_path(spark, index_dir):
         return
     import pyarrow.parquet as pq
 
     base = _strip_file_scheme(index_dir)
-    checked_all = True
     for table in _LAYOUT_SCHEMAS:
+        if table in done:
+            continue
         part = _LAYOUT_PARTITION.get(table)
         pattern = (
             f"{base}/{table}/{part}=*/*.parquet" if part else f"{base}/{table}/*.parquet"
         )
         try:
-            files = sorted(glob.glob(pattern))
-            if not files:
-                checked_all = False
+            # first match only -- any conforming data file proves the
+            # layout, and a full sorted listing of every bucket file
+            # would put O(n_files) work on the per-search hot path
+            found = next(glob.iglob(pattern), None)
+            if found is None:
                 continue
-            schema = pq.read_schema(files[0])
+            schema = pq.read_schema(found)
         except (FileNotFoundError, NotADirectoryError):
             # the swap's delete->rename window hit between glob and
             # footer read; the table read absorbs it via
             # _read_table_retry, and validation retries on the next
             # un-memoized load
-            checked_all = False
             continue
         got = {
             schema.field(i).name: str(schema.field(i).type) for i in range(len(schema))
@@ -1430,8 +1468,7 @@ def _validate_layout(spark: SparkSession, index_dir: str) -> None:
                 "written by another tool or an older layout; rebuild "
                 "with build_index()"
             )
-    if checked_all:
-        _LAYOUT_VALIDATED.add(index_dir)
+        done.add(table)
 
 
 def load_index(spark: SparkSession, index_dir: str) -> IndexTables:

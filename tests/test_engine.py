@@ -1140,11 +1140,30 @@ def test_validate_layout_checks_every_table(spark, tmp_path):
 
 def test_validate_layout_memoizes_conforming_index(spark, index_dir):
     """A fully built index passes the per-table footer check for ALL five
-    tables and memoizes -- pins the partitioned-table glob (bucket
+    tables and memoizes each -- pins the partitioned-table glob (bucket
     subdirectories), which would otherwise silently skip validation."""
-    engine._LAYOUT_VALIDATED.discard(index_dir)
+    engine._LAYOUT_VALIDATED.pop(index_dir, None)
     engine._validate_layout(spark, index_dir)
-    assert index_dir in engine._LAYOUT_VALIDATED
+    assert engine._LAYOUT_VALIDATED.get(index_dir) == set(engine._LAYOUT_SCHEMAS)
+
+
+def test_validate_layout_memoizes_per_table(spark, tmp_path):
+    """An index permanently missing one table (a pre-forward legacy
+    layout) must still memoize the tables it CAN check -- an
+    all-or-nothing memo would re-glob every bucket directory on every
+    search forever."""
+    d = str(tmp_path / "noforward")
+    spark.createDataFrame(
+        [("1", "t", 3)], "doc_id string, title string, length long"
+    ).write.parquet(f"{d}/doc_stats")
+    spark.createDataFrame([("x", 1)], "term string, doc_freq long").write.parquet(
+        f"{d}/vocab"
+    )
+    spark.createDataFrame([("k", "v")], "key string, value string").write.parquet(
+        f"{d}/meta"
+    )
+    engine._validate_layout(spark, d)
+    assert engine._LAYOUT_VALIDATED.get(d) == {"doc_stats", "vocab", "meta"}
 
 
 def test_read_table_retry_raises_on_fileless_dir(spark, tmp_path):
@@ -1211,3 +1230,81 @@ def test_read_meta_kv_raises_on_fileless_meta(spark, tmp_path):
     os.makedirs(f"{d}/meta")
     with pytest.raises(RuntimeError, match="no rows"):
         engine._read_meta_kv(spark, d)
+
+
+def test_empty_write_leaves_data_file(spark, tmp_path):
+    """Pins the Spark behavior the maintenance guards rely on: an empty
+    NON-partitioned write leaves one zero-row schema-bearing data file
+    (so vocab/doc_stats/meta are never legitimately file-less once
+    written -- file-less == torn/never-built, and the loud guard is
+    safe), while an empty PARTITIONED write leaves none (so an
+    all-compacted inverted_index/forward is legitimately file-less)."""
+    import glob as _glob
+
+    d = str(tmp_path)
+    spark.createDataFrame([], "term string, doc_freq long").write.parquet(f"{d}/plain")
+    assert _glob.glob(f"{d}/plain/*.parquet")
+    spark.createDataFrame(
+        [], "doc_id string, term string, doc_bucket int"
+    ).write.partitionBy("doc_bucket").parquet(f"{d}/part")
+    assert not _glob.glob(f"{d}/part/doc_bucket=*/*.parquet")
+
+
+def test_append_raises_on_torn_vocab(spark, sf_dir, tmp_path):
+    """A torn rebuild leaves vocab file-less; the append-path vocab merge
+    must raise loudly instead of silently swapping in a vocab that lost
+    every prior term's df (declared schemas would otherwise read the
+    dir as EMPTY)."""
+    import glob as _glob
+    import os
+
+    d = str(tmp_path / "torn")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    engine.build_index(docs.where(did % 2 == 0), d, n_buckets=8)
+    for p in _glob.glob(f"{d}/vocab/*.parquet"):
+        os.remove(p)
+    with pytest.raises(Exception, match="no data files"):
+        engine.append_to_index(docs.where(did % 2 == 1), d)
+
+
+def test_read_meta_kv_raises_on_zero_row_meta(spark, tmp_path):
+    """The local pyarrow fast path must also refuse a zero-row meta (a
+    foreign/corrupt table): returning {} would serve the DEFAULT
+    n_buckets and silently mis-prune every search."""
+    d = str(tmp_path / "idx")
+    spark.createDataFrame([], "key string, value string").write.parquet(f"{d}/meta")
+    with pytest.raises(RuntimeError, match="no rows"):
+        engine._read_meta_kv(spark, d)
+
+
+def test_delete_all_compact_append_lifecycle(spark, sf_dir, tmp_path):
+    """The legitimately-emptied index flow must survive the file-less
+    guards end-to-end: delete EVERY document, compact (postings/forward
+    become file-less; doc_stats/vocab/meta keep zero-row files), then
+    append a fresh corpus -- the result must equal a from-scratch index
+    of the appended docs. Searching the fully emptied index in between
+    raises the loud no-data-files error (same as schema inference did
+    before the declared-schema contract)."""
+    import glob as _glob
+
+    d = str(tmp_path / "emptied")
+    d_ref = str(tmp_path / "ref")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    engine.build_index(docs.where(did % 5 == 0), d, n_buckets=8)
+    engine.delete_from_index(docs.where(did % 5 == 0).select("doc_id"), d)
+    engine.compact_index(spark, d)
+    # the non-partitioned tables keep a zero-row data file; the
+    # partitioned ones are file-less
+    assert _glob.glob(f"{d}/doc_stats/*.parquet")
+    assert _glob.glob(f"{d}/vocab/*.parquet")
+    assert not _glob.glob(f"{d}/inverted_index/term_bucket=*/*.parquet")
+    with pytest.raises(RuntimeError, match="no data files"):
+        engine.load_index(spark, d)
+    engine.append_to_index(docs.where(did % 5 == 1), d)
+    engine.build_index(docs.where(did % 5 == 1), d_ref, n_buckets=8)
+    got = engine.search(spark, d, "spark query window merge").collect()
+    want = engine.search(spark, d_ref, "spark query window merge").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0
