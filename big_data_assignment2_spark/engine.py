@@ -623,13 +623,21 @@ def _read_n_buckets(spark: SparkSession, index_dir: str) -> int:
         return cached[0]
     try:
         val = _read_meta_kv(spark, index_dir).get("n_buckets")
-    except Exception:
+    except Exception as exc:
         # TOCTOU on the re-read branch: the dir existed at fingerprint
         # time but a concurrent swap deleted it before the read. The
         # cached value is still layout-correct (invariant); with no
         # cache, one short re-check distinguishes a live swap (the
         # rename completes in milliseconds) from a genuinely broken
-        # index, whose error should propagate from the retry.
+        # index, whose error should propagate from the retry. ONLY the
+        # missing-path class is that benign race -- corruption (a
+        # zero-row meta) or permission failures must propagate, never
+        # be masked by a cached value recorded when meta was healthy.
+        transient = _is_missing_path_error(exc) or isinstance(
+            exc, (FileNotFoundError, NotADirectoryError)
+        )
+        if not transient:
+            raise
         if cached is not None:
             return cached[0]
         import time as _time
@@ -867,6 +875,7 @@ def append_to_index(
     _validate_layout(spark, index_dir)
     if batch_id is not None and _path_exists(spark, _ingest_ledger(index_dir, batch_id)):
         return  # ledger says fully applied: redelivery is a no-op
+    _assert_untorn_for_append(spark, index_dir)
     n_buckets = _read_n_buckets(spark, index_dir)
     tomb = _tombstones(spark, index_dir)
     if tomb is not None:
@@ -1123,9 +1132,12 @@ def _df_delta_for_ids(
             term_bucket_col("doc_id", n_buckets).alias("b")
         ).distinct().collect()
     )
+    # _read_table_retry: a torn rebuild's file-less forward would plan an
+    # EMPTY delta under the declared schema, silently leaving vocab's
+    # doc_freq counting the deleted docs (idf drift) -- same loud-guard
+    # policy as every other maintenance read-modify-write
     return (
-        spark.read.schema(_LAYOUT_SCHEMAS["forward"])
-        .parquet(f"{index_dir}/forward")
+        _read_table_retry(spark, f"{index_dir}/forward", _LAYOUT_SCHEMAS["forward"])
         .where(F.col("doc_bucket").isin(buckets))
         .join(F.broadcast(ids), "doc_id", "left_semi")
         .groupBy("term")
@@ -1154,15 +1166,27 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
     tomb = _tombstones(spark, index_dir)
     if tomb is None:
         return
+    # An EMPTIED index (every doc deleted, then compacted) legitimately
+    # has file-less partitioned tables, and compacting it again must
+    # succeed -- it is the documented unwedge for tombstones acquired in
+    # that state (a delete of bogus ids appends tombstones before its df
+    # delta fails, and appending those ids back is rejected until a
+    # compact clears them). meta's total_docs == 0 is what distinguishes
+    # that state from a torn rebuild (file-less postings while meta
+    # counts live docs), which must keep failing loudly.
+    empty_ok = _read_meta_kv(spark, index_dir).get("total_docs") == "0"
 
     def _compact_table(table: str, part_col: str | None) -> None:
         path = f"{index_dir}/{table}"
         # _read_table_retry: compacting a torn-rebuild's file-less table
         # as EMPTY would persist the loss; raises loudly instead (the
         # pre-declared-schema behavior -- inference raised here too)
-        df = _read_table_retry(spark, path, _LAYOUT_SCHEMAS[table]).join(
-            F.broadcast(tomb), "doc_id", "left_anti"
-        )
+        df = _read_table_retry(
+            spark,
+            path,
+            _LAYOUT_SCHEMAS[table],
+            allow_fileless=empty_ok and part_col is not None,
+        ).join(F.broadcast(tomb), "doc_id", "left_anti")
         if part_col:
             df = df.repartition(part_col)
         w = df.write.mode("overwrite")
@@ -1319,7 +1343,10 @@ def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
 
 
 def _read_table_retry(
-    spark: SparkSession, path: str, schema: str | None = None
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    allow_fileless: bool = False,
 ) -> DataFrame:
     """spark.read.parquet with a short bounded retry on a MISSING path:
     a reader that plans a scan inside a live swap's delete->rename window
@@ -1342,7 +1369,9 @@ def _read_table_retry(
     the one live write that empties a table dir mid-job). The zero-file
     state is re-checked from the already-planned relation (no extra
     listing) and raises after the same brief retry, restoring the loud
-    failure inference used to provide."""
+    failure inference used to provide. *allow_fileless* opts a caller
+    OUT of that guard where zero files is a state it handles correctly
+    (compaction of an emptied index's partitioned tables)."""
     import time as _time
 
     for attempt in range(3):
@@ -1356,7 +1385,7 @@ def _read_table_retry(
                 raise
             _time.sleep(0.05)
             continue
-        if schema is None or _n_input_files(df):
+        if schema is None or allow_fileless or _n_input_files(df):
             return df
         if attempt == 2:
             raise RuntimeError(
@@ -1468,7 +1497,62 @@ def _validate_layout(spark: SparkSession, index_dir: str) -> None:
                 "written by another tool or an older layout; rebuild "
                 "with build_index()"
             )
+        if table == "meta":
+            # meta is the one table that must never be zero-row (the
+            # writer emits >= 3 keys): a schema-conforming but empty
+            # foreign meta would null-fill search's N/avg_dl aggregate
+            # into silent zero hits. Footer metadata only -- no data read.
+            try:
+                n_rows = sum(
+                    pq.ParquetFile(f).metadata.num_rows
+                    for f in glob.iglob(pattern)
+                )
+            except (FileNotFoundError, NotADirectoryError):
+                continue  # mid-swap; next un-memoized load re-checks
+            if n_rows == 0:
+                raise ValueError(
+                    f"{index_dir}/meta has data files but zero rows -- "
+                    "corrupt or foreign meta table; rebuild with "
+                    "build_index()"
+                )
         done.add(table)
+
+
+def _assert_untorn_for_append(spark: SparkSession, index_dir: str) -> None:
+    """Refuse to append into a torn-rebuild index (local fast path; one
+    first-match glob per table). Appending is the one maintenance op that
+    RE-FILLS the corpus-sized tables: a crashed rebuild's file-less
+    doc_stats/postings would be quietly appended into, turning the loud
+    load-time "no data files" failure into a readable index whose
+    meta/vocab count documents the tables lost. The single legitimate
+    file-less state -- an index whose every doc was deleted and compacted
+    away -- is exactly the one where meta counts zero docs, and then only
+    the bucket-partitioned tables may be file-less (empty non-partitioned
+    writes leave a zero-row file; see test_empty_write_leaves_data_file).
+    Remote paths skip, same single-writer rationale as _validate_layout."""
+    if not _is_local_path(spark, index_dir):
+        return
+    base = _strip_file_scheme(index_dir)
+    missing = []
+    for table in _LAYOUT_SCHEMAS:
+        part = _LAYOUT_PARTITION.get(table)
+        pattern = (
+            f"{base}/{table}/{part}=*/*.parquet" if part else f"{base}/{table}/*.parquet"
+        )
+        if next(glob.iglob(pattern), None) is None:
+            missing.append(table)
+    if not missing:
+        return
+    if all(t in _LAYOUT_PARTITION for t in missing):
+        # lazily read meta only when the decision is needed
+        if _read_meta_kv(spark, index_dir).get("total_docs") == "0":
+            return
+    raise RuntimeError(
+        f"cannot append: {missing} under {index_dir} have no data files -- "
+        "a torn rebuild or a never-built index; appending would produce a "
+        "readable index whose stats count documents the tables lost. "
+        "Rebuild with build_index()"
+    )
 
 
 def load_index(spark: SparkSession, index_dir: str) -> IndexTables:

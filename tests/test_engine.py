@@ -1308,3 +1308,108 @@ def test_delete_all_compact_append_lifecycle(spark, sf_dir, tmp_path):
     want = engine.search(spark, d_ref, "spark query window merge").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(got) > 0
+
+
+def test_delete_raises_on_torn_forward(spark, sf_dir, tmp_path):
+    """A torn rebuild's file-less forward table must fail the delete
+    loudly: a silently EMPTY df delta would leave vocab's doc_freq
+    counting the deleted docs (idf drift) while meta gets corrected."""
+    import glob as _glob
+    import os
+
+    d = str(tmp_path / "tornfwd")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    engine.build_index(docs.where(did % 2 == 0), d, n_buckets=8)
+    for p in _glob.glob(f"{d}/forward/doc_bucket=*/*.parquet"):
+        os.remove(p)
+    with pytest.raises(Exception, match="no data files"):
+        engine.delete_from_index(
+            docs.where(did % 4 == 0).select("doc_id"), d
+        )
+
+
+def test_append_rejects_torn_index(spark, sf_dir, tmp_path):
+    """Append is the one op that RE-FILLS the corpus-sized tables: a
+    crashed rebuild's file-less doc_stats must not be quietly appended
+    into (that would turn the loud load-time failure into a readable
+    index whose meta counts documents the table lost)."""
+    import glob as _glob
+    import os
+
+    d = str(tmp_path / "torndoc")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    engine.build_index(docs.where(did % 2 == 0), d, n_buckets=8)
+    for p in _glob.glob(f"{d}/doc_stats/*.parquet"):
+        os.remove(p)
+    with pytest.raises(RuntimeError, match="cannot append"):
+        engine.append_to_index(docs.where(did % 2 == 1), d)
+
+
+def test_compact_unwedges_emptied_index(spark, sf_dir, tmp_path):
+    """Tombstones acquired on an EMPTIED index (a delete appends them
+    before its df delta fails on the file-less forward) must be
+    clearable: compact distinguishes that state from a torn rebuild by
+    meta's total_docs == 0 and compacts the file-less partitioned
+    tables as empty instead of raising -- without this, appending the
+    tombstoned ids back stays rejected forever."""
+    d = str(tmp_path / "emptied")
+    d_ref = str(tmp_path / "ref")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    engine.build_index(docs.where(did % 7 == 0), d, n_buckets=8)
+    engine.delete_from_index(docs.where(did % 7 == 0).select("doc_id"), d)
+    engine.compact_index(spark, d)
+    # a delete on the emptied index: tombstones land, then the df delta
+    # fails loudly on the file-less forward -- the wedge state
+    with pytest.raises(Exception, match="no data files"):
+        engine.delete_from_index(
+            docs.where(did % 7 == 1).limit(3).select("doc_id"), d
+        )
+    assert engine._path_exists(spark, f"{d}/tombstones")
+    # compact must clear it (total_docs == 0 -> file-less partitioned
+    # tables are the documented emptied state, not a torn rebuild)
+    engine.compact_index(spark, d)
+    assert not engine._path_exists(spark, f"{d}/tombstones")
+    # and the previously wedged ids are appendable again
+    engine.append_to_index(docs.where(did % 7 == 1), d)
+    engine.build_index(docs.where(did % 7 == 1), d_ref, n_buckets=8)
+    got = engine.search(spark, d, "spark query window merge").collect()
+    want = engine.search(spark, d_ref, "spark query window merge").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0
+
+
+def test_validate_layout_rejects_zero_row_meta(spark, tmp_path):
+    """A schema-conforming but ZERO-ROW meta (foreign/corrupt -- the
+    writer always emits >= 3 keys) would null-fill search's N/avg_dl
+    aggregate into silent zero hits; the layout guard refuses it."""
+    d = str(tmp_path / "zrm")
+    spark.createDataFrame(
+        [("1", "t", 3)], "doc_id string, title string, length long"
+    ).write.parquet(f"{d}/doc_stats")
+    spark.createDataFrame([], "key string, value string").write.parquet(f"{d}/meta")
+    with pytest.raises(ValueError, match="zero rows"):
+        engine._validate_layout(spark, d)
+
+
+def test_read_n_buckets_propagates_corruption_over_cache(spark, sf_dir, tmp_path):
+    """Only the missing-path race may serve the cached n_buckets; a
+    corrupt (zero-row) meta must propagate even when a healthy cached
+    value exists -- masking it would hide the corruption until search
+    silently mis-scores."""
+    import glob as _glob
+    import os
+
+    d = str(tmp_path / "idx")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    engine.build_index(docs.limit(20), d, n_buckets=8)
+    assert engine._read_n_buckets(spark, d) == 8  # caches the healthy value
+    for p in _glob.glob(f"{d}/meta/*.parquet"):
+        os.remove(p)
+    spark.createDataFrame([], "key string, value string").write.mode(
+        "append"
+    ).parquet(f"{d}/meta")
+    with pytest.raises(RuntimeError, match="no rows"):
+        engine._read_n_buckets(spark, d)
