@@ -26,6 +26,7 @@ Parquet-native:
 
 from __future__ import annotations
 
+import functools
 import glob
 import os
 import re
@@ -1173,8 +1174,15 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
     # delta fails, and appending those ids back is rejected until a
     # compact clears them). meta's total_docs == 0 is what distinguishes
     # that state from a torn rebuild (file-less postings while meta
-    # counts live docs), which must keep failing loudly.
-    empty_ok = _read_meta_kv(spark, index_dir).get("total_docs") == "0"
+    # counts live docs), which must keep failing loudly. LAZY (matching
+    # _assert_untorn_for_append): the meta read runs only if
+    # _read_table_retry actually meets a file-less partitioned table --
+    # the common all-tables-present compact never pays it. lru_cache
+    # memoizes across the three concurrent table threads (a rare
+    # duplicate read under race is an idempotent meta scan, harmless).
+    _empty_ok = functools.lru_cache(maxsize=1)(
+        lambda: _read_meta_kv(spark, index_dir).get("total_docs") == "0"
+    )
 
     def _compact_table(table: str, part_col: str | None) -> None:
         path = f"{index_dir}/{table}"
@@ -1185,7 +1193,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
             spark,
             path,
             _LAYOUT_SCHEMAS[table],
-            allow_fileless=empty_ok and part_col is not None,
+            allow_fileless=_empty_ok if part_col is not None else False,
         ).join(F.broadcast(tomb), "doc_id", "left_anti")
         if part_col:
             df = df.repartition(part_col)
@@ -1346,7 +1354,7 @@ def _read_table_retry(
     spark: SparkSession,
     path: str,
     schema: str | None = None,
-    allow_fileless: bool = False,
+    allow_fileless: bool | Callable[[], bool] = False,
 ) -> DataFrame:
     """spark.read.parquet with a short bounded retry on a MISSING path:
     a reader that plans a scan inside a live swap's delete->rename window
@@ -1371,7 +1379,10 @@ def _read_table_retry(
     listing) and raises after the same brief retry, restoring the loud
     failure inference used to provide. *allow_fileless* opts a caller
     OUT of that guard where zero files is a state it handles correctly
-    (compaction of an emptied index's partitioned tables)."""
+    (compaction of an emptied index's partitioned tables); a CALLABLE
+    is evaluated lazily, only after a zero-file table is actually met,
+    so callers whose opt-out decision itself costs a read (compact's
+    meta check) never pay it on the all-files-present path."""
     import time as _time
 
     for attempt in range(3):
@@ -1385,7 +1396,9 @@ def _read_table_retry(
                 raise
             _time.sleep(0.05)
             continue
-        if schema is None or allow_fileless or _n_input_files(df):
+        if schema is None or allow_fileless is True or _n_input_files(df):
+            return df
+        if callable(allow_fileless) and allow_fileless():
             return df
         if attempt == 2:
             raise RuntimeError(
@@ -1406,10 +1419,13 @@ def _n_input_files(df: DataFrame) -> int:
     """File count of a just-planned file scan. The listing already
     happened at plan time; asking the JVM for the array LENGTH avoids
     shipping the (possibly huge at cluster scale) path array to the
-    driver on every read."""
+    driver on every read. Only the no-``_jdf`` surface (Spark Connect)
+    falls back to ``df.inputFiles()`` -- which ships the full path array
+    -- so a transient JVM-call failure propagates instead of silently
+    paying that cost on a huge table."""
     try:
         return len(df._jdf.inputFiles())  # py4j array: length-only roundtrip
-    except Exception:  # pragma: no cover -- e.g. Spark Connect (no _jdf)
+    except (AttributeError, NotImplementedError):  # pragma: no cover -- Connect
         return len(df.inputFiles())
 
 
@@ -1419,7 +1435,51 @@ _LAYOUT_VALIDATED: dict[str, set[str]] = {}
 # Partition columns live in directory names, never in data-file footers.
 _LAYOUT_PARTITION = {"inverted_index": "term_bucket", "forward": "doc_bucket"}
 
-_DDL_TO_ARROW = {"STRING": "string", "BIGINT": "int64", "INT": "int32"}
+_DDL_TO_ARROW = {
+    "STRING": "string",
+    "BIGINT": "int64",
+    "INT": "int32",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "BOOLEAN": "bool",
+    "DATE": "date32[day]",
+}
+
+
+def _split_top_level(ddl: str) -> list[str]:
+    """Split a DDL column list on commas OUTSIDE any (), <> nesting --
+    DECIMAL(p,s) and nested types embed commas a naive split would tear."""
+    parts: list[str] = []
+    depth, cur = 0, []
+    for ch in ddl:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _arrow_type(ddl_type: str) -> str:
+    """Arrow type-string for a layout DDL type; raises ValueError for a
+    type with no mapping (surfaced at MODULE IMPORT by the eager loop
+    below _expected_footer, never on the search hot path)."""
+    t = ddl_type.strip().upper()
+    m = re.fullmatch(r"DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+    if m:
+        return f"decimal128({int(m.group(1))}, {int(m.group(2))})"
+    if t not in _DDL_TO_ARROW:
+        raise ValueError(
+            f"layout DDL type {ddl_type!r} has no arrow mapping -- extend "
+            "_DDL_TO_ARROW (or _arrow_type) alongside the _LAYOUT_SCHEMAS "
+            "change"
+        )
+    return _DDL_TO_ARROW[t]
 
 
 def _expected_footer(table: str) -> dict[str, str]:
@@ -1429,11 +1489,20 @@ def _expected_footer(table: str) -> dict[str, str]:
     the partition column, which lives in the directory name."""
     part = _LAYOUT_PARTITION.get(table)
     want: dict[str, str] = {}
-    for field in _LAYOUT_SCHEMAS[table].split(","):
-        name, ddl = field.strip().split(" ", 1)
+    for field in _split_top_level(_LAYOUT_SCHEMAS[table]):
+        name, ddl = field.split(None, 1)
         if name != part:
-            want[name] = _DDL_TO_ARROW[ddl.strip().upper()]
+            want[name] = _arrow_type(ddl)
     return want
+
+
+# Definition-time guard: every column in _LAYOUT_SCHEMAS must parse and
+# map to an arrow name HERE, at import -- a future layout column using an
+# unmapped type would otherwise raise inside _validate_layout on the
+# search hot path.
+for _layout_table in _LAYOUT_SCHEMAS:
+    _expected_footer(_layout_table)
+del _layout_table
 
 
 def _validate_layout(spark: SparkSession, index_dir: str) -> None:

@@ -59,69 +59,15 @@ class Registry:
 # operators, then flagships, then the long-green relational tail. Names not
 # present (e.g. reference_* when the fixture corpus is absent) are skipped.
 _PRIORITY: tuple[str, ...] = (
-    # ========= round-11 window: exactly 50 names to the driver cap =========
+    # ========= round-12 window: exactly 50 names to the driver cap =========
     # Ordered purely by driver-evidence vintage (latest CORRECTNESS_r* row
-    # per query, computed from r01..r10): the 22 oracled r6-vintage names
-    # (the oldest evidence left after the r10 re-queue), then the oldest 28
-    # r7-vintage names up to the 50 cap. Rows-only sketches
+    # per query, recomputed from r01..r11): the 22 remaining r7-vintage
+    # oracled names (the oldest evidence left after the r11 re-queue), then
+    # the oldest 28 r8-vintage names up to the 50 cap. Rows-only sketches
     # (approx_distinct_users, minhash_cols_fast, percentiles_by_flag_approx,
     # cms_partkey_counts, hll_union_by_source) stay OUT of windows -- their
     # hash evidence lives in the r8-green error-bound companions.
-    # --- 1-22: the oracled r6-vintage block (CORRECTNESS_r06 order) ---
-    "streaming_sessionize",
-    "streaming_dedup",
-    "streaming_static_join",
-    "streaming_stream_join",
-    "events_json_sum",
-    "window_moving_avg",
-    "window_lag_delta",
-    "grouped_median_udaf",
-    "partitioned_sink_roundtrip",
-    "ann_recall_eval",
-    "repetition_stats",
-    "corpus_stats_by_source",
-    "range_join_events",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_late_shipments",
-    "q13_customer_distribution",
-    "q16_part_supplier_counts",
-    "q17_small_qty_revenue",
-    "q20_promotable_suppliers",
-    # --- 23-50: oldest 28 r7-vintage names (CORRECTNESS_r07 order) ---
-    "global_row_ids",
-    "user_activity_bitmap",
-    "cdc_apply",
-    "attribution_first_last",
-    "percentile_cont_by_flag",
-    "bucketed_join_no_shuffle",
-    "file_skipping_stats",
-    "table_diff",
-    "footer_agg_pushdown",
-    "skew_join_aqe",
-    "sql_session_variables",
-    "equidepth_histogram",
-    "nested_lineitems_roundtrip",
-    "join_not_in_null_aware",
-    "dedup_keep_best",
-    "gapfill_linear",
-    "streaming_running_totals",
-    "streaming_dedup_watermarked",
-    "hilbert_clustered_roundtrip",
-    "secondary_index_lookup",
-    "parquet_bloom_skipping",
-    "dedup_incremental_lsh",
-    "split_leakage_report",
-    "event_transitions",
-    "outlier_zscore",
-    "winsorize_values",
-    "token_kl_by_source",
-    "embedding_gram",
-    # ========== positions 51+: past the cap this round ==========
-    # --- remaining r7-vintage rows, then the r8 / r9 / r10 blocks
-    # (freshest driver evidence last) ---
+    # --- 1-22: the oracled r7-vintage block (CORRECTNESS_r07 order) ---
     "basket_pair_lift",
     "rfm_segments",
     "time_decay_attribution",
@@ -144,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "spatial_radius_join",
     "join_anti",
     "embedding_neardup_pairs",
+    # --- 23-50: oldest 28 r8-vintage names (CORRECTNESS_r08 order) ---
     "prefix_edit_pairs",
     "profile_table",
     "table_checksum",
@@ -172,6 +119,9 @@ _PRIORITY: tuple[str, ...] = (
     "cohort_retention",
     "neardup_cluster_sizes",
     "csv_corrupt_records",
+    # ========== positions 51+: past the cap this round ==========
+    # --- remaining r8-vintage rows, then the r9 / r10 / r11 blocks
+    # (freshest driver evidence last) ---
     "bm25_search_incremental",
     "bm25_search_after_delete",
     "bm25_search_filtered",
@@ -192,6 +142,7 @@ _PRIORITY: tuple[str, ...] = (
     "pagerank_3iter",
     "streaming_late_data",
     "prefix_hamming_pairs",
+    # --- r9-vintage block (CORRECTNESS_r09 order) ---
     "span_exact_dedup",
     "reference_bm25_big_data",
     "reference_bm25_ml_model",
@@ -242,6 +193,7 @@ _PRIORITY: tuple[str, ...] = (
     "rollup_agg",
     "grouping_sets_agg",
     "bm25_search",
+    # --- r10-vintage block (CORRECTNESS_r10 order) ---
     "span_exact_dedup_fast",
     "bm25_search_persisted",
     "dedup_exact",
@@ -292,6 +244,57 @@ _PRIORITY: tuple[str, ...] = (
     "window_sliding",
     "window_session",
     "streaming_tumbling",
+    # --- r11-vintage block (CORRECTNESS_r11 order) ---
+    "streaming_sessionize",
+    "streaming_dedup",
+    "streaming_static_join",
+    "streaming_stream_join",
+    "events_json_sum",
+    "window_moving_avg",
+    "window_lag_delta",
+    "grouped_median_udaf",
+    "partitioned_sink_roundtrip",
+    "ann_recall_eval",
+    "repetition_stats",
+    "corpus_stats_by_source",
+    "range_join_events",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q16_part_supplier_counts",
+    "q17_small_qty_revenue",
+    "q20_promotable_suppliers",
+    "global_row_ids",
+    "user_activity_bitmap",
+    "cdc_apply",
+    "attribution_first_last",
+    "percentile_cont_by_flag",
+    "bucketed_join_no_shuffle",
+    "file_skipping_stats",
+    "table_diff",
+    "footer_agg_pushdown",
+    "skew_join_aqe",
+    "sql_session_variables",
+    "equidepth_histogram",
+    "nested_lineitems_roundtrip",
+    "join_not_in_null_aware",
+    "dedup_keep_best",
+    "gapfill_linear",
+    "streaming_running_totals",
+    "streaming_dedup_watermarked",
+    "hilbert_clustered_roundtrip",
+    "secondary_index_lookup",
+    "parquet_bloom_skipping",
+    "dedup_incremental_lsh",
+    "split_leakage_report",
+    "event_transitions",
+    "outlier_zscore",
+    "winsorize_values",
+    "token_kl_by_source",
+    "embedding_gram",
     # --- rows-only sketches with an existing driver row: NEVER window
     # material (a slot here can only re-record "no_oracle"); hash evidence
     # lives in their error-bound companions ---

@@ -1413,3 +1413,105 @@ def test_read_n_buckets_propagates_corruption_over_cache(spark, sf_dir, tmp_path
     ).parquet(f"{d}/meta")
     with pytest.raises(RuntimeError, match="no rows"):
         engine._read_n_buckets(spark, d)
+
+
+def test_ddl_parser_handles_decimal_and_nesting():
+    """The footer-expectation DDL parse must not tear DECIMAL(p,s) or
+    nested types on their embedded commas, and an unmapped type must
+    raise ValueError at definition time (the module-level eager loop),
+    never KeyError inside _validate_layout on the search hot path."""
+    assert engine._split_top_level("a DECIMAL(10,2), b STRING") == [
+        "a DECIMAL(10,2)",
+        "b STRING",
+    ]
+    assert engine._split_top_level("a ARRAY<STRUCT<x: INT, y: STRING>>, b INT") == [
+        "a ARRAY<STRUCT<x: INT, y: STRING>>",
+        "b INT",
+    ]
+    assert engine._arrow_type("DECIMAL(10,2)") == "decimal128(10, 2)"
+    assert engine._arrow_type("double") == "double"
+    with pytest.raises(ValueError, match="no arrow mapping"):
+        engine._arrow_type("ARRAY<STRING>")
+    # the guard the eager loop enforces: every current layout type maps
+    for table in engine._LAYOUT_SCHEMAS:
+        engine._expected_footer(table)
+
+
+def test_n_input_files_propagates_jvm_failures():
+    """Only the no-_jdf surface (Spark Connect) may fall back to
+    df.inputFiles() -- which ships the full path array to the driver; a
+    transient JVM-call failure must propagate instead of silently paying
+    that cost on a huge table."""
+
+    class _JdfBoom:
+        def inputFiles(self):
+            raise RuntimeError("py4j blip")
+
+    class _DfBroken:
+        _jdf = _JdfBoom()
+
+        def inputFiles(self):  # pragma: no cover -- must not be reached
+            return ["a"]
+
+    with pytest.raises(RuntimeError, match="py4j blip"):
+        engine._n_input_files(_DfBroken())
+
+    class _DfConnect:  # no _jdf attribute at all
+        def inputFiles(self):
+            return ["a", "b"]
+
+    assert engine._n_input_files(_DfConnect()) == 2
+
+
+def test_read_table_retry_lazy_fileless_predicate(spark, tmp_path):
+    """A callable allow_fileless is evaluated ONLY after a zero-file
+    table is actually met -- callers whose opt-out decision itself costs
+    a read (compact's meta check) must not pay it when files exist."""
+    import os
+
+    d = str(tmp_path / "t")
+    spark.createDataFrame([("k", "v")], "key string, value string").write.parquet(d)
+
+    def boom() -> bool:  # pragma: no cover -- must not be reached
+        raise AssertionError("predicate ran with files present")
+
+    df = engine._read_table_retry(
+        spark, d, engine._LAYOUT_SCHEMAS["meta"], allow_fileless=boom
+    )
+    assert df.count() == 1
+
+    e = str(tmp_path / "e")
+    os.makedirs(e)
+    open(f"{e}/_SUCCESS", "w").close()
+    ok = engine._read_table_retry(
+        spark, e, engine._LAYOUT_SCHEMAS["meta"], allow_fileless=lambda: True
+    )
+    assert ok.count() == 0
+    with pytest.raises(RuntimeError, match="no data files"):
+        engine._read_table_retry(
+            spark, e, engine._LAYOUT_SCHEMAS["meta"], allow_fileless=lambda: False
+        )
+
+
+def test_compact_reads_meta_lazily(spark, sf_dir, tmp_path, monkeypatch):
+    """compact_index's emptied-vs-torn disambiguation reads meta ONLY
+    when a file-less partitioned table is actually met -- the common
+    all-tables-present compaction must not pay an extra meta read (an
+    extra Spark job per compact on a remote index)."""
+    d = str(tmp_path / "lazy")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    engine.build_index(docs.limit(30), d, n_buckets=4)
+    engine.delete_from_index(docs.limit(3).select("doc_id"), d)
+
+    calls: list[str] = []
+    real = engine._read_meta_kv
+
+    def counting(spark_, index_dir_):
+        calls.append(index_dir_)
+        return real(spark_, index_dir_)
+
+    monkeypatch.setattr(engine, "_read_meta_kv", counting)
+    engine.compact_index(spark, d)
+    assert calls == []
+    # the compaction itself stayed correct
+    assert not engine._path_exists(spark, f"{d}/tombstones")
