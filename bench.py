@@ -233,24 +233,31 @@ def main() -> None:
     # position-independent median to judge regressions against; the
     # headline totals above stay untouched.
     warm_medians: dict[str, dict] = {}
+    suspects_dropped: list[str] = []
     if os.environ.get("SPARK_GRAFT_WARM_MEDIANS", "1") != "0":
         top = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:10]]
         # ... plus every regression SUSPECT: a query reading >1.5x its
-        # historical best across the committed bench artifacts (and >0.5s
-        # now -- sub-second swings are pure position noise). These are
-        # exactly the rows warm medians exist to settle: position/cold-
-        # head cost vs a real code regression. History sources, SAME-sf
-        # only (a sf0.01 run must not compare against sf0.1 bests):
-        # driver BENCH_r*.json artifacts carry per-query timings under
+        # historical best across the committed bench artifacts, OR >1.5x
+        # its time in the PREVIOUS committed lockstep (the full map --
+        # a query whose historical best predates a deliberate cost change
+        # would never trip the best-only rule, yet a jump vs last round
+        # is exactly what needs a warm row). Both require >0.5s now --
+        # sub-second swings are pure position noise. These are exactly
+        # the rows warm medians exist to settle: position/cold-head cost
+        # vs a real code regression. History sources, SAME-sf only (a
+        # sf0.01 run must not compare against sf0.1 bests): driver
+        # BENCH_r*.json artifacts carry per-query timings under
         # parsed.queries (the truncated top-cost tail), and the on-disk
         # BENCH_DETAIL.json -- not yet overwritten at this point -- is
         # the PREVIOUS run's full 225-query map.
         hist_best: dict[str, float] = {}
+        prev_lockstep: dict[str, float] = {}
         import glob as _glob
 
         here = os.path.dirname(os.path.abspath(__file__))
+        detail_path = os.path.join(here, "BENCH_DETAIL.json")
         for bf in sorted(_glob.glob(os.path.join(here, "BENCH_r*.json"))) + [
-            os.path.join(here, "BENCH_DETAIL.json")
+            detail_path
         ]:
             try:
                 with open(bf) as fh:
@@ -263,19 +270,36 @@ def main() -> None:
             except Exception:  # noqa: BLE001 -- a malformed artifact (bad JSON
                 continue  # or a non-object shape) never kills the bench
             for n, s in items:
-                if isinstance(s, (int, float)) and s > 0 and s < hist_best.get(n, float("inf")):
+                if not isinstance(s, (int, float)) or s <= 0:
+                    continue
+                if s < hist_best.get(n, float("inf")):
                     hist_best[n] = s
-        suspects = sorted(
+                if bf == detail_path:
+                    prev_lockstep[n] = s
+
+        def _suspect_ratio(n: str, t: float) -> float:
+            """Worst of the two trip ratios ('-inf' when neither source
+            has the query): vs historical best and vs previous lockstep."""
+            r = float("-inf")
+            if n in hist_best:
+                r = max(r, t / hist_best[n])
+            if n in prev_lockstep:
+                r = max(r, t / prev_lockstep[n])
+            return r
+
+        suspect_pool = sorted(
             (
                 n
                 for n, t in timings.items()
-                if n not in top
-                and t > 0.5
-                and n in hist_best
-                and t > 1.5 * hist_best[n]
+                if n not in top and t > 0.5 and _suspect_ratio(n, t) > 1.5
             ),
-            key=lambda n: -(timings[n] / hist_best[n]),
-        )[:15]
+            key=lambda n: -_suspect_ratio(n, timings[n]),
+        )
+        # cap bounds a pathological run (host load inflating EVERY query
+        # would otherwise trigger 3 warm reps x 225); the artifact records
+        # what the cap dropped instead of silently truncating
+        suspects = suspect_pool[:25]
+        suspects_dropped = suspect_pool[25:]
         for name in top + suspects:
             reps: dict[str, float] = {}
             # warm-rep failures stay OUT of the headline errors dict: a
@@ -297,6 +321,7 @@ def main() -> None:
                 warm_medians[name] = {
                     "in_bench": timings[name],
                     "best_r": hist_best.get(name),
+                    "prev_lockstep": prev_lockstep.get(name),
                     "reps": [reps.get(f"warm{i}:{name}") for i in range(3)],
                     # statistics.median averages the middle pair when a
                     # failed rep leaves an even count -- vals[n//2] would
@@ -464,6 +489,7 @@ def main() -> None:
         "n_errors": len(errors),
         "errors": errors,
         "warm_medians": warm_medians,
+        "warm_suspects_dropped": suspects_dropped,
         "scale_check": scale_check,
         "sf": sf,
     }
