@@ -1396,7 +1396,8 @@ def _read_table_retry(
                 raise
             _time.sleep(0.05)
             continue
-        if schema is None or allow_fileless is True or _n_input_files(df):
+        fileless_ok = bool(allow_fileless) and not callable(allow_fileless)
+        if schema is None or fileless_ok or _n_input_files(df):
             return df
         if callable(allow_fileless) and allow_fileless():
             return df
