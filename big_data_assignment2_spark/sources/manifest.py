@@ -92,6 +92,10 @@ def manifest_over_dir(spark: SparkSession, path: str) -> DataFrame:
                 lo = hi = None
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        # stats absent for this row group: the file's
+                        # bounds stay partial/None and planning keeps it
+                        continue
                     mn = pd.Timestamp(st.min).value // 1000
                     mx = pd.Timestamp(st.max).value // 1000
                     lo = mn if lo is None else min(lo, mn)
@@ -127,15 +131,34 @@ def ensure_manifest(spark: SparkSession, sf_dir: str) -> list[dict]:
 def _plan(man: list[dict], lo_iso: str, hi_iso: str) -> list[str]:
     """Pure planning step: overlap-join the query interval against
     manifest rows. A file survives iff [ship_min, ship_max] intersects
-    [lo, hi)."""
+    [lo, hi). None bounds (a footer-only file with zero row groups, or
+    absent column statistics) mean UNKNOWN: the file is conservatively
+    kept -- pruning is a performance contract, the row-level predicate
+    downstream keeps the result exact either way."""
     lo, hi = _iso_us(lo_iso), _iso_us(hi_iso)
-    return [m["file_path"] for m in man if m["ship_min_us"] < hi and m["ship_max_us"] >= lo]
+    return [
+        m["file_path"]
+        for m in man
+        if (m["ship_min_us"] is None or m["ship_min_us"] < hi)
+        and (m["ship_max_us"] is None or m["ship_max_us"] >= lo)
+    ]
 
 
 def plan_files(spark: SparkSession, sf_dir: str, lo_iso: str, hi_iso: str) -> tuple[list[str], int]:
     """Plan against the BASE table's manifest: (selected paths, total)."""
     man = ensure_manifest(spark, sf_dir)
     return _plan(man, lo_iso, hi_iso), len(man)
+
+
+def _read_planned(spark: SparkSession, sf_dir: str, keep: list[str]) -> DataFrame:
+    """Read exactly the planned file set. An EMPTY plan (no file interval
+    overlaps the query window) is a legitimate outcome of a selective
+    predicate, not an error: return a zero-row frame with the full
+    lineitem schema -- ``spark.read.parquet()`` with no paths raises --
+    so downstream aggregates produce the correct empty result."""
+    if not keep:
+        return load_table(spark, sf_dir, "lineitem").where(F.lit(False))
+    return spark.read.parquet(*keep)
 
 
 def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,7 +168,7 @@ def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``range_clustered_roundtrip`` (returnflag x linestatus, quantity sum)
     so the two queries cannot mask each other."""
     keep, _ = plan_files(spark, sf_dir, RANGE_LO, RANGE_HI)
-    li = spark.read.parquet(*keep).where(
+    li = _read_planned(spark, sf_dir, keep).where(
         (F.col("l_shipdate") >= ntz_lit(RANGE_LO))
         & (F.col("l_shipdate") < ntz_lit(RANGE_HI))
     )
@@ -225,7 +248,7 @@ def manifest_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, app_man = ensure_append(spark, sf_dir)
     lo, hi = _shift_iso(APPEND_LO), _shift_iso(APPEND_HI)
     keep = _plan(base_man + app_man, lo, hi)
-    li = spark.read.parquet(*keep).where(
+    li = _read_planned(spark, sf_dir, keep).where(
         (F.col("l_shipdate") >= ntz_lit(lo)) & (F.col("l_shipdate") < ntz_lit(hi))
     )
     return li.groupBy("l_returnflag", "l_linestatus").agg(

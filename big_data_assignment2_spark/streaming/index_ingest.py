@@ -58,12 +58,19 @@ def streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        engine.build_index(
-            docs.where(F.col("doc_id").cast("long") % 2 == 0), index_dir
+        # pmod + try_cast + null-coalesce so EVERY doc lands in exactly
+        # one half: Spark's % keeps the dividend's sign (-3 % 2 == -1,
+        # matching neither == 0 nor == 1), ANSI cast THROWS on a
+        # non-numeric doc_id, and a NULL pmod fails both sides of a
+        # %-based split -- such docs would be indexed nowhere while the
+        # full-corpus oracle scores them
+        even = F.coalesce(
+            F.pmod(F.col("doc_id").try_cast("long"), F.lit(2)) == F.lit(0),
+            F.lit(False),
         )
+        engine.build_index(docs.where(even), index_dir)
         stage = f"{root}/incoming"
-        odd = docs.where(F.col("doc_id").cast("long") % 2 == 1)
-        odd.repartition(INGEST_FILES).write.parquet(stage)
+        docs.where(~even).repartition(INGEST_FILES).write.parquet(stage)
 
         schema = spark.read.parquet(stage).schema
         stream = (
@@ -91,9 +98,18 @@ def streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             # a torn append leaves the index stats inconsistent with its
             # postings -- fail loudly, never search a half-ingested index
             raise RuntimeError("streaming_index_append did not finish within 300s")
+        # localize the (top-10) result so the uuid scratch root can be
+        # deleted before returning -- the sibling uuid-rooted streaming
+        # ops clean up the same way; without this every invocation leaks
+        # a full index + a parquet copy of half the corpus
+        res = engine.search(spark, index_dir, DEFAULT_QUERY)
+        local = spark.createDataFrame(res.collect(), res.schema)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return engine.search(spark, index_dir, DEFAULT_QUERY)
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+    return local
 
 
 def register(reg: Registry) -> None:

@@ -71,3 +71,56 @@ def test_incremental_plan_selects_only_the_append(spark, sf_dir):
     base_keep = _plan(base + app, RANGE_LO, RANGE_HI)
     assert app[0]["file_path"] not in base_keep
     assert len(base_keep) >= 1
+
+
+def test_plan_keeps_unknown_bounds_and_empty_plan_reads_empty(spark, sf_dir):
+    """A manifest row with None bounds (footer-only file / absent column
+    stats) must be conservatively KEPT -- pruning on unknown stats would
+    silently drop rows -- and an empty plan must read as a zero-row
+    lineitem-schema frame, not crash spark.read.parquet() with no paths."""
+    from big_data_assignment2_spark.sources.manifest import _plan, _read_planned
+
+    man = [
+        {"file_path": "a", "ship_min_us": None, "ship_max_us": None},
+        {"file_path": "b", "ship_min_us": 0, "ship_max_us": 1},
+    ]
+    # window far past file b's interval: only the unknown-bounds file stays
+    assert _plan(man, "2050-01-01", "2050-02-01") == ["a"]
+
+    empty = _read_planned(spark, sf_dir, [])
+    assert empty.count() == 0
+    assert "l_shipdate" in empty.columns and "l_returnflag" in empty.columns
+
+
+def test_compact_table_files_refuses_empty_dir(spark, tmp_path):
+    """Compacting a dir with no parquet data must fail at the real cause,
+    not with a downstream schema-inference error."""
+    import pytest
+
+    from big_data_assignment2_spark.sources.partitioned_sink import (
+        compact_table_files,
+    )
+
+    d = str(tmp_path / "nothing")
+    (tmp_path / "nothing").mkdir()
+    with pytest.raises(ValueError, match="no parquet data"):
+        compact_table_files(spark, d, 1 << 20)
+
+
+def test_ingest_split_covers_negative_and_null_ids(spark):
+    """The streaming-ingest corpus split must place EVERY doc in exactly
+    one half: Spark's % keeps the dividend's sign (so -3 matches neither
+    %2==0 nor %2==1) and NULL ids fail both sides of a %-based split."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [("-3",), ("-2",), ("0",), ("7",), (None,), ("x",)], "doc_id string"
+    )
+    even = F.coalesce(
+        F.pmod(F.col("doc_id").try_cast("long"), F.lit(2)) == F.lit(0), F.lit(False)
+    )
+    e = {r["doc_id"] for r in docs.where(even).collect()}
+    o = {r["doc_id"] for r in docs.where(~even).collect()}
+    assert e | o == {"-3", "-2", "0", "7", None, "x"}
+    assert e & o == set()
+    assert e == {"-2", "0"}
