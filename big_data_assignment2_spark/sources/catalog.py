@@ -60,13 +60,22 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Either way ``ts`` comes out as TIMESTAMP (an instant equal to the
     file's wall-clock value read as UTC), which is what every downstream
     windows/temporal/streaming operator and oracle twin expects."""
+    return normalize_events_ts(_read_events_raw(spark, f"{sf_dir}/events.parquet"))
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """The ONE decode rule for an events frame read under
+    :func:`_read_events_raw`'s scoped confs: nanos-as-long becomes
+    TIMESTAMP via integer ns->us division (NOT a double divide -- loses
+    precision above 2^53); anything else is already plain TIMESTAMP.
+    Shared by the batch loader and every streaming staging path so the
+    two can never silently diverge."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
-    raw = _read_events_raw(spark, f"{sf_dir}/events.parquet")
-    if isinstance(raw.schema["ts"].dataType, LongType):
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def _read_events_raw(spark: SparkSession, path: str) -> DataFrame:

@@ -252,9 +252,10 @@ def _register_textdirio(spark: SparkSession):
       messages into place (so a failed/duplicate task attempt's output
       is never published -- ``os.replace`` also makes same-name
       publishes from speculative twins idempotent) and drops a
-      ``_MANIFEST`` listing the committed files. Overwrite mode clears
-      the previous committed set first -- still inside commit, so
-      readers never observe a half-cleared directory between jobs.
+      ``_MANIFEST`` listing the committed files. Overwrite mode
+      publishes the new files FIRST (same-name replaces are atomic)
+      and only then removes old files the new set did not replace, so
+      a mid-commit failure can never destroy previously committed data.
     - ``abort(messages)`` discards the staging dir; the previously
       committed data stays untouched.
     """
@@ -317,16 +318,25 @@ def _register_textdirio(spark: SparkSession):
             return _Staged(names)
 
         def commit(self, messages):
-            if self.overwrite:
-                for n in _os.listdir(self.path):
-                    if n.endswith(".txt"):
-                        _os.remove(_os.path.join(self.path, n))
+            # publish FIRST: os.replace atomically overwrites a
+            # same-named predecessor, so a mid-commit failure leaves a
+            # mix of old and new files but DESTROYS nothing -- deleting
+            # the old set before publishing (the tempting order) would
+            # let a failed os.replace + abort() lose the previously
+            # committed corpus, violating abort's "previously committed
+            # data stays untouched" contract
+            committed = {final for m in messages for _, final in m.names}
             for m in messages:
                 for staged, final in m.names:
                     _os.replace(
                         _os.path.join(self.staging, staged),
                         _os.path.join(self.path, final),
                     )
+            if self.overwrite:
+                # only now drop old files the new set did not replace
+                for n in _os.listdir(self.path):
+                    if n.endswith(".txt") and n not in committed:
+                        _os.remove(_os.path.join(self.path, n))
             with open(_os.path.join(self.path, "_MANIFEST"), "w") as f:
                 f.write(
                     "\n".join(

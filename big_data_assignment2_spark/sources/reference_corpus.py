@@ -59,12 +59,18 @@ def load_reference_corpus(
 
 
 # Per-process memo of the (cached) index frames: the fixture corpus is
-# immutable, and the three smoke queries share one index build.
-_INDEX_CACHE: dict[str, tuple[DataFrame, DataFrame, DataFrame]] = {}
+# immutable, and the three smoke queries share one index build. Keyed by
+# (application id, data_dir) -- unlike the path-keyed memos elsewhere
+# (which store paths and re-read via the caller's session), this one
+# stores DataFrames BOUND to the session that built them: after a
+# spark.stop(), a fresh session must rebuild, not inherit frames whose
+# plans reference the dead JVM state.
+_INDEX_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
 
 
 def _reference_index(spark: SparkSession, data_dir: str):
-    if data_dir not in _INDEX_CACHE:
+    key = (spark.sparkContext.applicationId, data_dir)
+    if key not in _INDEX_CACHE:
         # persist docs too: inverted and stats each scan the corpus, and
         # the 1000-small-file wholetext read costs more than the cache.
         # coalesce first: wholetext yields ~1 partition per file, and a
@@ -76,8 +82,8 @@ def _reference_index(spark: SparkSession, data_dir: str):
         inverted = inverted_from_docs(docs).persist()
         vocab = vocab_from_inverted(inverted).persist()
         stats = doc_stats_from_docs(docs).persist()
-        _INDEX_CACHE[data_dir] = (inverted, vocab, stats)
-    return _INDEX_CACHE[data_dir]
+        _INDEX_CACHE[key] = (inverted, vocab, stats)
+    return _INDEX_CACHE[key]
 
 
 def warm_reference_index(

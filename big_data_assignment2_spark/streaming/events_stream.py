@@ -28,11 +28,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same type-adaptive ts handling as sources.catalog.load_events, on
     # the streaming read path: resolve the physical schema with the same
     # scoped-conf batch read (nanos -> long, tz-naive micros -> plain
-    # TIMESTAMP), hand it to the file source explicitly, and only apply
-    # the ns->us conversion when the file really stores nanos.
-    from pyspark.sql.types import LongType
-
-    from ..sources.catalog import _read_events_raw
+    # TIMESTAMP), hand it to the file source explicitly, and apply the
+    # ONE shared decode rule (normalize_events_ts) on top.
+    from ..sources.catalog import _read_events_raw, normalize_events_ts
 
     schema = _read_events_raw(spark, f"{sf_dir}/events.parquet").schema
     # The file source insists on a directory; point it at sf_dir and
@@ -43,9 +41,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if isinstance(schema["ts"].dataType, LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_events_ts(stream)
 
 
 def tumbling_agg(events: DataFrame, watermark: str | None = None) -> DataFrame:
@@ -79,24 +75,12 @@ def streaming_tumbling_watermarked(spark: SparkSession, sf_dir: str) -> DataFram
     watermark has passed are emitted -- the late-data handling a live
     deployment needs. (Not oracle-checked: append mode intentionally
     withholds the trailing windows.)"""
-    name = f"stream_wm_{uuid.uuid4().hex[:8]}"
-    q = (
-        tumbling_agg(_events_stream(spark, sf_dir), watermark="1 hour")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return _run_to_table(
+        spark,
+        tumbling_agg(_events_stream(spark, sf_dir), watermark="1 hour"),
+        "stream_wm",
+        state_partitions=None,
     )
-    try:
-        finished = q.awaitTermination(120)
-    finally:
-        q.stop()
-    if not finished:
-        # a stopped-mid-batch memory sink holds partial results -- fail
-        # loudly instead of returning a plausible subset
-        raise RuntimeError(f"streaming query {name} did not finish within 120s")
-    return spark.table(name)
 
 
 SESSION_GAP_S = 1800  # keep in sync with operators.windows.SESSION_GAP_S
@@ -203,30 +187,13 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    # The state-store partition count is fixed at query start from
-    # spark.sql.shuffle.partitions, and the stateful-operator python
-    # worker costs ~1.5s per state partition per micro-batch regardless
-    # of data volume. Pin a small count for this bounded demo corpus
-    # (and restore the caller's setting); a production deployment sizes
-    # it to keyspace/executor count instead.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        q = (
-            sessions.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    try:
-        q.awaitTermination(240)
-    finally:
-        q.stop()
-    return spark.table(name)
+    # _run_to_table pins the state-store partition count (fixed at query
+    # start from spark.sql.shuffle.partitions; the stateful python worker
+    # costs ~1.5s per state partition per micro-batch regardless of data
+    # volume), restores the caller's setting, and FAILS LOUDLY on a
+    # timeout -- a hand-rolled loop here once dropped the finished check
+    # and could return a partial session set.
+    return _run_to_table(spark, sessions, "stream_sessions", timeout=240)
 
 
 # Oracle: gaps-and-islands sessionization, emitting sessions that either
@@ -241,8 +208,12 @@ WITH seq AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 islands AS (
+  -- event_id tiebreak matches seq's window and the Python twin's
+  -- sort_values(['ts_us','event_id']): with tied timestamps an
+  -- untiebroken running sum could order the tie oppositely to seq and
+  -- attach a flagged row to the prior session
   SELECT user_id, ts, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM seq
 ),
@@ -273,6 +244,7 @@ def _run_to_table(
     prefix: str,
     state_partitions: int | None = 4,
     output_mode: str = "append",
+    timeout: int = 120,
 ) -> DataFrame:
     """Drive a streaming frame to completion (availableNow, memory sink)
     and return the result table.
@@ -297,13 +269,13 @@ def _run_to_table(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
-        finished = q.awaitTermination(120)
+        finished = q.awaitTermination(timeout)
     finally:
         q.stop()
     if not finished:
         # a stopped-mid-batch memory sink holds partial results -- fail
         # loudly instead of returning a plausible subset
-        raise RuntimeError(f"streaming query {name} did not finish within 120s")
+        raise RuntimeError(f"streaming query {name} did not finish within {timeout}s")
     global _LAST_PROGRESS
     _LAST_PROGRESS = list(q.recentProgress)
     return spark.table(name)
@@ -461,7 +433,10 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fail loudly: stopping mid-batch can leave a torn batch_id
         # partition, and reading it would return plausible wrong totals
         raise RuntimeError("streaming_foreach_batch did not finish within 120s")
-    return (
+    # localize the (per-event-type, tiny) totals so the uuid sink dir and
+    # its dead checkpoint can be deleted before returning -- every call
+    # otherwise leaks both forever (zero-debris convention of this file)
+    res = (
         spark.read.parquet(out)
         .groupBy("event_type")
         .agg(
@@ -469,6 +444,12 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("sum_value"), 6).alias("sum_value"),
         )
     )
+    local = spark.createDataFrame(res.collect(), res.schema)
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(f"{out}_ckpt", ignore_errors=True)
+    return local
 
 
 SQL_FOREACH_BATCH = f"""
@@ -536,6 +517,28 @@ def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         raw = _read_events_raw(spark, f"{sf_dir}/events.parquet")
+        # The oracle cuts the watermark at max(NON-late ts): Spark's
+        # post-data no-data batch, however, runs under a watermark from
+        # ALL arrived rows -- late ones included, since they pass through
+        # EventTimeWatermark before being dropped. The two agree only
+        # while the globally-newest event is NOT late-sliced; assert that
+        # here (the driver regenerates the corpus every round) so a
+        # violating dataset fails loudly instead of hash-mismatching.
+        # ts may be raw nanos (LongType) -- comparison is monotone either
+        # way.
+        mx = raw.agg(
+            F.max(F.when(late_c, F.col("ts"))).alias("late_max"),
+            F.max(F.when(~late_c, F.col("ts"))).alias("rest_max"),
+        ).collect()[0]
+        if mx["late_max"] is not None and (
+            mx["rest_max"] is None or mx["late_max"] > mx["rest_max"]
+        ):
+            raise AssertionError(
+                "streaming_late_data: the globally-newest event falls in "
+                "the late slice; the final watermark would outrun the "
+                "oracle's non-late cut -- adjust LATE_MOD/LATE_REM for "
+                "this dataset"
+            )
         for i, (nm, cond) in enumerate(batches):
             raw.where(cond).coalesce(1).write.mode("overwrite").parquet(
                 f"{root}/in_{nm}"
@@ -552,10 +555,9 @@ def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .load(drop)
         )
-        from pyspark.sql.types import LongType
+        from ..sources.catalog import normalize_events_ts
 
-        if isinstance(schema["ts"].dataType, LongType):
-            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        stream = normalize_events_ts(stream)
         agg = tumbling_agg(
             stream.withWatermark("ts", f"{LATE_DELAY_S} seconds")
         )
@@ -567,7 +569,10 @@ def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_LATE = f"""
 WITH wm AS (
   -- watermark once all on-time batches are in: ms-floored max event time
-  -- minus the delay (late-slice rows never advance it; they arrive last)
+  -- minus the delay. Late rows DO pass through EventTimeWatermark before
+  -- being dropped, so the final no-data batch's watermark comes from ALL
+  -- rows; the non-late cut here matches it only because the staging code
+  -- asserts the globally-newest event is not late-sliced.
   SELECT max(CAST(epoch_us(ts) AS BIGINT)) // 1000 - {LATE_DELAY_S} * 1000 AS ms
   FROM events WHERE NOT (event_id % {LATE_MOD} = {LATE_REM})
 ),
@@ -657,12 +662,11 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .load(drop)
         )
-        from pyspark.sql.types import LongType
+        from ..sources.catalog import normalize_events_ts
 
-        if isinstance(schema["ts"].dataType, LongType):
-            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         deduped = (
-            stream.withWatermark("ts", f"{DEDUP_WM_DELAY_S} seconds")
+            normalize_events_ts(stream)
+            .withWatermark("ts", f"{DEDUP_WM_DELAY_S} seconds")
             .dropDuplicatesWithinWatermark(["event_id"])
             .select(
                 "event_id",
@@ -734,7 +738,14 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("value"), 6).alias("sum_value"),
         F.max("us").alias("last_us"),
     )
-    return _run_to_table(spark, totals, "stream_run_totals", output_mode="complete")
+    try:
+        # the result lives entirely in the memory sink once the run
+        # completes; the staged projection is per-call debris
+        return _run_to_table(spark, totals, "stream_run_totals", output_mode="complete")
+    finally:
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 SQL_STREAM_RUNNING = f"""

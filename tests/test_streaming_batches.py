@@ -13,13 +13,22 @@ from pyspark.sql import functions as F
 @pytest.fixture(scope="module")
 def split_events_dir(spark, sf_dir, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("events_split"))
+    # scope the conf like _read_events_raw does: leaving it set leaks
+    # into later test modules (test_events_loader asserts it is unset)
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .repartition(4)
-        .write.mode("overwrite")
-        .parquet(out)
-    )
+    try:
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return out
 
 
