@@ -41,8 +41,11 @@ def score(tf: Column, dl: Column, avg_dl: Column, n_docs: Column, doc_freq: Colu
 
 
 # DuckDB twin of score(); {tf} {dl} {avg_dl} {n} {df} are SQL expressions.
+# The coalesce mirrors tf_norm's avg_dl==0 guard -- without it Spark
+# emits 0.0 scores on an empty-corpus stats row while the SQL twin
+# propagates NULL (divergent engines where the module claims one guard).
 SQL_SCORE = (
     "ln(1.0 + ({n} - {df} + 0.5) / ({df} + 0.5))"
-    " * ({tf} * (1.2 + 1.0)"
-    "    / ({tf} + 1.2 * (1.0 - 0.75 + 0.75 * {dl} / nullif({avg_dl}, 0.0))))"
+    " * coalesce({tf} * (1.2 + 1.0)"
+    "    / ({tf} + 1.2 * (1.0 - 0.75 + 0.75 * {dl} / nullif({avg_dl}, 0.0))), 0.0)"
 )

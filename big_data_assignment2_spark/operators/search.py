@@ -26,6 +26,7 @@ from ..functions import bm25
 from ..functions.text import tokenize_query
 from ..registry import Registry
 from . import index_build
+from ._util import dsum, sql_dsum
 
 DEFAULT_QUERY = "spark query window merge zzz"  # 'zzz' exercises the df=0 drop
 DEFAULT_K = 10
@@ -83,9 +84,14 @@ def bm25_rank_with_stats(
     # HashAggregate. Titles attach AFTER the top-k, a k-row broadcast
     # join -- which also matches the reference more closely than the old
     # max(title) (titles are functionally dependent on doc_id).
+    # dsum(9): per-term contributions accumulate as exact DECIMAL(18,9)
+    # -- a plain double sum is partition-order-dependent, and a doc whose
+    # unrounded score sits within an ulp of a 0.5e-6 rounding boundary
+    # could round differently across engines/runs; the 1e-9 quantization
+    # is absorbed by the final round-to-6 (repo-wide dsum convention)
     ranked = (
         scored.groupBy("doc_id")
-        .agg(F.round(F.sum("partial"), 6).alias("score"))
+        .agg(F.round(dsum(F.col("partial"), 9), 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
@@ -121,7 +127,10 @@ def sql_bm25(
     extra_where: str = "",
 ) -> str:
     terms = tokenize_query(query)
-    in_list = ", ".join(f"'{t}'" for t in terms)
+    # zero-term query: "IN ()" is a SQL syntax error while the Spark
+    # side's isin([]) quietly yields no rows -- emit an impossible term
+    # (the tokenizer never produces '') so both engines return empty
+    in_list = ", ".join(f"'{t}'" for t in terms) or "''"
     score = bm25.SQL_SCORE.format(
         tf="i.tf", dl="s.length", avg_dl="st.avg_dl", n="st.n_docs", df="v.doc_freq"
     )
@@ -142,7 +151,8 @@ scored AS (
   WHERE i.term IN ({in_list}){extra_where}
 ),
 ranked AS (
-  SELECT doc_id, max(title) AS title, round(sum(partial), 6) AS score
+  SELECT doc_id, max(title) AS title,
+         round({sql_dsum('partial', 9)}, 6) AS score
   FROM scored GROUP BY doc_id
   ORDER BY score DESC, doc_id ASC LIMIT {k}
 )
@@ -159,19 +169,30 @@ FROM ranked
 _BUILT_INDEXES: dict[str, str] = {}
 
 
+def _ensure_index(sf_dir: str, memo: dict[str, str], prefix: str, build) -> str:
+    """Shared once-per-process index-builder scaffold: memo check,
+    scratch-dir naming, build, record. ONE home for the never-trusted-
+    across-processes invariant and the scratch-slug convention (each of
+    the five lifecycle builders below used to carry its own copy)."""
+    from ._util import scratch_root, scratch_slug
+
+    if sf_dir not in memo:
+        index_dir = f"{scratch_root()}/{prefix}_{scratch_slug(sf_dir)}"
+        build(index_dir)
+        memo[sf_dir] = index_dir
+    return memo[sf_dir]
+
+
 def ensure_persisted_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per process) and return the persisted index dir for
     *sf_dir* -- the one-time ``index.sh`` phase, separated so callers
     (bench.py) can time build and query independently."""
     from .. import engine
-    from ._util import scratch_root, scratch_slug
 
-    if sf_dir not in _BUILT_INDEXES:
-        index_dir = f"{scratch_root()}/index_{scratch_slug(sf_dir)}"
-        docs = index_build.documents_with_title(spark, sf_dir)
-        engine.build_index(docs, index_dir)
-        _BUILT_INDEXES[sf_dir] = index_dir
-    return _BUILT_INDEXES[sf_dir]
+    def build(index_dir: str) -> None:
+        engine.build_index(index_build.documents_with_title(spark, sf_dir), index_dir)
+
+    return _ensure_index(sf_dir, _BUILT_INDEXES, "index", build)
 
 
 def bm25_search_persisted(
@@ -215,15 +236,22 @@ def ensure_incremental_index(spark: SparkSession, sf_dir: str) -> str:
     build half of ``bm25_search_incremental``, split out so bench.py can
     time build and query independently)."""
     from .. import engine
-    from ._util import scratch_root, scratch_slug
 
-    if sf_dir not in _BUILT_INCR:
-        index_dir = f"{scratch_root()}/index_incr_{scratch_slug(sf_dir)}"
+    def build(index_dir: str) -> None:
         docs = index_build.documents_with_title(spark, sf_dir)
-        engine.build_index(docs.where(F.col("doc_id") % 2 == 0), index_dir)
-        engine.append_to_index(docs.where(F.col("doc_id") % 2 == 1), index_dir)
-        _BUILT_INCR[sf_dir] = index_dir
-    return _BUILT_INCR[sf_dir]
+        # pmod + try_cast + coalesce: every doc lands in exactly one half
+        # (a bare `doc_id % 2` implicit-casts string->double -- NULL for
+        # non-numeric ids, which then match NEITHER side and vanish from
+        # the incremental index while the full-corpus oracle scores them;
+        # Spark's % also keeps the dividend's sign for negatives)
+        even = F.coalesce(
+            F.pmod(F.col("doc_id").try_cast("long"), F.lit(2)) == F.lit(0),
+            F.lit(False),
+        )
+        engine.build_index(docs.where(even), index_dir)
+        engine.append_to_index(docs.where(~even), index_dir)
+
+    return _ensure_index(sf_dir, _BUILT_INCR, "index_incr", build)
 
 
 FILTER_LANG = "en"
@@ -271,18 +299,16 @@ DELETE_MOD = 7  # docs with doc_id % 7 == 0 get deleted
 def ensure_deleted_index(spark: SparkSession, sf_dir: str) -> str:
     """Build-then-delete index dir for *sf_dir*, once per process."""
     from .. import engine
-    from ._util import scratch_root, scratch_slug
 
-    if sf_dir not in _BUILT_DELETED:
-        index_dir = f"{scratch_root()}/index_del_{scratch_slug(sf_dir)}"
+    def build(index_dir: str) -> None:
         docs = index_build.documents_with_title(spark, sf_dir)
         engine.build_index(docs, index_dir)
         engine.delete_from_index(
             docs.where(F.col("doc_id").cast("long") % DELETE_MOD == 0).select("doc_id"),
             index_dir,
         )
-        _BUILT_DELETED[sf_dir] = index_dir
-    return _BUILT_DELETED[sf_dir]
+
+    return _ensure_index(sf_dir, _BUILT_DELETED, "index_del", build)
 
 
 def ensure_compacted_index(spark: SparkSession, sf_dir: str) -> str:
@@ -291,10 +317,8 @@ def ensure_compacted_index(spark: SparkSession, sf_dir: str) -> str:
     mutates the index in place, and the after-delete query must keep
     exercising the tombstone-masking search path."""
     from .. import engine
-    from ._util import scratch_root, scratch_slug
 
-    if sf_dir not in _BUILT_COMPACTED:
-        index_dir = f"{scratch_root()}/index_cpt_{scratch_slug(sf_dir)}"
+    def build(index_dir: str) -> None:
         docs = index_build.documents_with_title(spark, sf_dir)
         engine.build_index(docs, index_dir)
         engine.delete_from_index(
@@ -302,8 +326,8 @@ def ensure_compacted_index(spark: SparkSession, sf_dir: str) -> str:
             index_dir,
         )
         engine.compact_index(spark, index_dir)
-        _BUILT_COMPACTED[sf_dir] = index_dir
-    return _BUILT_COMPACTED[sf_dir]
+
+    return _ensure_index(sf_dir, _BUILT_COMPACTED, "index_cpt", build)
 
 
 _BUILT_LIFECYCLE: dict[str, str] = {}
@@ -321,18 +345,16 @@ def ensure_lifecycle_index(spark: SparkSession, sf_dir: str) -> str:
     Separate dir from :func:`ensure_compacted_index`, whose query relies
     on the deleted docs staying gone."""
     from .. import engine
-    from ._util import scratch_root, scratch_slug
 
-    if sf_dir not in _BUILT_LIFECYCLE:
-        index_dir = f"{scratch_root()}/index_cycle_{scratch_slug(sf_dir)}"
+    def build(index_dir: str) -> None:
         docs = index_build.documents_with_title(spark, sf_dir)
         doomed = docs.where(F.col("doc_id").cast("long") % DELETE_MOD == 0)
         engine.build_index(docs, index_dir)
         engine.delete_from_index(doomed.select("doc_id"), index_dir)
         engine.compact_index(spark, index_dir)
         engine.append_to_index(doomed, index_dir)
-        _BUILT_LIFECYCLE[sf_dir] = index_dir
-    return _BUILT_LIFECYCLE[sf_dir]
+
+    return _ensure_index(sf_dir, _BUILT_LIFECYCLE, "index_cycle", build)
 
 
 def bm25_search_after_delete(
