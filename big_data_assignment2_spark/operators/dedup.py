@@ -221,6 +221,27 @@ def _verify_pairs_exact(sh: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
+def _band_rows(sigs: DataFrame, n_bands: int) -> DataFrame:
+    """One-row LSH band keys as ``(doc_id, band_j, band_v)`` rows -- the
+    shared explode behind every xxhash64 LSH variant AND the persisted
+    band store. Band key = (seed index, raw 64-bit min) as two INT/LONG
+    columns -- a string concat key would re-serialize every row for the
+    join; the key shape must stay in lockstep with the band-store
+    parquet schema and its join sites, which is why this lives in ONE
+    place."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), F.col(f"mh{j}").alias("v"))
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.j").alias("band_j"), F.col("b.v").alias("band_v"))
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures -> LSH band buckets -> candidate pairs ->
     exact-Jaccard verification. Only docs sharing a band key are ever
@@ -269,21 +290,7 @@ def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall allows."""
     sh = _doc_shingles(spark, sf_dir)
     sigs = sh.groupBy("doc_id").agg(*minhash_cols_fast("shingle", N_MINHASH_FAST))
-    # band key = (seed index, raw 64-bit min) as two INT columns -- a
-    # string concat key would re-serialize every row for the join
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"), F.col(f"mh{j}").alias("v")
-                    )
-                    for j in range(N_MINHASH_FAST)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", F.col("b.j").alias("band_j"), F.col("b.v").alias("band_v"))
+    banded = _band_rows(sigs, N_MINHASH_FAST)
     cand = (
         banded.alias("x")
         .join(
@@ -421,17 +428,24 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "simhash", "b.band", "b.key")
-    left = bands.select(
-        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sig"), "band", "key"
-    )
-    right = bands.select(
-        F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sig"), "band", "key"
-    )
+    left = bands.select(F.col("doc_id").alias("a_id"), "band", "key")
+    right = bands.select(F.col("doc_id").alias("b_id"), "band", "key")
+    # dedup BARE id pairs, then re-attach the signatures from the tiny
+    # checkpointed sig table -- carrying both 16-char signatures through
+    # the distinct() exchange moved ~3x the bytes per candidate row (the
+    # same measured win prefix_edit_pairs documents)
     cand = (
         left.join(right, ["band", "key"])
         .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sig", "b_sig")
+        .select("a_id", "b_id")
         .distinct()
+    )
+    cand = cand.join(
+        sig.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sig")),
+        "a_id",
+    ).join(
+        sig.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sig")),
+        "b_id",
     )
     band_int = lambda c, j: F.conv(F.substring(c, 4 * j + 1, 4), 16, 10).cast("int")  # noqa: E731
     hamming = sum(
@@ -907,26 +921,18 @@ def _neardup_store(spark: SparkSession, sf_dir: str) -> str:
         .parquet(f"{root}/shingles")
     )
     sh0.unpersist()
-    sigs = (
-        spark.read.parquet(f"{root}/shingles")
-        .groupBy("doc_id")
-        .agg(*minhash_cols_fast("shingle", INC_BANDS))
-    )
+    stored_sh = spark.read.parquet(f"{root}/shingles")
+    sigs = stored_sh.groupBy("doc_id").agg(*minhash_cols_fast("shingle", INC_BANDS))
+    _band_rows(sigs, INC_BANDS).write.mode("overwrite").parquet(f"{root}/bands")
+    # per-doc shingle counts, persisted at BUILD time: ingest-batch
+    # verification needs every candidate store-doc's size, and deriving
+    # it per batch re-aggregated the ENTIRE store -- O(store) per batch
+    # where the incremental contract promises O(delta)
     (
-        sigs.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(j).alias("j"), F.col(f"mh{j}").alias("v"))
-                        for j in range(INC_BANDS)
-                    ]
-                )
-            ).alias("b"),
-        )
-        .select("doc_id", F.col("b.j").alias("band_j"), F.col("b.v").alias("band_v"))
+        stored_sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
         .write.mode("overwrite")
-        .parquet(f"{root}/bands")
+        .parquet(f"{root}/sizes")
     )
     _NEARDUP_STORE[sf_dir] = (spark, root)
     return root
@@ -973,18 +979,9 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         nsh.count()  # materialize: the pandas shingle pass must run once
         _INC_NEW_SH[sf_dir] = (spark, nsh)
-    nsigs = nsh.groupBy("doc_id").agg(*minhash_cols_fast("shingle", INC_BANDS))
-    nbanded = nsigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("j"), F.col(f"mh{j}").alias("v"))
-                    for j in range(INC_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", F.col("b.j").alias("band_j"), F.col("b.v").alias("band_v"))
+    nbanded = _band_rows(
+        nsh.groupBy("doc_id").agg(*minhash_cols_fast("shingle", INC_BANDS)), INC_BANDS
+    )
     obanded = spark.read.parquet(f"{root}/bands")
     cand = (
         obanded.alias("x")
@@ -992,8 +989,36 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh_all = spark.read.parquet(f"{root}/shingles").union(nsh)
-    return _verify_pairs_exact(sh_all, cand)
+    # Cross-half sized verification, O(delta) per batch: doc_a is always
+    # a STORE doc and doc_b always a BATCH doc, so intersection joins the
+    # candidate set (broadcast -- it is the tiny product of band
+    # collisions) against the store shingles without shuffling the store,
+    # and per-doc sizes come from the build-time {root}/sizes table plus
+    # a batch-only aggregate -- the previous sh_all groupBy re-aggregated
+    # the ENTIRE store every ingest batch.
+    store_sh = spark.read.parquet(f"{root}/shingles")
+    inter = (
+        F.broadcast(cand)
+        .join(store_sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(nsh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = spark.read.parquet(f"{root}/sizes").select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")
+    )
+    sz_b = (
+        nsh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz_b"))
+        .select(F.col("doc_id").alias("doc_b"), "sz_b")
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .where(jac >= JACCARD_T)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
 
 
 SQL_INC_LSH = f"""

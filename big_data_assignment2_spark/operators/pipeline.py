@@ -68,18 +68,35 @@ WHERE n_tokens >= {MIN_TOKENS}
 """
 
 
+def _hash_bucket(col, hex_chars: int, mod: int) -> F.Column:
+    """Deterministic [0, *mod*) bucket from the md5 of a key column: the
+    first *hex_chars* hex chars as an integer, mod *mod*. THE one
+    spelling of the determinism-critical sampling primitive (DuckDB
+    twin: :func:`_sql_hash_bucket`; same ``'0x' || substr(md5(..))``
+    trick as the multimodal frame fingerprints) -- every sampler/splitter
+    derives from it, so the two engines cannot drift per-sampler."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, hex_chars), 16, 10).cast(
+            "long"
+        )
+        % mod
+    )
+
+
+def _sql_hash_bucket(expr: str, hex_chars: int, mod: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, {hex_chars}))"
+        f" AS BIGINT) % {mod}"
+    )
+
+
 def _hash_pct(col) -> F.Column:
-    """Deterministic [0, 100) bucket from the md5 of a key column -- the
-    first 8 hex chars as an integer, mod 100. Bit-identical in DuckDB
-    (same ``'0x' || substr(md5(..))`` trick as the multimodal frame
-    fingerprints)."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    ) % 100
+    """Deterministic [0, 100) bucket (see :func:`_hash_bucket`)."""
+    return _hash_bucket(col, 8, 100)
 
 
 def _sql_hash_pct(expr: str) -> str:
-    return f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+    return _sql_hash_bucket(expr, 8, 100)
 
 
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,11 +186,15 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     {K}-token shingle with a benchmark set (here the deterministic
     ``doc_id % {MOD} == 0`` slice stands in for an eval suite).
 
-    The at-scale shape is the point: the benchmark side is always tiny
-    relative to a 100 TB corpus, so its distinct shingle set is
-    **broadcast** and the overlap check is a broadcast join on the
-    corpus-shingle stream -- no shuffle of the corpus, one narrow pass
-    plus a (doc, bench) count aggregate over only the matching rows.
+    The at-scale shape is the point: a real benchmark set is tiny and
+    FIXED-size relative to a 100 TB corpus, so its shingle set
+    broadcasts and the overlap check is a broadcast join on the
+    corpus-shingle stream -- no shuffle of the corpus. The stand-in
+    slice here is proportional (2%) rather than fixed, so the broadcast
+    is left to AQE's size estimate instead of a hard ``F.broadcast``
+    hint: at fixture scale AQE broadcasts it (same plan), while a
+    corpus-proportional side at 100 TB degrades to a shuffle join
+    instead of OOMing every executor on a forced 2 TB broadcast.
     Output: one row per contaminated (doc, benchmark doc) pair with the
     number of distinct shared shingles."""
     docs = load_table(spark, sf_dir, "documents")
@@ -188,7 +209,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(shingles_pd("text", DECON_K)).alias("shingle")
     )
     return (
-        corpus.join(F.broadcast(bench), "shingle")
+        corpus.join(bench, "shingle")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
@@ -438,10 +459,7 @@ def _balance_keep(docs):
         F.col("lang").alias("r_lang"),
         F.floor(F.lit(BALANCE_BUCKETS) * F.col("target") / F.col("cnt")).alias("keep_below"),
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
-        % BALANCE_BUCKETS
-    )
+    bucket = _hash_bucket(F.col("doc_id"), 8, BALANCE_BUCKETS)
     return (
         docs.join(F.broadcast(rates), docs.lang == F.col("r_lang"))
         .where(bucket < F.col("keep_below"))
@@ -460,9 +478,7 @@ def _sql_balance_ctes(src: str) -> str:
 )"""
 
 
-_SQL_BALANCE_BUCKET = (
-    f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {BALANCE_BUCKETS}"
-)
+_SQL_BALANCE_BUCKET = _sql_hash_bucket("doc_id", 8, BALANCE_BUCKETS)
 
 
 def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -827,10 +843,7 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing, and re-shuffles every run. Narrow: one projection, zero
     shuffle, at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
-        % 1000
-    )
+    bucket = _hash_bucket(F.col("doc_id"), 8, 1000)
     split = (
         F.when(bucket < SPLIT_TRAIN_PERMILLE, "train")
         .when(bucket < SPLIT_VAL_PERMILLE, "val")
@@ -839,9 +852,7 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", "source", split.alias("split"))
 
 
-_SQL_SPLIT_BUCKET = (
-    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000"
-)
+_SQL_SPLIT_BUCKET = _sql_hash_bucket("doc_id", 8, 1000)
 
 SQL_DATASET_SPLIT = f"""
 SELECT doc_id, lang, source,
@@ -892,9 +903,12 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     corpus = kept.where(F.col("doc_id") % BENCH_MOD != 0)
+    # no forced broadcast: the stand-in bench slice is corpus-
+    # proportional, so the join strategy is left to AQE (see
+    # decontaminate's docstring)
     contaminated = (
         corpus.select("doc_id", F.explode(shingles_pd("text", DECON_K)).alias("shingle"))
-        .join(F.broadcast(bench_sh), "shingle")
+        .join(bench_sh, "shingle")
         .select("doc_id")
         .distinct()
     )
@@ -963,16 +977,21 @@ def observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("punct_ratio") <= MAX_PUNCT_RATIO)
         & (F.col("quality_score") >= MIN_QUALITY)
     )
+    # coalesce both sums: SUM over zero rows is NULL (a corpus where the
+    # filter keeps nothing -- or an empty corpus -- crashed float(None)
+    # here); the oracle coalesces identically
     kept_row = kept.agg(
         F.count(F.lit(1)).alias("rows_kept"),
-        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double").alias("chars_kept"),
+        F.coalesce(
+            F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double"), F.lit(0.0)
+        ).alias("chars_kept"),
     ).collect()[0]
     m = obs.get  # blocks until the action above finished -> exact totals
     return spark.createDataFrame(
         [
             (
                 int(m["rows_in"]),
-                float(m["chars_in"]),
+                float(m["chars_in"] if m["chars_in"] is not None else 0.0),
                 int(kept_row["rows_kept"]),
                 float(kept_row["chars_kept"]),
             )
@@ -984,14 +1003,16 @@ def observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_observe_metrics() -> str:
     return f"""
 SELECT count(*) AS rows_in,
-       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS chars_in,
+       COALESCE(CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE), 0.0)
+         AS chars_in,
        count(*) FILTER (n_tokens >= {MIN_TOKENS}
                         AND punct_ratio <= {MAX_PUNCT_RATIO}
                         AND quality_score >= {MIN_QUALITY}) AS rows_kept,
-       CAST(SUM(CAST(n_chars AS DECIMAL(18,0)))
+       COALESCE(CAST(SUM(CAST(n_chars AS DECIMAL(18,0)))
             FILTER (n_tokens >= {MIN_TOKENS}
                     AND punct_ratio <= {MAX_PUNCT_RATIO}
-                    AND quality_score >= {MIN_QUALITY}) AS DOUBLE) AS chars_kept
+                    AND quality_score >= {MIN_QUALITY}) AS DOUBLE), 0.0)
+         AS chars_kept
 FROM ({_sql_text_quality()})
 """
 
@@ -1159,7 +1180,7 @@ def register(reg: Registry) -> None:
         "decontaminate",
         decontaminate,
         SQL_DECONTAMINATE,
-        "benchmark-overlap contamination flags (broadcast shingle join)",
+        "benchmark-overlap contamination flags (shingle overlap join)",
     )
     reg.add(
         "collocations_pmi",
@@ -1277,11 +1298,7 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(WEIGHT_SCALE),
         F.expr(f"n_chars * {WEIGHT_SCALE} div {WEIGHT_CAP_CHARS}"),
     )
-    draw_ppm = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
-        .cast("long")
-        % WEIGHT_SCALE
-    )
+    draw_ppm = _hash_bucket(F.col("doc_id"), 12, WEIGHT_SCALE)
     return (
         docs.select(
             "doc_id",
@@ -1299,8 +1316,7 @@ SELECT doc_id, lang, n_chars, rate_ppm, draw_ppm
 FROM (
   SELECT doc_id, lang, n_chars,
          LEAST({WEIGHT_SCALE}, n_chars * {WEIGHT_SCALE} // {WEIGHT_CAP_CHARS}) AS rate_ppm,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
-           % {WEIGHT_SCALE} AS draw_ppm
+         {_sql_hash_bucket('doc_id', 12, WEIGHT_SCALE)} AS draw_ppm
   FROM documents
 )
 WHERE draw_ppm < rate_ppm
