@@ -41,6 +41,7 @@ from ..functions.hashing import (
 from ..functions.text import SQL_TOKENS, tokenize, tokens
 from ..registry import Registry
 from ..sources.catalog import load_table
+from ._rebalance import fan_out_table
 
 SHINGLE_K = 5
 MAX_SHINGLE_DF = 100  # stop-shingle cap: drop shingles present in > this many docs
@@ -121,7 +122,14 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _SHINGLES.get(sf_dir)
     if hit is not None and hit[0] is spark:
         return hit[1]
-    docs = load_table(spark, sf_dir, "documents")
+    # fan out before the Arrow-batched shingle UDF (guide sections 2.5 +
+    # 4): a single-row-group corpus otherwise feeds the whole pandas
+    # shingle pass through ONE Python worker
+    docs = fan_out_table(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir,
+        "documents",
+    )
     sh = docs.select(
         "doc_id", F.explode(shingles_pd("text", SHINGLE_K)).alias("shingle")
     ).persist()
@@ -358,8 +366,16 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one shuffle (partial aggs per doc per partition), where the
     tf-relation form needed a (doc_id, term) exchange first. The md5 bit
     extraction happens once per token row in a projection; votes are
-    rebuilt as ``2*s_j - total`` (see ``simhash_contrib_cols``)."""
-    docs = load_table(spark, sf_dir, "documents")
+    rebuilt as ``2*s_j - total`` (see ``simhash_contrib_cols``).
+
+    The scan fans out first (guide section 2.5): the 64 per-token md5
+    bit extractions are the heaviest projection in the dedup family and
+    a single-row-group corpus would pin them to one task."""
+    docs = fan_out_table(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir,
+        "documents",
+    )
     contrib = tokenize(docs).select(
         "doc_id", *simhash_contrib_cols("term", F.lit(1))
     )
@@ -827,6 +843,8 @@ def tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds it by MAX_TERM_DF * |postings|), the over-cap list is tiny and
     broadcast, and the pair aggregation is a two-phase partial sum keyed by
     (doc_a, doc_b)."""
+    # not fanned out: tokenize -> groupBy with a cheap map side (the
+    # interleaved A/B read 1.04x -- the extra exchange buys nothing)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     inv0 = tokenize(docs).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     stop = (
@@ -1110,8 +1128,14 @@ def _span_grams(spark: SparkSession, sf_dir: str, *, hashed: bool) -> DataFrame:
     """(doc_id, pos, gram) for every overlapping K_SPAN-token gram --
     builtin-HOF only (posexplode over transform/slice, no Python). The
     gram key is the joined token string (exact baseline) or its xxhash64
-    (scale path; 8-byte shuffle key)."""
-    docs = load_table(spark, sf_dir, "documents")
+    (scale path; 8-byte shuffle key). The scan fans out first (guide
+    section 2.5): tokenizing + per-position gram construction is heavy
+    per row and a single-row-group corpus would pin it to one task."""
+    docs = fan_out_table(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir,
+        "documents",
+    )
     t = docs.select("doc_id", tokens("text").alias("toks")).where(
         F.size("toks") >= K_SPAN
     )

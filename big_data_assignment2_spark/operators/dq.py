@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..registry import Registry
 from ..sources.catalog import load_table
+from ._rebalance import fan_out_table
 from ._util import dec_fw, enc_fw
 
 # 15 hex digits = 60 bits: fits signed 64-bit on both engines with headroom;
@@ -208,8 +209,19 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix for free text -- which is what a profile needs from a text
     column. The wide 1-row result is reshaped long with ``stack``
     (row-local, no extra shuffle). The DuckDB oracle is the per-column
-    UNION ALL with the same canonical renders."""
-    li = load_table(spark, sf_dir, "lineitem")
+    UNION ALL with the same canonical renders.
+
+    The scan fans out first (guide section 2.5): the 6-way Expand and
+    the distinct-map partial aggregates are the heaviest map side in the
+    relational family, and a single-row-group input would otherwise run
+    all of it on one task."""
+    li = fan_out_table(
+        load_table(spark, sf_dir, "lineitem").select(
+            *[name for name, _ in _PROFILE_COLS]
+        ),
+        sf_dir,
+        "lineitem",
+    )
 
     def _minmax(name: str, kind: str, agg_fn):  # -> Column (canonical string)
         c = F.col(name)

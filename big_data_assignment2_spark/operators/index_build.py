@@ -61,7 +61,14 @@ SQL_DOCS_CTE = sql_docs_cte_over(
 
 def documents_with_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus as the engine sees it: string doc_id + derived title
-    (the driver's ``documents`` table has no title column -- FIXTURES.md)."""
+    (the driver's ``documents`` table has no title column -- FIXTURES.md).
+
+    Deliberately NOT fanned out (see operators/_rebalance.py): this
+    frame mostly feeds tokenize -> groupBy chains whose map side is
+    cheap enough that an interleaved A/B measured the extra exchange as
+    a net LOSS (bm25_search 1.31x, inverted_index 1.22x); the heavy
+    per-row consumers (lang_id, text_quality, simhash, ...) fan out at
+    their own roots instead."""
     return load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("title"),

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..registry import Registry
 from ..sources.catalog import load_events, load_table
+from ._rebalance import fan_out_table
 from ._util import dsum, sql_dsum
 from .graph import BASKET_CAP
 
@@ -66,7 +67,13 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     universe), per-item supports and per-pair supports each come from
     one hash aggregate; the tiny scalar N joins back via broadcast.
     """
-    lp = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # fan the single-row-group scan out first (guide section 2.5): the
+    # collect_set partial aggregation is the heavy map side here
+    lp = fan_out_table(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        sf_dir,
+        "lineitem",
+    )
     baskets = (
         lp.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))

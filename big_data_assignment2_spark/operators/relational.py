@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..registry import Registry
 from ..sources.catalog import load_table
+from ._rebalance import fan_out_table
 from ._util import davg, dsum, epoch, ntz_lit, sql_davg, sql_dsum, sql_ts
 
 # Filter cutoffs as ISO wall-clock instants: filters compare the NTZ
@@ -643,13 +644,32 @@ def percentile_cont_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-count union -- heavier than the GK sketch
     (percentiles_by_flag_approx) but exact and still one pass. Both
     engines interpolate the same sorted multiset with the same IEEE
-    double steps, so round(6) values hash-match."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        *[
-            F.round(F.expr(f"percentile(l_extendedprice, {q})"), 6).alias(f"p{int(q * 100)}")
-            for q in (0.25, 0.5, 0.75)
-        ]
+    double steps, so round(6) values hash-match.
+
+    One ARRAY-form percentile call, not three scalar ones: each scalar
+    ``percentile`` is its own aggregate buffer holding the full
+    counts-per-value map, so three of them triple the per-group state,
+    the map-side merge work and the shuffled partial bytes (guide
+    section 2.3); the array form keeps ONE buffer and interpolates the
+    same sorted multiset at each requested fraction -- values identical
+    by construction. Not fanned out: with the single-buffer form the
+    value-count build is no longer the bottleneck (interleaved A/B read
+    0.99x -- the extra exchange buys nothing here)."""
+    qs = (0.25, 0.5, 0.75)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    arr = ", ".join(str(q) for q in qs)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.expr(f"percentile(l_extendedprice, array({arr}))").alias("ps"))
+        .select(
+            "l_returnflag",
+            *[
+                F.round(F.col("ps")[i], 6).alias(f"p{int(q * 100)}")
+                for i, q in enumerate(qs)
+            ],
+        )
     )
 
 
@@ -680,9 +700,18 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     value, the clamp is the identity, and no division exists to produce
     NaN."""
     ev = load_table(spark, sf_dir, "events")
-    stats = ev.groupBy("event_type").agg(
-        F.expr(f"percentile(value, {WINSOR_LO})").alias("lo"),
-        F.expr(f"percentile(value, {WINSOR_HI})").alias("hi"),
+    # one array-form percentile buffer, not two scalar ones (same move as
+    # percentile_cont_by_flag: halves the per-group value-count state)
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr(f"percentile(value, array({WINSOR_LO}, {WINSOR_HI}))").alias("lh")
+        )
+        .select(
+            "event_type",
+            F.col("lh")[0].alias("lo"),
+            F.col("lh")[1].alias("hi"),
+        )
     )
     clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
     return ev.join(F.broadcast(stats), "event_type").select(
@@ -726,7 +755,14 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: boundaries are round(6) of exact interpolation
     (engine-identical); ties AT a boundary go to the lower bucket on
     both engines (strict >)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    # fan the single-row-group scan out before the ObjectHashAggregate:
+    # both passes (boundary build and bucket count) otherwise run their
+    # map side on ONE task (guide section 2.5, unsplittable-input skew)
+    li = fan_out_table(
+        load_table(spark, sf_dir, "lineitem").select("l_extendedprice"),
+        sf_dir,
+        "lineitem",
+    )
     qs = ", ".join(str(q) for q in HIST_QS)
     bounds = li.agg(
         F.expr(
@@ -773,11 +809,28 @@ def percentiles_by_flag_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     value at rank ceil(p*n) -- the same arithmetic as the exact oracle
     (verified identical at sf0.001/0.01/0.1). A production run at real
     scale uses the default accuracy and accepts the bounded error."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 1000000).alias("p50"),
-        F.percentile_approx("l_extendedprice", 0.9, 1000000).alias("p90"),
-        F.percentile_approx("l_extendedprice", 0.99, 1000000).alias("p99"),
+    # NOT fanned out: a fanned scan builds 32 GK sketches and pays their
+    # compressed merge, which the interleaved A/B measured at 1.56x the
+    # single-task build at this input size
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    # one GK sketch queried at three fractions, not three identical
+    # sketches (same inserts + deterministic compression => identical
+    # values; a third of the buffer build and shuffled partial bytes)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 1000000
+            ).alias("ps")
+        )
+        .select(
+            "l_returnflag",
+            F.col("ps")[0].alias("p50"),
+            F.col("ps")[1].alias("p90"),
+            F.col("ps")[2].alias("p99"),
+        )
     )
 
 
@@ -804,14 +857,29 @@ def percentiles_approx_rank_check(spark: SparkSession, sf_dir: str) -> DataFrame
     100 TB alike. Plan:
     one sketch aggregate (mergeable, map-side combined), the <=3-row
     result broadcast back onto the scan, one conditional-count aggregate."""
+    # NOT fanned out: same 32-sketch-merge loss as
+    # percentiles_by_flag_approx (A/B read 1.41x)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    approx = li.groupBy("l_returnflag").agg(
-        *[
-            F.percentile_approx("l_extendedprice", p, APPROX_PCT_ACCURACY).alias(a)
-            for p, a in ((0.5, "v50"), (0.9, "v90"), (0.99, "v99"))
-        ]
+    # one compressed GK sketch read at three fractions (identical inserts
+    # and deterministic compression => identical values per fraction as
+    # three separate sketches, at a third of the buffer work)
+    approx = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice",
+                F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+                APPROX_PCT_ACCURACY,
+            ).alias("vs")
+        )
+        .select(
+            "l_returnflag",
+            F.col("vs")[0].alias("v50"),
+            F.col("vs")[1].alias("v90"),
+            F.col("vs")[2].alias("v99"),
+        )
     )
     joined = li.join(F.broadcast(approx), "l_returnflag")
     counted = joined.groupBy("l_returnflag").agg(

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import SQL_DOT, cosine, dot, sql_cosine
 from ..registry import Registry
 from ..sources.catalog import load_table
+from ._rebalance import fan_out_table
 from ._util import davg, dsum, sql_davg, sql_dsum
 
 QUERY_VEC_ID = 0
@@ -732,8 +733,16 @@ def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: each product is computed in DOUBLE (a float x float
     product is exactly representable in double, so both engines get the
-    identical value) and accumulated through the exact DECIMAL path."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    identical value) and accumulated through the exact DECIMAL path.
+
+    The scan fans out first (guide section 2.5): the n * D^2/2 explode +
+    partial aggregation is the heaviest map side in the embedding family
+    and a single-row-group input would pin all of it to one task."""
+    emb = fan_out_table(
+        load_table(spark, sf_dir, "embeddings").select("embedding"),
+        sf_dir,
+        "embeddings",
+    )
     e1 = emb.select(F.posexplode("embedding").alias("i", "vi"), "embedding")
     e2 = e1.select(
         "i", "vi", F.posexplode("embedding").alias("j", "vj")

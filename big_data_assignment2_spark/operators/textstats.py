@@ -21,6 +21,7 @@ from ..functions.hashing import fingerprint_pd, sql_shingles
 from ..functions.text import SQL_TOKENS, tokenize, tokens
 from ..registry import Registry
 from ..sources.catalog import load_table
+from ._rebalance import fan_out_table
 from .index_build import documents_with_title
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
@@ -45,8 +46,12 @@ def _sql_count_in(toks: str, words: tuple[str, ...]) -> str:
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality features: token count, punctuation ratio, stopword
-    ratio, average word length, and a bounded composite score."""
-    docs = documents_with_title(spark, sf_dir)
+    ratio, average word length, and a bounded composite score.
+
+    Fans the scan out first (guide section 2.5): five regex/HOF passes
+    per row with per-doc output -- per-row-heavy, aggregation-light, the
+    shape where the conditional fan-out measured as a clear win."""
+    docs = fan_out_table(documents_with_title(spark, sf_dir), sf_dir, "documents")
     toks = tokens("text")
     n_tokens = F.size(toks).cast("long")
     n_chars = F.length("text").cast("long")
@@ -103,8 +108,11 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (A real pipeline would plug a model in via pandas_udf; the operator
     shape -- per-doc argmax over per-language scores -- is the same.)
+
+    Fanned out (guide section 2.5): four marker-set membership scans per
+    row, per-doc output -- measured 0.32x with the fan-out.
     """
-    docs = documents_with_title(spark, sf_dir)
+    docs = fan_out_table(documents_with_title(spark, sf_dir), sf_dir, "documents")
     toks = tokens("text")
     scores = {lang: _count_in(toks, m) for lang, m in LANG_MARKERS.items()}
     en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
@@ -148,8 +156,10 @@ BPE_ISH_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three tokenizer views per doc: raw whitespace split, alnum-run
-    tokens (the index tokenizer), and a BPE-ish regex segmentation."""
-    docs = documents_with_title(spark, sf_dir)
+    tokens (the index tokenizer), and a BPE-ish regex segmentation.
+    Fanned out (guide section 2.5): three tokenizer passes per row,
+    per-doc output, no aggregation to amortize the single-task scan."""
+    docs = fan_out_table(documents_with_title(spark, sf_dir), sf_dir, "documents")
     ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit("")))
     alnum = F.size(tokens("text"))
     bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_ISH_RE), 0))
@@ -176,8 +186,12 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: the minimum md5 over the doc's
     distinct 8-token shingles (short docs hash all their tokens).
     Equal fingerprints => near-identical prefixes of content; used as a
-    cheap first-pass near-dup key at scale."""
-    docs = documents_with_title(spark, sf_dir)
+    cheap first-pass near-dup key at scale.
+
+    Fanned out (guide sections 2.5 + 4): the pandas-UDF shingle+md5 pass
+    otherwise runs through ONE Python worker on a single-row-group
+    corpus."""
+    docs = fan_out_table(documents_with_title(spark, sf_dir), sf_dir, "documents")
     fp = fingerprint_pd("text", FP_K)
     return docs.select("doc_id", fp.alias("fp")).select(
         "doc_id",
@@ -289,6 +303,8 @@ def token_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     contains every source's tokens), so the log is total."""
     from ..sources.catalog import load_table
 
+    # not fanned out: tokenize -> groupBy with a cheap map side; the
+    # interleaved A/B measured the extra exchange as a 1.69x LOSS here
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     toks = tokenize(docs, id_col="source")  # (source, term) per occurrence
     per = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
@@ -348,6 +364,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     term as a unique tie-break, so stop-terms (df = N, score 0) rank
     deterministically too.
     """
+    # not fanned out: explode -> groupBy chains with a cheap map side;
+    # the interleaved A/B measured the extra exchange as a 1.48x LOSS
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.explode(tokens("text")).alias("term")
     )
@@ -409,7 +427,9 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominating), unusually high entropy flags binary/garbage spills
     into a text field.
 
-    Shape at 100 TB: ZERO shuffle. The whole computation is per-row
+    Shape at 100 TB: ZERO shuffle (the conditional ``fan_out_table``
+    below only fires on inputs too small to split naturally -- at any
+    production size the plan stays shuffle-free). The whole computation is per-row
     Column arithmetic over higher-order functions, so each document is
     finished where it is read (contrast the oracle, which recomputes
     the same number relationally by exploding one row per CHARACTER and
@@ -422,15 +442,17 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     this run-length form, same oracle, ~7x). Per-term determinism follows the ``token_kl_by_source``
     rule: each (c/n)*ln(n/c) term is one double expression rounded into
     DECIMAL before the order-independent sum."""
-    docs = (
+    docs = fan_out_table(
         load_table(spark, sf_dir, "documents")
         .where(F.length("text") > 0)
-        .select(
-            "doc_id",
-            F.array_sort(
-                F.filter(F.split("text", ""), lambda x: x != F.lit(""))
-            ).alias("ch"),
-        )
+        .select("doc_id", "text"),
+        sf_dir,
+        "documents",
+    ).select(
+        "doc_id",
+        F.array_sort(
+            F.filter(F.split("text", ""), lambda x: x != F.lit(""))
+        ).alias("ch"),
     )
     n = F.size("ch")
     # run starts: position 1, plus every i where ch[i] != ch[i-1].
@@ -501,7 +523,9 @@ def doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-able when small; a plain equi-join at web vocabulary),
     one scalar total, one per-doc reduce -- linear end to end. Each
     token's contribution is one double expression rounded into DECIMAL
-    before the order-independent per-doc sum (the ``token_kl`` rule)."""
+    before the order-independent per-doc sum (the ``token_kl`` rule).
+    Not fanned out: tokenize -> groupBy with a cheap map side (the
+    interleaved A/B measured the extra exchange as a 1.31x loss)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = tokenize(docs)  # (doc_id, term) per occurrence
     per = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c_dt"))
@@ -575,10 +599,14 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     total character delta. Pure Column regex work (regexp_extract_all /
     regexp_replace are JVM-side, whole-stage codegen) -- the per-row
     scrub is embarrassingly parallel at 100 TB and the report is one
-    map-side-combinable aggregate."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "source", _planted(F.col("doc_id"), F.col("text")).alias("t")
-    )
+    map-side-combinable aggregate. Fans the scan out first (guide
+    section 2.5) so the regex scrub is not pinned to one task on a
+    single-row-group corpus."""
+    docs = fan_out_table(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        sf_dir,
+        "documents",
+    ).select("source", _planted(F.col("doc_id"), F.col("text")).alias("t"))
     scrubbed = F.regexp_replace(
         F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
         PII_PHONE_RE,
