@@ -30,6 +30,7 @@ import functools
 import glob
 import os
 import re
+import shutil
 import zlib
 from collections.abc import Callable
 from concurrent.futures import ThreadPoolExecutor
@@ -198,6 +199,62 @@ def _fs_and_path(spark: SparkSession, path: str):
     stores alike -- the maintenance ops must not assume a local disk)."""
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def clone_index(spark: SparkSession, src_dir: str, dst_dir: str) -> None:
+    """Snapshot a complete index at *src_dir* into *dst_dir* by a
+    filesystem-level copy -- the "table clone" primitive: a derived
+    index (a delete/compact/append variant of the same corpus) starts
+    from one physical build instead of re-running the whole
+    tokenize/aggregate/write pipeline per variant. Cost is the index
+    bytes moved once, no Spark jobs, no recompute; the clone is
+    byte-identical to the source, so every downstream maintenance op
+    and search behaves exactly as on a fresh build of the same corpus.
+
+    Loud-guard posture matches the read path: the source must hold all
+    five layout tables (a torn/mid-rebuild source must never be
+    laundered into a new index); any stray ``*.tmp`` staging dirs are
+    healed first so a clone can never capture a torn swap. Tombstones,
+    if present, are copied too -- a clone is a faithful snapshot.
+    An existing *dst_dir* is replaced."""
+    _heal_torn_swaps(spark, src_dir)
+    missing = [
+        t for t in _SWAP_TABLES if not _path_exists(spark, f"{src_dir}/{t}")
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"clone_index: source {src_dir!r} is not a complete index "
+            f"(missing tables: {missing}); refusing to clone a torn or "
+            "partial source"
+        )
+    if _is_local_path(spark, src_dir) and _is_local_path(spark, dst_dir):
+        lsrc, ldst = _strip_file_scheme(src_dir), _strip_file_scheme(dst_dir)
+        if os.path.exists(ldst):
+            shutil.rmtree(ldst)
+        shutil.copytree(lsrc, ldst)
+    else:
+        fs_dst, jdst = _fs_and_path(spark, dst_dir)
+        fs_dst.delete(jdst, True)
+        fs_dst.mkdirs(jdst)
+        fs_src, jsrc = _fs_and_path(spark, src_dir)
+        futil = spark._jvm.org.apache.hadoop.fs.FileUtil
+        conf = spark._jsc.hadoopConfiguration()
+        for status in fs_src.listStatus(jsrc):
+            futil.copy(
+                fs_src,
+                status.getPath(),
+                fs_dst,
+                spark._jvm.org.apache.hadoop.fs.Path(
+                    dst_dir + "/" + status.getPath().getName()
+                ),
+                False,  # deleteSource
+                True,  # overwrite
+                conf,
+            )
+    # a reused dst path must not serve a previous instance's cached
+    # n_buckets or layout-validation verdict
+    _N_BUCKETS_CACHE.pop(dst_dir, None)
+    _LAYOUT_VALIDATED.pop(dst_dir, None)
 
 
 # The per-file maintenance ops (purge + staged rename, up to 64 bucket

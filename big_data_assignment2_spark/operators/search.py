@@ -297,12 +297,18 @@ DELETE_MOD = 7  # docs with doc_id % 7 == 0 get deleted
 
 
 def ensure_deleted_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build-then-delete index dir for *sf_dir*, once per process."""
+    """Clone-then-delete index dir for *sf_dir*, once per process.
+
+    The full-corpus build is shared: ``clone_index`` snapshots the
+    persisted index (byte-identical tables, no Spark jobs) and the
+    delete runs against the clone -- the delete path is exercised
+    end-to-end exactly as before, without re-running the whole
+    tokenize/aggregate/write pipeline a second time per fixture."""
     from .. import engine
 
     def build(index_dir: str) -> None:
+        engine.clone_index(spark, ensure_persisted_index(spark, sf_dir), index_dir)
         docs = index_build.documents_with_title(spark, sf_dir)
-        engine.build_index(docs, index_dir)
         engine.delete_from_index(
             docs.where(F.col("doc_id").cast("long") % DELETE_MOD == 0).select("doc_id"),
             index_dir,
@@ -312,15 +318,16 @@ def ensure_deleted_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def ensure_compacted_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build-then-delete-then-COMPACT index dir for *sf_dir*, once per
+    """Clone-then-delete-then-COMPACT index dir for *sf_dir*, once per
     process. A separate dir from :func:`ensure_deleted_index` -- compaction
     mutates the index in place, and the after-delete query must keep
-    exercising the tombstone-masking search path."""
+    exercising the tombstone-masking search path. The full-corpus build
+    is shared via ``clone_index`` (see :func:`ensure_deleted_index`)."""
     from .. import engine
 
     def build(index_dir: str) -> None:
+        engine.clone_index(spark, ensure_persisted_index(spark, sf_dir), index_dir)
         docs = index_build.documents_with_title(spark, sf_dir)
-        engine.build_index(docs, index_dir)
         engine.delete_from_index(
             docs.where(F.col("doc_id").cast("long") % DELETE_MOD == 0).select("doc_id"),
             index_dir,
@@ -343,13 +350,16 @@ def ensure_lifecycle_index(spark: SparkSession, sf_dir: str) -> str:
     ``tests/test_engine.py``; bench.py registers this as a build so the
     loop's cost is a per-round artifact, not just pytest coverage.
     Separate dir from :func:`ensure_compacted_index`, whose query relies
-    on the deleted docs staying gone."""
+    on the deleted docs staying gone. The initial full-corpus build is
+    shared via ``clone_index`` (byte-identical snapshot of the persisted
+    index); the delete -> compact -> append-readd loop -- the part this
+    fixture exists to prove -- still runs in full against the clone."""
     from .. import engine
 
     def build(index_dir: str) -> None:
+        engine.clone_index(spark, ensure_persisted_index(spark, sf_dir), index_dir)
         docs = index_build.documents_with_title(spark, sf_dir)
         doomed = docs.where(F.col("doc_id").cast("long") % DELETE_MOD == 0)
-        engine.build_index(docs, index_dir)
         engine.delete_from_index(doomed.select("doc_id"), index_dir)
         engine.compact_index(spark, index_dir)
         engine.append_to_index(doomed, index_dir)

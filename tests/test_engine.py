@@ -107,6 +107,50 @@ def test_append_then_delete_composes(spark, sf_dir, tmp_path):
     assert len(got) > 0
 
 
+def test_clone_index_is_faithful_and_isolated(spark, sf_dir, tmp_path):
+    """clone_index must (a) produce a search- and stats-identical index,
+    (b) isolate the clone from the source: maintenance on the clone must
+    not perturb the source, and the mutated clone must equal a
+    from-scratch index of the surviving docs (the property the derived
+    bench fixtures rely on), and (c) refuse a torn source."""
+    d_src = str(tmp_path / "src")
+    d_clone = str(tmp_path / "clone")
+    d_fresh = str(tmp_path / "fresh")
+    docs = index_build.documents_with_title(spark, sf_dir)
+    engine.build_index(docs, d_src, n_buckets=8)
+
+    engine.clone_index(spark, d_src, d_clone)
+    q = "spark query window merge"
+    assert [tuple(r) for r in engine.search(spark, d_clone, q).collect()] == [
+        tuple(r) for r in engine.search(spark, d_src, q).collect()
+    ]
+    assert [tuple(r) for r in engine.index_stats(spark, d_clone).collect()] == [
+        tuple(r) for r in engine.index_stats(spark, d_src).collect()
+    ]
+
+    doomed = docs.where(F.col("doc_id").cast("long") % 5 == 0).select("doc_id")
+    engine.delete_from_index(doomed, d_clone)
+    engine.build_index(
+        docs.where(F.col("doc_id").cast("long") % 5 != 0), d_fresh, n_buckets=8
+    )
+    got = engine.search(spark, d_clone, q).collect()
+    want = engine.search(spark, d_fresh, q).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0
+    # the source is untouched by the clone's delete
+    assert [tuple(r) for r in engine.search(spark, d_src, q).collect()] != [
+        tuple(r) for r in got
+    ]
+    assert not (tmp_path / "src" / "tombstones").exists()
+
+    # a torn source (missing table) is refused loudly
+    import shutil as _sh
+
+    _sh.rmtree(f"{d_src}/vocab")
+    with pytest.raises(FileNotFoundError, match="not a complete index"):
+        engine.clone_index(spark, d_src, str(tmp_path / "clone2"))
+
+
 def test_delete_then_append_composes(spark, sf_dir, tmp_path):
     """The OTHER maintenance order: build, delete, THEN append. The append
     path must not resurrect deleted docs into vocab/N/avg_dl (it merges a

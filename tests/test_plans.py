@@ -12,8 +12,43 @@ from big_data_assignment2_spark.registry import build_registry
 REG = build_registry()
 
 
+@pytest.fixture(autouse=True)
+def _no_fanout(monkeypatch):
+    """Plan audits assert the AT-SCALE shape: the conditional small-input
+    fan-out (operators/_rebalance.py) is a no-op on any production-sized
+    table, so it is disabled here and covered by its own focused tests
+    (test_rebalance below / tests/test_semantics_wave6.py)."""
+    monkeypatch.setenv("SPARK_GRAFT_NO_FANOUT", "1")
+
+
 def _df(spark, sf_dir, name):
     return REG.queries[name].fn(spark, sf_dir)
+
+
+def test_rebalance_fan_out_conditions(spark, sf_dir, monkeypatch):
+    """fan_out adds its round-robin Exchange ONLY for inputs too small to
+    split naturally; big inputs and the kill-switch leave the plan
+    untouched."""
+    from big_data_assignment2_spark.operators._rebalance import fan_out, fan_out_table
+
+    monkeypatch.delenv("SPARK_GRAFT_NO_FANOUT", raising=False)
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cores = spark.sparkContext.defaultParallelism
+    small = fan_out(df, 1024)
+    assert small.rdd.getNumPartitions() == cores or cores <= 1
+    assert "roundrobin" in small._jdf.queryExecution().toString().lower()
+    # at-scale input: natural splits >= cores -> identity
+    big = fan_out(df, 10**18)
+    assert big is df
+    # unknown size -> identity (conservative)
+    assert fan_out(df, None) is df
+    # kill-switch -> identity even for tiny inputs
+    monkeypatch.setenv("SPARK_GRAFT_NO_FANOUT", "1")
+    assert fan_out(df, 1024) is df
+    monkeypatch.delenv("SPARK_GRAFT_NO_FANOUT")
+    # table form sizes from the file on disk (tiny at test sf -> fans out)
+    fanned = fan_out_table(df, sf_dir, "documents")
+    assert fanned.rdd.getNumPartitions() == cores or cores <= 1
 
 
 def test_q1_filter_reaches_scan(spark, sf_dir):
