@@ -83,6 +83,9 @@ def ensure_image_fixture(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir in _IMAGE_FIXTURES:
         return _IMAGE_FIXTURES[sf_dir]
     path = f"{scratch_root()}/images_{scratch_slug(sf_dir)}"
+    # not fanned out: a 32-file fixture makes every downstream image
+    # scan pay per-file open cost that outweighs the parallel encode
+    # (fresh-process A/B: features 0.68 -> 0.73s, phash 0.73 -> 0.90s)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     encode_bmp, _ = bmp_codec()  # nested fns: cloudpickle ships by value
 
@@ -212,7 +215,9 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads BYTES, the oracle reads CODE POINTS), so both engines exclude
     them identically -- the same octet_length == length guard the prefix
     ops use. Same modality derivation as ``multimodal_meta``
-    (doc_id % 3 == 1 -> audio)."""
+    (doc_id % 3 == 1 -> audio). Not fanned out: the modality slice is a
+    third of an already-small corpus and the mapInPandas pass is cheap
+    (interleaved A/B read the extra exchange as a 1.67x loss)."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 3 == 1)
@@ -305,6 +310,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     so hashing the hex form is the one encoding both engines can compute
     byte-exactly for ANY payload, including non-UTF8 binary and non-ASCII
     text -- no character-slice == byte-slice assumption."""
+    # not fanned out: same small-slice shape as audio_features (A/B 1.57x)
     docs = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 3 == 2)  # the 'video' modality slice

@@ -133,7 +133,9 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k against the query vector (vec_id=0)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_table(
+        load_table(spark, sf_dir, "embeddings"), sf_dir, "embeddings"
+    )
     return (
         emb.where(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(_query_vec(spark, sf_dir)))
@@ -191,9 +193,9 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`ann_topk_persisted`, where the cell is a parquet partition
     column and the probe set is a driver-side literal filter (directory
     pruning, like the BM25 term buckets in ``engine.py``)."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", _bucket_col(F.col("embedding"))
-    )
+    emb = fan_out_table(
+        load_table(spark, sf_dir, "embeddings"), sf_dir, "embeddings"
+    ).withColumn("bucket", _bucket_col(F.col("embedding")))
     q = (
         emb.where(F.col("vec_id") == QUERY_VEC_ID)
         .select(F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket"))
@@ -349,7 +351,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # folds inside _cell_dots are interpreted, so a duplicated expression
     # really does evaluate twice), then derive cells from the column
     emb = (
-        load_table(spark, sf_dir, "embeddings")
+        fan_out_table(load_table(spark, sf_dir, "embeddings"), sf_dir, "embeddings")
         .withColumn("d", _cell_dots("embedding"))
         .withColumn("cell", F.array_position(F.col("d"), F.array_max("d")))
     )
@@ -622,6 +624,8 @@ def embedding_neardup_lsh(
     tests/test_dedup_similarity.py)."""
     from ..functions.vectors import make_cosine_pd
 
+    # not fanned out: the cost lives in the bucket self-join, not the
+    # scan-side hyperplane dots (interleaved A/B read 1.03x -- no win)
     emb = _with_planted(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "embedding",
@@ -695,7 +699,10 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay in its partition, partial aggs collapse them locally), then ONE
     exchange of (label x dim) partial sums -- shuffle volume is the
     centroid table size, independent of row count. The mean goes through
-    the same decimal-exact accumulation as every other aggregate."""
+    the same decimal-exact accumulation as every other aggregate.
+    Not fanned out: posexplode -> partial agg is cheap here (one output
+    row per label x dim); the interleaved A/B read the extra exchange
+    as a 1.39x loss."""
     emb = load_table(spark, sf_dir, "embeddings")
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("dim", "val")
@@ -817,7 +824,9 @@ def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity-search family; cites reference app/query.py:92 top-10
     convention for the result shape).
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = fan_out_table(
+        load_table(spark, sf_dir, "embeddings"), sf_dir, "embeddings"
+    ).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     sub = emb.select(
@@ -899,7 +908,8 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor gaps and raw-ADC recall is LOW by the data's nature; the
     eval exists to measure exactly that, and to show the rerank stage
     recovering a multiple of it for the price of ``PQ_RERANK_L`` exact
-    distance computations per query."""
+    distance computations per query. (Not fanned out: the recall join
+    dominates, interleaved A/B read 1.05x for the extra exchange.)"""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -1042,7 +1052,9 @@ def kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed bit-identical doubles into iteration 2."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_table(
+        load_table(spark, sf_dir, "embeddings"), sf_dir, "embeddings"
+    )
     e = emb.select("vec_id", F.posexplode("embedding").alias("dim", "fval")).select(
         "vec_id", "dim", F.col("fval").cast("double").alias("val")
     )

@@ -30,6 +30,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..registry import Registry
 from ..sources.catalog import load_table
+from ._rebalance import fan_out_table
 
 
 def _median_udafs():
@@ -104,7 +105,13 @@ def bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bigrams = udtf(_BigramsUDTF, returnType="doc_id string, pos bigint, bigram string")
     spark.udtf.register("doc_bigrams", bigrams)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_v")
+    # fan out before the per-row UDTF (guide sections 2.5 + 4): eval()
+    # is row-at-a-time Python, the costliest boundary -- parallelize it
+    fan_out_table(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir,
+        "documents",
+    ).createOrReplaceTempView("docs_v")
     return spark.sql(
         """
         SELECT b.doc_id, b.pos, b.bigram
@@ -140,6 +147,8 @@ def token_hist_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts non-whitespace runs per document (``\\S+`` -- RE2 on both
     sides: pyarrow here, DuckDB in the oracle), then a plain Column
     histogram over the counts. Narrow until the one histogram shuffle."""
+    # not fanned out: the pyarrow kernel is cheap enough that the extra
+    # exchange loses (interleaved A/B read 1.61x)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def count_batches(batches):
