@@ -217,6 +217,16 @@ def clone_index(spark: SparkSession, src_dir: str, dst_dir: str) -> None:
     healed first so a clone can never capture a torn swap. Tombstones,
     if present, are copied too -- a clone is a faithful snapshot.
     An existing *dst_dir* is replaced."""
+    norm_src = _strip_file_scheme(src_dir).rstrip("/")
+    norm_dst = _strip_file_scheme(dst_dir).rstrip("/")
+    # dst == src (or nested inside it) would DELETE the source before
+    # copying -- a snapshot primitive must never be able to destroy
+    # its own source on a caller typo
+    if norm_dst == norm_src or norm_dst.startswith(norm_src + "/"):
+        raise ValueError(
+            f"clone_index: destination {dst_dir!r} equals or nests inside "
+            f"source {src_dir!r}; refusing to delete the source"
+        )
     _heal_torn_swaps(spark, src_dir)
     missing = [
         t for t in _SWAP_TABLES if not _path_exists(spark, f"{src_dir}/{t}")

@@ -119,17 +119,23 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity, so identical-looking plans do NOT match across calls -- the
     r4 bench measured the fast path silently re-running the whole pandas
     shingle pass because of exactly that."""
-    hit = _SHINGLES.get(sf_dir)
+    # NOT fanned out, and the memo key records that decision: the
+    # shingle pass is paid once into this cached frame, so what the
+    # downstream consumers actually re-read is the CACHE -- and a
+    # 32-partition cache makes every post-cache stage (band joins,
+    # anti-join, pair aggregation) pay 32x task overhead on a tiny
+    # frame. A memo-keyed A/B (the kill-switch must not be served the
+    # other arm's cached plan) measured the fan-out as a 1.43-1.77x
+    # LOSS across all four consumers, and the fresh-process build-side
+    # comparison is neutral (9.4 vs 8.6s) -- so the single-task shingle
+    # pass stays.
+    import os as _os
+
+    key = (sf_dir, bool(_os.environ.get("SPARK_GRAFT_NO_FANOUT")))
+    hit = _SHINGLES.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
-    # fan out before the Arrow-batched shingle UDF (guide sections 2.5 +
-    # 4): a single-row-group corpus otherwise feeds the whole pandas
-    # shingle pass through ONE Python worker
-    docs = fan_out_table(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
-        sf_dir,
-        "documents",
-    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = docs.select(
         "doc_id", F.explode(shingles_pd("text", SHINGLE_K)).alias("shingle")
     ).persist()
@@ -148,12 +154,12 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.count()  # materialize the filtered cache off the raw cache
     finally:
         sh.unpersist()  # drop the raw rows even if materialization fails
-    _SHINGLES[sf_dir] = (spark, out)
+    _SHINGLES[key] = (spark, out)
     return out
 
 
 # (session, filtered-shingle frame) per sf_dir -- see _doc_shingles
-_SHINGLES: dict[str, tuple[SparkSession, DataFrame]] = {}
+_SHINGLES: dict[tuple[str, bool], tuple[SparkSession, DataFrame]] = {}
 
 
 SQL_DOC_SHINGLES = f"""
