@@ -219,13 +219,19 @@ def clone_index(spark: SparkSession, src_dir: str, dst_dir: str) -> None:
     An existing *dst_dir* is replaced."""
     norm_src = _strip_file_scheme(src_dir).rstrip("/")
     norm_dst = _strip_file_scheme(dst_dir).rstrip("/")
-    # dst == src (or nested inside it) would DELETE the source before
-    # copying -- a snapshot primitive must never be able to destroy
-    # its own source on a caller typo
-    if norm_dst == norm_src or norm_dst.startswith(norm_src + "/"):
+    # dst == src (or either nested inside the other) would DELETE the
+    # source before copying -- a snapshot primitive must never be able to
+    # destroy its own source on a caller typo.  The converse nesting
+    # (dst a PARENT of src) is just as destructive: removing dst removes
+    # src and every sibling under it.
+    if (
+        norm_dst == norm_src
+        or norm_dst.startswith(norm_src + "/")
+        or norm_src.startswith(norm_dst + "/")
+    ):
         raise ValueError(
-            f"clone_index: destination {dst_dir!r} equals or nests inside "
-            f"source {src_dir!r}; refusing to delete the source"
+            f"clone_index: destination {dst_dir!r} equals, nests inside, or "
+            f"contains source {src_dir!r}; refusing to delete the source"
         )
     _heal_torn_swaps(spark, src_dir)
     missing = [
@@ -262,9 +268,12 @@ def clone_index(spark: SparkSession, src_dir: str, dst_dir: str) -> None:
                 conf,
             )
     # a reused dst path must not serve a previous instance's cached
-    # n_buckets or layout-validation verdict
-    _N_BUCKETS_CACHE.pop(dst_dir, None)
-    _LAYOUT_VALIDATED.pop(dst_dir, None)
+    # n_buckets or layout-validation verdict -- pop the verbatim key AND
+    # the normalized form (a prior access via a file:-scheme or
+    # trailing-slash variant would otherwise keep its stale entry)
+    for key in (dst_dir, norm_dst):
+        _N_BUCKETS_CACHE.pop(key, None)
+        _LAYOUT_VALIDATED.pop(key, None)
 
 
 # The per-file maintenance ops (purge + staged rename, up to 64 bucket

@@ -143,11 +143,14 @@ def test_clone_index_is_faithful_and_isolated(spark, sf_dir, tmp_path):
     ]
     assert not (tmp_path / "src" / "tombstones").exists()
 
-    # dst == src or nested inside it is refused BEFORE any delete
+    # dst == src, nested inside it, OR a parent of it (removing dst would
+    # remove src and every sibling) is refused BEFORE any delete
     with pytest.raises(ValueError, match="refusing to delete the source"):
         engine.clone_index(spark, d_src, d_src)
     with pytest.raises(ValueError, match="refusing to delete the source"):
         engine.clone_index(spark, d_src, f"{d_src}/sub")
+    with pytest.raises(ValueError, match="refusing to delete the source"):
+        engine.clone_index(spark, d_src, str(tmp_path))
     assert [tuple(r) for r in engine.search(spark, d_src, q).collect()]
 
     # a torn source (missing table) is refused loudly
