@@ -234,6 +234,39 @@ def main() -> None:
     # headline totals above stay untouched.
     warm_medians: dict[str, dict] = {}
     suspects_dropped: list[str] = []
+    # Always-warm rows (additions-only diagnostics, r13): the fan-out
+    # keeper queries plus the streaming resume demo -- exactly the rows
+    # whose cold-position noise caused the r12 regression-attribution
+    # pain. A warm-median row for each makes any future "regressed"
+    # reading refutable (or confirmable) from the artifact itself.
+    # Headline totals are untouched: warm reps land in warm_medians only.
+    _ALWAYS_WARM = (
+        "simhash",
+        "simhash_neardup_pairs",
+        "span_exact_dedup",
+        "span_exact_dedup_fast",
+        "equidepth_histogram",
+        "embedding_gram",
+        "kmeans_2iter",
+        "ann_topk_pq",
+        "ann_topk_bruteforce",
+        "ann_topk_lsh",
+        "ann_topk_ivf",
+        "text_quality",
+        "quality_filter_apply",
+        "lang_id",
+        "token_counts",
+        "doc_fingerprint",
+        "pii_redact",
+        "doc_char_entropy",
+        "doc_chunks",
+        "blocklist_scan",
+        "repetition_stats",
+        "bigrams_udtf",
+        "profile_table",
+        "basket_pair_lift",
+        "streaming_checkpoint_resume",
+    )
     if os.environ.get("SPARK_GRAFT_WARM_MEDIANS", "1") != "0":
         top = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:10]]
         # ... plus every regression SUSPECT: a query reading >1.5x its
@@ -300,7 +333,12 @@ def main() -> None:
         # what the cap dropped instead of silently truncating
         suspects = suspect_pool[:25]
         suspects_dropped = suspect_pool[25:]
-        for name in top + suspects:
+        always = [
+            n
+            for n in _ALWAYS_WARM
+            if n in timings and n not in top and n not in suspects
+        ]
+        for name in top + suspects + always:
             reps: dict[str, float] = {}
             # warm-rep failures stay OUT of the headline errors dict: a
             # flaky rep must not flip the lockstep "0 errors" verdict

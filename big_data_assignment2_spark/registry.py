@@ -59,69 +59,16 @@ class Registry:
 # operators, then flagships, then the long-green relational tail. Names not
 # present (e.g. reference_* when the fixture corpus is absent) are skipped.
 _PRIORITY: tuple[str, ...] = (
-    # ========= round-12 window: exactly 50 names to the driver cap =========
+    # ========= round-13 window: exactly 50 names to the driver cap =========
     # Ordered purely by driver-evidence vintage (latest CORRECTNESS_r* row
-    # per query, recomputed from r01..r11): the 22 remaining r7-vintage
-    # oracled names (the oldest evidence left after the r11 re-queue), then
-    # the oldest 28 r8-vintage names up to the 50 cap. Rows-only sketches
+    # per query, recomputed from r01..r12): the 20 remaining r8-vintage
+    # oracled names (the oldest evidence left after the r12 re-queue), then
+    # the oldest 30 r9-vintage names up to the 50 cap. After this window is
+    # oracled, no driver evidence predates r9. Rows-only sketches
     # (approx_distinct_users, minhash_cols_fast, percentiles_by_flag_approx,
     # cms_partkey_counts, hll_union_by_source) stay OUT of windows -- their
     # hash evidence lives in the r8-green error-bound companions.
-    # --- 1-22: the oracled r7-vintage block (CORRECTNESS_r07 order) ---
-    "basket_pair_lift",
-    "rfm_segments",
-    "time_decay_attribution",
-    "quantile_normalize_by_source",
-    "tfidf_top_terms",
-    "ann_topk_pq",
-    "ann_pq_recall_eval",
-    "manifest_pruned_scan",
-    "pii_redact",
-    "parquet_bloom_skipping_str",
-    "doc_char_entropy",
-    "kmeans_2iter",
-    "collocations_pmi",
-    "doc_lm_cross_entropy",
-    "minmax_downsample",
-    "image_phash_clusters",
-    "manifest_incremental_scan",
-    "audio_features",
-    "skyline_2d",
-    "spatial_radius_join",
-    "join_anti",
-    "embedding_neardup_pairs",
-    # --- 23-50: oldest 28 r8-vintage names (CORRECTNESS_r08 order) ---
-    "prefix_edit_pairs",
-    "profile_table",
-    "table_checksum",
-    "chi2_lang_source",
-    "triangle_count",
-    "embedding_neardup_lsh",
-    "approx_distinct_error_check",
-    "hll_union_error_check",
-    "cms_overestimate_check",
-    "q21_waiting_suppliers",
-    "doc_pack_greedy",
-    "blocklist_scan",
-    "sample_balanced_lang",
-    "csv_roundtrip",
-    "events_time_rollup",
-    "events_value_histogram",
-    "json_roundtrip",
-    "orc_roundtrip",
-    "streaming_foreach_batch",
-    "pipeline_end_to_end",
-    "simhash_neardup_pairs",
-    "embedding_centroids",
-    "window_funcs_suite",
-    "join_shuffled_hash_agg",
-    "funnel_depths",
-    "cohort_retention",
-    "neardup_cluster_sizes",
-    "csv_corrupt_records",
-    # ========== positions 51+: past the cap this round ==========
-    # --- remaining r8-vintage rows, then the r9 / r10 / r11 blocks
-    # (freshest driver evidence last) ---
+    # --- 1-20: the oracled r8-vintage block (CORRECTNESS_r08 order) ---
     "bm25_search_incremental",
     "bm25_search_after_delete",
     "bm25_search_filtered",
@@ -142,7 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "pagerank_3iter",
     "streaming_late_data",
     "prefix_hamming_pairs",
-    # --- r9-vintage block (CORRECTNESS_r09 order) ---
+    # --- 21-50: oldest 30 r9-vintage names (CORRECTNESS_r09 order) ---
     "span_exact_dedup",
     "reference_bm25_big_data",
     "reference_bm25_ml_model",
@@ -173,6 +120,8 @@ _PRIORITY: tuple[str, ...] = (
     "q18_large_orders",
     "percentiles_by_flag",
     "q4_exists_semi",
+    # --- past the window: every remaining oracled name, still ordered by
+    # evidence vintage (oldest first), so future re-queues read off the top ---
     "q14_promo_revenue",
     "join_semi",
     "join_salted_agg",
@@ -193,7 +142,6 @@ _PRIORITY: tuple[str, ...] = (
     "rollup_agg",
     "grouping_sets_agg",
     "bm25_search",
-    # --- r10-vintage block (CORRECTNESS_r10 order) ---
     "span_exact_dedup_fast",
     "bm25_search_persisted",
     "dedup_exact",
@@ -244,7 +192,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_sliding",
     "window_session",
     "streaming_tumbling",
-    # --- r11-vintage block (CORRECTNESS_r11 order) ---
     "streaming_sessionize",
     "streaming_dedup",
     "streaming_static_join",
@@ -295,12 +242,61 @@ _PRIORITY: tuple[str, ...] = (
     "winsorize_values",
     "token_kl_by_source",
     "embedding_gram",
+    "basket_pair_lift",
+    "rfm_segments",
+    "time_decay_attribution",
+    "quantile_normalize_by_source",
+    "tfidf_top_terms",
+    "ann_topk_pq",
+    "ann_pq_recall_eval",
+    "manifest_pruned_scan",
+    "pii_redact",
+    "parquet_bloom_skipping_str",
+    "doc_char_entropy",
+    "kmeans_2iter",
+    "collocations_pmi",
+    "doc_lm_cross_entropy",
+    "minmax_downsample",
+    "image_phash_clusters",
+    "manifest_incremental_scan",
+    "audio_features",
+    "skyline_2d",
+    "spatial_radius_join",
+    "join_anti",
+    "embedding_neardup_pairs",
+    "prefix_edit_pairs",
+    "profile_table",
+    "table_checksum",
+    "chi2_lang_source",
+    "triangle_count",
+    "embedding_neardup_lsh",
+    "approx_distinct_error_check",
+    "hll_union_error_check",
+    "cms_overestimate_check",
+    "q21_waiting_suppliers",
+    "doc_pack_greedy",
+    "blocklist_scan",
+    "sample_balanced_lang",
+    "csv_roundtrip",
+    "events_time_rollup",
+    "events_value_histogram",
+    "json_roundtrip",
+    "orc_roundtrip",
+    "streaming_foreach_batch",
+    "pipeline_end_to_end",
+    "simhash_neardup_pairs",
+    "embedding_centroids",
+    "window_funcs_suite",
+    "join_shuffled_hash_agg",
+    "funnel_depths",
+    "cohort_retention",
+    "neardup_cluster_sizes",
+    "csv_corrupt_records",
     # --- rows-only sketches with an existing driver row: NEVER window
-    # material (a slot here can only re-record "no_oracle"); hash evidence
-    # lives in their error-bound companions ---
+    # (hash evidence lives in their oracled error-bound companions) ---
     "approx_distinct_users",
-    "minhash_cols_fast",
     "percentiles_by_flag_approx",
+    "minhash_cols_fast",
     "cms_partkey_counts",
     "hll_union_by_source",
 )

@@ -433,23 +433,34 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fail loudly: stopping mid-batch can leave a torn batch_id
         # partition, and reading it would return plausible wrong totals
         raise RuntimeError("streaming_foreach_batch did not finish within 120s")
-    # localize the (per-event-type, tiny) totals so the uuid sink dir and
-    # its dead checkpoint can be deleted before returning -- every call
-    # otherwise leaks both forever (zero-debris convention of this file)
-    res = (
+    # Reduce the per-batch partials to per-type totals and land them in a
+    # FIXED per-corpus dir (overwritten on every call -- never a cross-run
+    # cache: the totals are recomputed from this call's own micro-batches
+    # above) so the uuid sink dir and its dead checkpoint can be deleted
+    # before returning. This keeps the zero-debris convention of this file
+    # (bounded: one tiny totals dir per sf_dir) WITHOUT a driver-side
+    # collect() in a query path (guide section 5: the driver should do
+    # almost no data work; r12 measured the collect+createDataFrame shape
+    # ~0.5s slower in the driver bench than a sink-side landing).
+    from ..operators._util import scratch_slug
+
+    totals = f"{scratch_root()}/stream_fb_totals_{scratch_slug(sf_dir)}"
+    (
         spark.read.parquet(out)
         .groupBy("event_type")
         .agg(
             F.sum("n_events").alias("n_events"),
             dsum(F.col("sum_value"), 6).alias("sum_value"),
         )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(totals)
     )
-    local = spark.createDataFrame(res.collect(), res.schema)
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(f"{out}_ckpt", ignore_errors=True)
-    return local
+    return spark.read.parquet(totals)
 
 
 SQL_FOREACH_BATCH = f"""
@@ -841,19 +852,19 @@ def streaming_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from ..operators._util import scratch_root
+    from ..operators._util import scratch_root, scratch_slug
 
     from ..sources.catalog import _read_events_raw
 
-    # Memoized per sf_dir: repeated sweeps/bench runs reuse the one sink
-    # instead of accumulating uuid-suffixed scratch roots. The returned
-    # frame lazily reads `sink`, so the root must outlive this call --
-    # staging + checkpoint dirs (not needed once both runs finish) are
-    # pruned in the finally below, bounding debris to one sink per sf_dir
-    # per process.
-    if sf_dir in _RESUME_SINKS:
-        return spark.read.parquet(_RESUME_SINKS[sf_dir])
-    root = f"{scratch_root()}/stream_resume_{uuid.uuid4().hex[:8]}"
+    # FIXED per-corpus root, fully torn down and redone on every call:
+    # r12's per-process memo made bench warm reps read the committed sink
+    # in ~0.1s -- a number that measured a parquet scan, not a resume.
+    # Every call now performs the complete two-run demo from scratch
+    # (never a cross-run cache), and debris stays bounded to one sink dir
+    # per sf_dir (the returned frame lazily reads `sink`, so the root must
+    # outlive this call; staging + checkpoint dirs are pruned below).
+    root = f"{scratch_root()}/stream_resume_{scratch_slug(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
     drop, sink, ckpt = f"{root}/drop", f"{root}/sink", f"{root}/ckpt"
     os.makedirs(drop)
     raw = _read_events_raw(spark, f"{sf_dir}/events.parquet")
@@ -875,14 +886,27 @@ def streaming_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "event_type")
             .dropDuplicates(["user_id", "event_type"])
         )
-        q = (
-            stream.writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
+        # Pin the dedup state-store partition count like _run_to_table
+        # does: it freezes at query start from spark.sql.shuffle.partitions
+        # (and the restarted run recovers the same count from the
+        # checkpoint). Unpinned, the r12 driver bench paid 32 state
+        # partitions x 2 runs of per-partition store commit + snapshot
+        # work on a bounded corpus -- the one strongly scaling-NEGATIVE
+        # row (10.3s at 32 cores vs 2.9s at 8). A production deployment
+        # sizes this to keyspace/executor count via conf instead.
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
         try:
             finished = q.awaitTermination(120)
         finally:
@@ -906,11 +930,8 @@ def streaming_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     for sub in os.listdir(root):
         if sub != "sink":
             shutil.rmtree(f"{root}/{sub}", ignore_errors=True)
-    _RESUME_SINKS[sf_dir] = sink
     return spark.read.parquet(sink)
 
 
 # (run1, run2) input-row metrics of the latest resume demo, for tests
 _RESUME_RUNS: tuple = ()
-# sf_dir -> committed sink path of a completed resume demo (memo)
-_RESUME_SINKS: dict[str, str] = {}
