@@ -155,7 +155,14 @@ def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen via nested ``transform``/``flatten`` on the <= CAP
     sized array -- no per-order self-join relation. A prior version
     expressed this as lp JOIN lp ON same-order AND u < v: same result,
-    but distinct + join + SMJ cost ~2x the single-agg form at sf0.1."""
+    but distinct + join + SMJ cost ~2x the single-agg form at sf0.1.
+
+    Fan-out before the basket groupBy was measured BOTH ways in r13 and
+    rejected: same-session interleaved A/B read 0.84x, but the
+    fresh-process cold A/B (the driver bench's behavior) read 1.07x --
+    the same cold loss that killed the identically-shaped
+    basket_pair_lift fan-out (1.14x cold). Cheap projection into a
+    partial aggregate doesn't earn the extra Exchange."""
     lp = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = (
         lp.groupBy("l_orderkey")
@@ -198,10 +205,12 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. **Edge iterator over sorted adjacency arrays**: per oriented edge
        (u, v), the triangle count through it is |out(u) INTERSECT out(v)|,
        computed JVM-side with ``array_intersect`` on ``collect_list``
-       adjacency arrays -- two co-partitioned equi-joins and a sum, with
-       per-row memory bounded by 2 * max-out-degree (<= DEG_CAP), instead
-       of a 41M-row intermediate. The wedge METRIC stays arithmetic
-       (sum of C(deg, 2) over the degree table).
+       adjacency arrays -- the oriented edges are re-derived by EXPLODING
+       the adjacency table (one row per (dst, out(src)) pair), so the
+       census is ONE equi-join on dst and a sum, with per-row memory
+       bounded by 2 * max-out-degree (<= DEG_CAP), instead of a 41M-row
+       intermediate. The wedge METRIC stays arithmetic (sum of C(deg, 2)
+       over the degree table).
 
     Reference parity: beyond-reference surface (the reference has no graph
     operators); complements pagerank_3iter (fixed-point ranking) and
@@ -209,7 +218,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel, counting."""
     # Two execution-level choices, both measured at sf0.1 (SCALE.md):
     #
-    # * small frames (deg, oriented, adj) are ``cache()``d + eagerly
+    # * small frames (deg, adj) are ``cache()``d + eagerly
     #   counted, NOT ``localCheckpoint()``ed: a checkpointed frame surfaces
     #   as a stats-less LogicalRDD, so every downstream join planned over
     #   it defaults to sort-merge; a materialized cache exposes real
@@ -272,10 +281,14 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
         # canonical u < v, so a degree tie orients u-first: (deg, id) total order
         u_first = F.col("du") <= F.col("dv")
+        # oriented is NOT cached: with the explode-adj triangle join below
+        # it is consumed exactly once (the adj build), so a cache would be
+        # a pure write cost (r13; the r12 version joined oriented back to
+        # adj and needed it twice)
         oriented = withdeg.select(
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        ).cache()
+        )
         adj = (
             oriented.groupBy("src")
             .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
@@ -289,9 +302,15 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(_FBT)
         else:
             spark.conf.set(_FBT, fbt_before)
+    # Re-derive the oriented edge list by EXPLODING the cached adjacency
+    # instead of joining oriented back to adj on src: the multiset of
+    # (dst, out(src)) rows is identical by construction (adj was built
+    # from oriented), so the triangle census needs ONE join (on dst), not
+    # two. r13 interleaved A/B: 0.72x alone, 0.66x with the basket
+    # fan-out; plan drops a whole join + the oriented cache.
+    half = adj.select(F.explode("nbrs").alias("dst"), F.col("nbrs").alias("nu"))
     tri = (
-        oriented.join(adj.select(F.col("src"), F.col("nbrs").alias("nu")), "src")
-        .join(
+        half.join(
             adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nv")),
             "dst",  # inner: a dst with no out-edges closes no triangle
         )

@@ -41,7 +41,6 @@ from pyspark.sql import functions as F
 
 from ..registry import Registry
 from ..sources.catalog import load_events, load_table
-from ._rebalance import fan_out_table
 from ._util import dsum, sql_dsum
 from .graph import BASKET_CAP
 
@@ -67,13 +66,12 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     universe), per-item supports and per-pair supports each come from
     one hash aggregate; the tiny scalar N joins back via broadcast.
     """
-    # fan the single-row-group scan out first (guide section 2.5): the
-    # collect_set partial aggregation is the heavy map side here
-    lp = fan_out_table(
-        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
-        sf_dir,
-        "lineitem",
-    )
+    # fan-out REVERTED (r13): r12's same-session A/B read 0.78x but the
+    # fresh-process cold A/B (tools/cold_ab.py) read 1.14x and the driver's
+    # cold run 0.84x-regressed; the identically-shaped triangle_count
+    # basket fan-out also lost cold (1.07x). The two-column projection
+    # into a collect_set partial agg doesn't earn the extra Exchange.
+    lp = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = (
         lp.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))

@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from ..registry import Registry
 from ..sources.catalog import load_table
-from ._rebalance import fan_out_table
 from ._util import davg, dsum, epoch, ntz_lit, sql_davg, sql_dsum, sql_ts
 
 # Filter cutoffs as ISO wall-clock instants: filters compare the NTZ
@@ -755,14 +754,11 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: boundaries are round(6) of exact interpolation
     (engine-identical); ties AT a boundary go to the lower bucket on
     both engines (strict >)."""
-    # fan the single-row-group scan out before the ObjectHashAggregate:
-    # both passes (boundary build and bucket count) otherwise run their
-    # map side on ONE task (guide section 2.5, unsplittable-input skew)
-    li = fan_out_table(
-        load_table(spark, sf_dir, "lineitem").select("l_extendedprice"),
-        sf_dir,
-        "lineitem",
-    )
+    # fan-out REVERTED (r13): r12's same-session A/B read 0.92x but the
+    # fresh-process cold A/B (tools/cold_ab.py) read 1.04x and the driver's
+    # cold run 0.76x-regressed -- a single-column double scan into an
+    # ObjectHashAggregate is too cheap to earn the extra Exchange.
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
     qs = ", ".join(str(q) for q in HIST_QS)
     bounds = li.agg(
         F.expr(

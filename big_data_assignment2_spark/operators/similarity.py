@@ -824,9 +824,12 @@ def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity-search family; cites reference app/query.py:92 top-10
     convention for the result shape).
     """
-    emb = fan_out_table(
-        load_table(spark, sf_dir, "embeddings"), sf_dir, "embeddings"
-    ).select(
+    # fan-out REVERTED (r13): the r12 same-session A/B read 0.84x, but the
+    # fresh-process cold A/B (tools/cold_ab.py, the driver bench's behavior)
+    # read 1.11x for ann_topk_pq -- the encode map side is too light to
+    # earn the extra Exchange once the JVM is cold. The driver's r12 cold
+    # readings (ann_topk_pq 0.81x, ann_pq_recall_eval 0.84x) agree.
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     sub = emb.select(
