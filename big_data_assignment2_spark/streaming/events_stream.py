@@ -188,12 +188,24 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # _run_to_table pins the state-store partition count (fixed at query
-    # start from spark.sql.shuffle.partitions; the stateful python worker
-    # costs ~1.5s per state partition per micro-batch regardless of data
-    # volume), restores the caller's setting, and FAILS LOUDLY on a
-    # timeout -- a hand-rolled loop here once dropped the finished check
-    # and could return a partial session set.
-    return _run_to_table(spark, sessions, "stream_sessions", timeout=240)
+    # start from spark.sql.shuffle.partitions), restores the caller's
+    # setting, and FAILS LOUDLY on a timeout -- a hand-rolled loop here
+    # once dropped the finished check and could return a partial session
+    # set. UNLIKE the JVM-state-store family (stream-stream join, dedup),
+    # where per-partition store open/commit dominates and 4 partitions
+    # measured best, applyInPandasWithState launches one PYTHON worker
+    # pipeline per state partition -- the per-group pandas overhead
+    # divides across partitions, so this op wants MORE of them. r13
+    # interleaved A/B (3 reps/arm, identical rows): at local[32]
+    # 4/16/32 partitions read 5.97/4.00/5.28s; at local[8] 4/8/16 read
+    # 4.96/3.67/5.06s. Optimum tracks the core count but saturates, so
+    # derive from defaultParallelism with a measured cap (a production
+    # deployment sizes state partitions to keyspace x executors instead;
+    # the output set is partition-count-independent either way).
+    n_parts = max(4, min(spark.sparkContext.defaultParallelism, 16))
+    return _run_to_table(
+        spark, sessions, "stream_sessions", state_partitions=n_parts, timeout=240
+    )
 
 
 # Oracle: gaps-and-islands sessionization, emitting sessions that either
