@@ -97,21 +97,30 @@ HYPERPLANES: list[list[float]] = [
 ]
 
 
-def _plane_lit(p: list[float]):
-    return F.array(*[F.lit(x) for x in p])
-
-
 def _sql_plane(p: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
 
 
-def _bucket_col(vec, planes: list[list[float]] = HYPERPLANES) -> F.Column:
-    """Sign-bit bucket string over *planes*, e.g. '10110010'."""
-    bits = [
-        F.when(dot(vec, _plane_lit(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in planes
-    ]
-    return F.concat(*bits)
+def _bucket_col(vec: str, planes: list[list[float]] = HYPERPLANES) -> F.Column:
+    """Sign-bit bucket string over *planes*, e.g. '10110010'.
+
+    Built as ONE ``F.expr`` SQL string instead of composing
+    ``dot(vec, _plane_lit(p))`` Columns: each python-lambda ``dot`` plus
+    its 64 ``F.lit`` plane elements costs ~60ms of DRIVER-side py4j
+    expression construction, so the 32-plane near-dup bucket paid ~2-3s
+    per query invocation before a single task ran (r13; measured
+    construction 2.0-3.4s -> 0.003s, resulting rows byte-identical --
+    the parsed tree is the same aggregate/zip_with fold over the same
+    correctly-rounded double literals). *vec* is a column name."""
+    bits = []
+    for p in planes:
+        arr = "array(" + ",".join(f"{x!r}D" for x in p) + ")"
+        d = (
+            f"aggregate(zip_with(CAST({vec} AS ARRAY<DOUBLE>), {arr},"
+            " (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {d} >= 0 THEN '1' ELSE '0' END)")
+    return F.expr("concat(" + ",".join(bits) + ")")
 
 
 def _sql_bucket(vec_expr: str, planes: list[list[float]] = HYPERPLANES) -> str:
@@ -195,7 +204,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning, like the BM25 term buckets in ``engine.py``)."""
     emb = fan_out_table(
         load_table(spark, sf_dir, "embeddings"), sf_dir, "embeddings"
-    ).withColumn("bucket", _bucket_col(F.col("embedding")))
+    ).withColumn("bucket", _bucket_col("embedding"))
     q = (
         emb.where(F.col("vec_id") == QUERY_VEC_ID)
         .select(F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket"))
@@ -328,8 +337,18 @@ CENTROIDS: list[list[float]] = [
 ]
 
 
-def _cell_dots(vec) -> F.Column:
-    return F.array(*[dot(vec, _plane_lit(c)) for c in CENTROIDS])
+def _cell_dots(vec: str) -> F.Column:
+    # one F.expr string for the same reason as _bucket_col: 8 lambda-`dot`
+    # columns over 64-literal arrays cost ~0.5s of driver-side py4j
+    # construction per invocation; the parsed tree is identical
+    dots = ", ".join(
+        "aggregate(zip_with(CAST({v} AS ARRAY<DOUBLE>), array({arr}),"
+        " (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)".format(
+            v=vec, arr=",".join(f"{x!r}D" for x in c)
+        )
+        for c in CENTROIDS
+    )
+    return F.expr(f"array({dots})")
 
 
 def _sql_cell_dots(vec_expr: str) -> str:
@@ -629,7 +648,7 @@ def embedding_neardup_lsh(
     emb = _with_planted(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "embedding",
-        _bucket_col(F.col("embedding"), NEARDUP_HYPERPLANES).alias("bucket"),
+        _bucket_col("embedding", NEARDUP_HYPERPLANES).alias("bucket"),
     )
     # materialized once: the self-join would otherwise evaluate the 32
     # interpreted sign-bit dots per row on BOTH sides (the expensive
