@@ -219,45 +219,56 @@ def sql_band_cols(n: int = N_MINHASH, bands: int = 4) -> str:
 # --- SimHash (md5-nibble family, oracle-able) --------------------------------
 
 
-def simhash_contrib_cols(term_col: Column | str, tf_col: Column | str) -> list[Column]:
+def simhash_contrib_cols(term_col: str, tf_col: str) -> list[Column]:
     """Per-row SimHash contributions ``c0..c63`` = ``tf * bit_j`` where
     ``bit_j`` is bit j of ``md5(term)``'s first 16 hex nibbles (high bit
     first within each nibble). Evaluated ONCE per row in a projection;
     the old single-aggregate form re-evaluated md5 inside each of 128
     conditional sums, dominating the aggregate's cost."""
-    term = F.col(term_col) if isinstance(term_col, str) else term_col
-    tf = (F.col(tf_col) if isinstance(tf_col, str) else tf_col).cast("long")
-    h = F.md5(term)
+    # Built as per-column F.expr strings, not composed Column ops: the 64
+    # composed trees cost ~1.2s of driver-side py4j construction per
+    # query invocation (r13); the parsed trees are identical. *term_col*
+    # and *tf_col* are SQL expression strings here (a Column tf like
+    # F.lit(1) is rendered via str() -> "Column<'1'>" would be wrong, so
+    # accept only str; callers pass SQL text).
+    term = term_col if isinstance(term_col, str) else None
+    tf = tf_col if isinstance(tf_col, str) else None
+    assert term is not None and tf is not None, "pass SQL expression strings"
     # Bit j (j=0 is the high bit of the first nibble) lives in one of two
     # 32-bit words decoded with a single conv each -- not 16 per-nibble
     # conv(substring(...)) calls, which measured as the projection's cost.
-    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    hi = f"CAST(conv(substring(md5({term}), 1, 8), 16, 10) AS BIGINT)"
+    lo = f"CAST(conv(substring(md5({term}), 9, 8), 16, 10) AS BIGINT)"
     out: list[Column] = []
     for j in range(64):
         word, off = (hi, 31 - j) if j < 32 else (lo, 63 - j)
-        bit = F.shiftright(word, off).bitwiseAND(1)
-        out.append((tf * bit).alias(f"c{len(out)}"))
+        out.append(
+            F.expr(
+                f"(CAST({tf} AS BIGINT) * (shiftright({word}, {off}) & 1)) AS c{j}"
+            )
+        )
     return out
 
 
-def simhash_hex_from_votes(total_col: Column | str = "total") -> Column:
+def simhash_hex_from_votes(total_col: str = "total") -> Column:
     """Rebuild the 16-hex-char SimHash from aggregated contribution sums
     ``s0..s63`` and the total tf: the +tf/-tf vote for bit j equals
     ``2*s_j - total`` (exact integer identity with the conditional-sum
-    form), bit set iff vote > 0."""
-    total = F.col(total_col) if isinstance(total_col, str) else total_col
+    form), bit set iff vote > 0. One F.expr string (same ~400-node tree
+    the composed-Column form built, without its ~0.5s of driver-side
+    py4j construction); *total_col* is a column name."""
     nib_hex = []
     j = 0
     for _pos in range(16):
         bits = []
         for _b in range(4):
-            vote = F.lit(2) * F.col(f"s{j}") - total
-            bits.append(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)))
+            bits.append(
+                f"(CASE WHEN (2 * s{j} - {total_col}) > 0 THEN 1 ELSE 0 END)"
+            )
             j += 1
-        nibble = bits[0] * 8 + bits[1] * 4 + bits[2] * 2 + bits[3]
-        nib_hex.append(F.lower(F.conv(nibble.cast("string"), 10, 16)))
-    return F.concat(*nib_hex)
+        nibble = f"({bits[0]} * 8 + {bits[1]} * 4 + {bits[2]} * 2 + {bits[3]})"
+        nib_hex.append(f"lower(conv(CAST({nibble} AS STRING), 10, 16))")
+    return F.expr("concat(" + ", ".join(nib_hex) + ")")
 
 
 def sql_simhash_hex(term_expr: str, tf_expr: str) -> str:

@@ -383,7 +383,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents",
     )
     contrib = tokenize(docs).select(
-        "doc_id", *simhash_contrib_cols("term", F.lit(1))
+        "doc_id", *simhash_contrib_cols("term", "1")
     )
     agg = contrib.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("total"),
