@@ -387,7 +387,9 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = contrib.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("total"),
-        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(64)],
+        # F.expr, not F.sum().alias(): 64 composed pairs cost ~0.26s of
+        # py4j construction per invocation vs ~0.05s for parsed strings
+        *[F.expr(f"sum(c{j}) AS s{j}") for j in range(64)],
     )
     return agg.select("doc_id", simhash_hex_from_votes("total").alias("simhash"))
 
